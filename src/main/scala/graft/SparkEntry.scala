@@ -1,13 +1,618 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions._
+import graft.operators._
+import graft.sources.Readers
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — SURVEY.md §2 inventory. Every query reads the driver's
+  * parquet tables from `dir`, and (where SQL-expressible) has a DuckDB
+  * oracle in `oracleSql` producing identical column names, types (BIGINT for
+  * integer aggregates), rounding, and total ordering.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q18_revenue_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2a reference-derived relational/ETL -----------------------------------
+    "q01_interval_agg" -> ((s, dir) => {
+      // README.md "Availability by Station": 3-min samples → 15-min interval min
+      val ev = T(s, dir, "events")
+      ev.groupBy(col("user_id"), window(col("ts"), "15 minutes"))
+        .agg(min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+          count(lit(1)).as("n_samples"))
+        .select(col("user_id"), col("window.start").as("bucket_start"),
+          col("min_value"), col("max_value"), col("n_samples"))
+        .orderBy("user_id", "bucket_start")
+    }),
+
+    "q02_group_agg" -> ((s, dir) => {
+      // variability CTE aggregates: sum/avg/count + conditional sum(case when)
+      val li = T(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).cast("long").as("n_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q03_enrich_join" -> ((s, dir) => {
+      // availability ⋈ geocode ⋈ weather flat table → borough/hood rollup
+      val agg = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_rev"),
+          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2)
+            .as("open_rev"))
+      agg.withColumn("pct_open", round(col("open_rev") / col("total_rev"), 6))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q04_interesting_keys" -> ((s, dir) => {
+      // README.md "Reducing Complexity" CTE: ntile percentiles + rank + join-back
+      val perKey = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey").as("key"), col("n_name").as("grp"))
+        .agg(max(col("o_totalprice")).as("m1"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).cast("long").as("m2"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).cast("long").as("m3"))
+      Relational.interestingKeys(T(s, dir, "orders"), col("o_custkey"), perKey, 40, 50, 50)
+        .select(col("o_orderkey"), col("key").as("c_custkey"), col("o_totalprice"),
+          col("score"), col("rnk"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q05_first_per_group" -> ((s, dir) => {
+      // zip→coordinate lookup: rank min per group, keep first (README.md:560)
+      Relational.firstPerGroup(T(s, dir, "customer"),
+          Seq(col("c_nationkey")), Seq(col("c_acctbal"), col("c_custkey")))
+        .select(col("c_nationkey").as("nationkey"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("nationkey")
+    }),
+
+    "q06_repair_union" -> ((s, dir) => {
+      // README.md "Fixing the missing weather issue": split/fix-join/union/dedup
+      val ev = T(s, dir, "events")
+      val facts = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_ts"), col("value"))
+      // impute with the hour's min observed value: min is arithmetic-free, so
+      // Spark and the oracle agree bit-for-bit (avg hits round-half boundaries)
+      val fix = ev.filter(col("event_type") =!= "error")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(min(col("value")).as("fixed_value"))
+      Relational.repairUnion(facts, col("event_type") === "error",
+          fix, Seq("hour_ts"), "value", "fixed_value")
+        .select(col("event_id"), col("user_id"), col("hour_ts"), col("value"), col("src"))
+        .orderBy("event_id")
+    }),
+
+    "q07_flag_rollup_join" -> ((s, dir) => {
+      // rainy_day: per (station, date) max(flag), merged back (README.md:1640)
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d_date"), col("value"))
+      Relational.flagRollupJoin(ev, col("user_id"), col("d_date"),
+          col("value") > 150, "high_day")
+        .select(col("event_id"), col("user_id"), col("d_date"), col("high_day"))
+        .orderBy("event_id")
+    }),
+
+    "q08_pivot_hour" -> ((s, dir) => {
+      // pivot_table station × hour_of_day mean (notebooks/citibike_ck.ipynb)
+      val ev = T(s, dir, "events")
+      def bucketAvg(lo: Int, hi: Int): org.apache.spark.sql.Column =
+        round(avg(when(hour(col("ts")).between(lo, hi), col("value"))), 4)
+      ev.groupBy(col("user_id"))
+        .agg(bucketAvg(0, 5).as("h00_05"), bucketAvg(6, 11).as("h06_11"),
+          bucketAvg(12, 17).as("h12_17"), bucketAvg(18, 23).as("h18_23"))
+        .orderBy("user_id")
+    }),
+
+    "q09_nearby_selfjoin" -> ((s, dir) => {
+      // nearby stations < 0.5 km (notebooks/CitiBike-1.ipynb → nearby_stations.json)
+      // Grid-cell blocked: neighbor cells only, never an unbounded cross join.
+      val pts = T(s, dir, "customer").select(col("c_custkey").as("id"),
+          GeoFns.synthLat(col("c_custkey")).as("lat"),
+          GeoFns.synthLon(col("c_custkey")).as("lon"))
+        .withColumn("clat", GeoFns.latCell(col("lat"), 0.01))
+        .withColumn("clon", GeoFns.lonCell(col("lon"), 0.01))
+      val exploded = pts
+        .withColumn("nclat", explode(array(col("clat") - 1, col("clat"), col("clat") + 1)))
+        .withColumn("nclon", explode(array(col("clon") - 1, col("clon"), col("clon") + 1)))
+      exploded.as("a").join(pts.as("b"),
+          col("a.nclat") === col("b.clat") && col("a.nclon") === col("b.clon") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(GeoFns.haversineKm(col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")), 6)
+            .as("dist_km"))
+        .filter(col("dist_km") < 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q10_time_features" -> ((s, dir) => {
+      // hour / day name / day_type / date / 15-min bucket / hour trunc
+      T(s, dir, "events").select(col("event_id"),
+          TimeFns.hourOfDay(col("ts")).as("hour_of_day"),
+          TimeFns.dayName(col("ts")).as("day_name"),
+          TimeFns.dayType(col("ts")).as("day_type"),
+          to_date(col("ts")).as("d_date"),
+          TimeFns.bucket(col("ts"), 15).as("bucket15"),
+          TimeFns.hourTrunc(col("ts")).as("hour_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q11_topn_per_group" -> ((s, dir) => {
+      // rank=1 per hood / top-N per group
+      Relational.topNPerGroup(
+          T(s, dir, "customer")
+            .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey")),
+          Seq(col("n_name")), Seq(col("c_acctbal").desc, col("c_custkey")), 3)
+        .select(col("n_name"), col("c_custkey"), col("c_acctbal"), col("rn"))
+        .orderBy("n_name", "rn")
+    }),
+
+    "q12_distinct_worklist" -> ((s, dir) => {
+      // distinct (zip, day) work-list of rows needing repair (README.md:500)
+      T(s, dir, "events").filter(col("event_type") === "error")
+        .select(col("user_id"), to_date(col("ts")).as("d_date"))
+        .distinct()
+        .orderBy("user_id", "d_date")
+    }),
+
+    "q13_running_window" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      TimeSeries.runningWindow(ev, col("user_id"), Seq(col("ts"), col("event_id")),
+          col("value"), 4)
+        .select(col("event_id"), col("user_id"), col("running_sum"), col("moving_avg"))
+        .orderBy("event_id")
+    }),
+
+    "q14_sessionize" -> ((s, dir) => {
+      TimeSeries.sessionize(
+          T(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+          col("user_id"), col("ts"), 1800000L)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id")
+    }),
+
+    "q15_asof_join" -> ((s, dir) => {
+      // weather-by-most-recent-hour enrichment, generalized as-of join
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      TimeSeries.asofJoin(purchases, signups, "user_id", "ts", Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), col("signup_value"))
+        .orderBy("event_id")
+    }),
+
+    "q16_anti_join" -> ((s, dir) => {
+      // customers with no finished orders (NOT EXISTS)
+      val finished = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      T(s, dir, "customer")
+        .join(finished, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q17_quality_profile" -> ((s, dir) => {
+      Relational.qualityProfile(T(s, dir, "events"),
+          Seq("event_id", "user_id", "event_type", "value"))
+        .orderBy("column_name")
+    }),
+
+    "q18_revenue_join" -> ((s, dir) => {
+      // multi-way star join with broadcast dims
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    "q19_histogram" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(floor(col("value") / 20).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bin_low", (col("bin") * 20).cast("double"))
+        .orderBy("bin")
+    }),
+
+    "q20_scd_latest" -> ((s, dir) => {
+      // stations_static upsert collapse: latest version per key
+      Relational.latestPerKey(
+          T(s, dir, "events").select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // §2b LLM-data-pipeline operators ---------------------------------------
+    "q21_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy("keeper_id")
+    }),
+
+    "q22_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 3, 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q23_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
+          3, 32, 4, 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q24_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q25_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingCosinePairs(T(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          col("label"), 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q26_ann_bruteforce" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q27_ann_lsh" -> ((s, dir) => {
+      val embs = T(s, dir, "embeddings")
+      Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          5, 8, 1)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q28_langid" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFns.langId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    "q29_quality_score" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val toks = TextFns.tokens(col("text"))
+      val punct = TextFns.punctRatio(col("text"))
+      val stopr = TextFns.stopwordRatio(col("text"))
+      d.select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          round(punct, 4).as("punct_ratio"),
+          round(stopr, 4).as("stopword_ratio"),
+          round(least(lit(1.0), size(toks).cast("double") / 100.0) *
+            (lit(1.0) - punct) * (lit(1.0) - lit(0.5) * stopr), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q30_token_count" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+          size(TextFns.regexTokens(col("text"))).cast("long").as("re_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q31_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "q32_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decode(Multimodal.asMediaTable(T(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
+    "q33_distinct_counts" -> ((s, dir) => {
+      T(s, dir, "events").groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    "q34_windowed_events" -> ((s, dir) => {
+      TimeSeries.windowedAgg(T(s, dir, "events"), col("ts"), "1 hour",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value")))
+        .orderBy("window_start", "event_type")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_interval_agg" ->
+      """SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+        | min(value) AS min_value, max(value) AS max_value, count(*) AS n_samples
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket_start""".stripMargin,
+
+    "q02_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_enrich_join" ->
+      """SELECT r_name, n_name, n_orders, total_rev, open_rev,
+        | round(open_rev / total_rev, 6) AS pct_open
+        |FROM (
+        | SELECT r_name, n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_rev,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS open_rev
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_interesting_keys" ->
+      """WITH v AS (
+        | SELECT c_custkey AS key, n_name AS grp, max(o_totalprice) AS m1,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS m3
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1, 2),
+        |p AS (
+        | SELECT *,
+        |  CAST(ntile(100) OVER (ORDER BY m1, key) AS BIGINT) AS pct1,
+        |  CAST(ntile(100) OVER (ORDER BY m2, key) AS BIGINT) AS pct2,
+        |  CAST(ntile(100) OVER (ORDER BY m3, key) AS BIGINT) AS pct3
+        | FROM v),
+        |r AS (
+        | SELECT *, pct1 + pct2 + pct3 AS score,
+        |  CAST(rank() OVER (PARTITION BY grp ORDER BY (pct1 + pct2 + pct3) DESC, key) AS BIGINT) AS rnk
+        | FROM p WHERE pct1 > 40 AND pct2 > 50 AND pct3 > 50)
+        |SELECT o.o_orderkey, r.key AS c_custkey, o.o_totalprice, r.score, r.rnk
+        |FROM orders o JOIN r ON o.o_custkey = r.key
+        |WHERE r.rnk = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q05_first_per_group" ->
+      """SELECT c_nationkey AS nationkey, c_custkey, c_acctbal FROM (
+        | SELECT c_nationkey, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn
+        | FROM customer) WHERE rn = 1 ORDER BY nationkey""".stripMargin,
+
+    "q06_repair_union" ->
+      """WITH f AS (SELECT event_id, user_id, event_type,
+        |  date_trunc('hour', ts) AS hour_ts, value FROM events),
+        |fix AS (SELECT date_trunc('hour', ts) AS hour_ts, min(value) AS fixed_value
+        | FROM events WHERE event_type <> 'error' GROUP BY 1),
+        |clean AS (SELECT event_id, user_id, hour_ts, value, 'observed' AS src
+        | FROM f WHERE event_type <> 'error'),
+        |rep AS (SELECT f.event_id, f.user_id, f.hour_ts, fix.fixed_value AS value, 'fixed' AS src
+        | FROM f LEFT JOIN fix USING (hour_ts) WHERE f.event_type = 'error')
+        |SELECT DISTINCT event_id, user_id, hour_ts, value, src
+        |FROM (SELECT * FROM clean UNION ALL SELECT * FROM rep)
+        |ORDER BY event_id""".stripMargin,
+
+    "q07_flag_rollup_join" ->
+      """WITH r AS (SELECT user_id, CAST(ts AS DATE) AS d_date,
+        |  CAST(max(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS high_day
+        | FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS d_date, r.high_day
+        |FROM events e JOIN r ON e.user_id = r.user_id AND CAST(e.ts AS DATE) = r.d_date
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q08_pivot_hour" ->
+      """SELECT user_id,
+        | round(avg(CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN value END), 4) AS h00_05,
+        | round(avg(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN value END), 4) AS h06_11,
+        | round(avg(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN value END), 4) AS h12_17,
+        | round(avg(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN value END), 4) AS h18_23
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q09_nearby_selfjoin" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |  40.0 + (c_custkey % 1000) * 0.001 AS lat,
+        |  -74.0 + ((c_custkey * 7) % 1000) * 0.001 AS lon
+        | FROM customer)
+        |SELECT * FROM (
+        | SELECT a.id AS id_a, b.id AS id_b,
+        |  round(2 * 6371.0088 * asin(sqrt(
+        |   pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |   cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2)
+        |  )), 6) AS dist_km
+        | FROM p a JOIN p b ON a.id < b.id)
+        |WHERE dist_km < 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q10_time_features" ->
+      """SELECT event_id, hour(ts) AS hour_of_day, dayname(ts) AS day_name,
+        | CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS day_type,
+        | CAST(ts AS DATE) AS d_date,
+        | time_bucket(INTERVAL '15 minutes', ts) AS bucket15,
+        | date_trunc('hour', ts) AS hour_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q11_topn_per_group" ->
+      """SELECT n_name, c_custkey, c_acctbal, rn FROM (
+        | SELECT n_name, c_custkey, c_acctbal,
+        |  CAST(row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |WHERE rn <= 3 ORDER BY n_name, rn""".stripMargin,
+
+    "q12_distinct_worklist" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS d_date
+        |FROM events WHERE event_type = 'error' ORDER BY user_id, d_date""".stripMargin,
+
+    "q13_running_window" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q14_sessionize" ->
+      """WITH g AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT event_id, user_id,
+        | CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g ORDER BY event_id""".stripMargin,
+
+    "q15_asof_join" ->
+      """SELECT p.event_id, p.user_id, s.value AS signup_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+        | ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q16_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q17_quality_profile" ->
+      """WITH b AS (SELECT count(*) AS n,
+        |  count(event_id) AS nn1, count(DISTINCT event_id) AS nd1,
+        |  count(user_id) AS nn2, count(DISTINCT user_id) AS nd2,
+        |  count(event_type) AS nn3, count(DISTINCT event_type) AS nd3,
+        |  count(value) AS nn4, count(DISTINCT value) AS nd4
+        | FROM events)
+        |SELECT * FROM (
+        | SELECT 'event_id' AS column_name, n AS n_rows, n - nn1 AS n_null, nd1 AS n_distinct FROM b
+        | UNION ALL
+        | SELECT 'user_id', n, n - nn2, nd2 FROM b
+        | UNION ALL
+        | SELECT 'event_type', n, n - nn3, nd3 FROM b
+        | UNION ALL
+        | SELECT 'value', n, n - nn4, nd4 FROM b)
+        |ORDER BY column_name""".stripMargin,
+
+    "q18_revenue_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q19_histogram" ->
+      """SELECT CAST(floor(value / 20) AS BIGINT) AS bin, count(*) AS n,
+        | CAST(CAST(floor(value / 20) AS BIGINT) * 20 AS DOUBLE) AS bin_low
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q20_scd_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    "q22_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT doc_a, doc_b,
+        |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        | FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q25_dedup_embedding" ->
+      """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ae, b.embedding AS be
+        | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |ex AS (SELECT id_a, id_b, CAST(unnest(ae) AS DOUBLE) AS x, CAST(unnest(be) AS DOUBLE) AS y FROM p),
+        |s AS (SELECT id_a, id_b,
+        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 3) AS cos
+        | FROM ex GROUP BY 1, 2)
+        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q26_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  q.embedding AS qe, c.embedding AS ce
+        | FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |ex AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS x,
+        |  CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+        |s AS (SELECT query_id, neighbor_id,
+        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+        | FROM ex GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        | FROM s)
+        |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q28_langid" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(words, x -> x IN ('the', 'a', 'of'))) AS en,
+        |  len(list_filter(words, x -> x IN ('join', 'filter', 'window', 'sort'))) AS sq,
+        |  len(list_filter(words, x -> x IN ('data', 'row', 'batch', 'stream'))) AS da
+        | FROM w)
+        |SELECT doc_id,
+        | CASE WHEN en >= sq AND en >= da AND en > 0 THEN 'en'
+        |  WHEN sq >= da AND sq > 0 THEN 'sqlish'
+        |  WHEN da > 0 THEN 'dataish'
+        |  ELSE 'unknown' END AS predicted_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q29_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS words FROM documents),
+        |m AS (SELECT doc_id, len(words) AS nt,
+        |  CASE WHEN length(text) > 0
+        |   THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+        |   ELSE 0.0 END AS punct,
+        |  CASE WHEN len(words) > 0
+        |   THEN CAST(len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(words)
+        |   ELSE 0.0 END AS stopr
+        | FROM t)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        | round(punct, 4) AS punct_ratio, round(stopr, 4) AS stopword_ratio,
+        | round(least(1.0, nt / 100.0) * (1 - punct) * (1 - 0.5 * stopr), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q30_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_distinct_counts" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q34_windowed_events" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
 }

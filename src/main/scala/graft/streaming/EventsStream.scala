@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twin of the batch windowed aggregation (q34):
+  * the reference's collectors were cron jobs appending 3-minute samples
+  * (README.md "Cron Jobs"); the Spark-native shape is a streaming source →
+  * watermark → tumbling-window aggregate. Same logical aggregation as
+  * `TimeSeries.windowedAgg`, so batch and streaming results line up.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked tumbling-window aggregation over a streaming events frame. */
+  def windowedCounts(events: DataFrame, windowDuration: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Drive a parquet directory through the streaming engine into a memory
+    * sink (synchronously, for tests): returns the finished query's table name.
+    */
+  def runOnce(spark: SparkSession, parquetPath: String, queryName: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .parquet(parquetPath)
+    val q = windowedCounts(stream, "1 hour", "2 hours")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}
