@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("TimeSeries.sessionize splits on gaps > threshold") {
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:00"),
+      (2L, 1L, "2024-01-01 00:10:00"),  // same session (10 min gap)
+      (3L, 1L, "2024-01-01 01:00:00"),  // new session (50 min gap)
+      (4L, 2L, "2024-01-01 00:00:00"))  // other user starts at 1
+      .toDF("event_id", "user_id", "s")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"))
+    val got = TimeSeries.sessionize(df, $"user_id", $"ts", 1800000L)
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("TimeSeries.asofJoin picks most recent right row <= left ts") {
+    val left = Seq((10L, 1L, "2024-01-01 02:00:00"), (11L, 1L, "2024-01-01 00:30:00"),
+      (12L, 2L, "2024-01-01 00:10:00"))
+      .toDF("event_id", "user_id", "s")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"))
+    val right = Seq((1L, "2024-01-01 00:00:00", 100.0), (1L, "2024-01-01 01:00:00", 200.0),
+      (2L, "2024-01-01 00:20:00", 300.0))
+      .toDF("user_id", "s", "v")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"v")
+    val got = TimeSeries.asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .select($"event_id", $"v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(10L).contains(200.0)) // latest <= 02:00
+    assert(got(11L).contains(100.0)) // only 00:00 qualifies
+    assert(got(12L).isEmpty)         // right row is later than left ts
+  }
+
+  test("Relational.firstPerGroup keeps exactly one deterministic row") {
+    val df = Seq((1, "a", 3.0), (1, "b", 1.0), (2, "c", 5.0)).toDF("g", "v", "ord")
+    val got = Relational.firstPerGroup(df, Seq($"g"), Seq($"ord"))
+      .select($"g", $"v").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "b", 2 -> "c"))
+  }
+
+  test("Relational.repairUnion fixes only broken rows and keeps count") {
+    val facts = Seq((1L, "ok", 10.0), (2L, "bad", -1.0), (3L, "ok", 30.0))
+      .toDF("id", "status", "value").withColumn("k", lit(1))
+    val fix = Seq((1, 99.0)).toDF("k", "fixed_value")
+    val got = Relational.repairUnion(facts, $"status" === "bad", fix, Seq("k"),
+      "value", "fixed_value")
+    assert(got.count() == 3)
+    val bad = got.filter($"id" === 2).select($"value", $"src").head()
+    assert(bad.getDouble(0) == 99.0 && bad.getString(1) == "fixed")
+    val okSrc = got.filter($"id" === 1).select($"src").as[String].head()
+    assert(okSrc == "observed")
+  }
+
+  test("Dedup.exact groups identical content") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, $"doc_id", $"text")
+      .select($"keeper_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("Dedup.ngramJaccardPairs finds a known near-dup pair with correct jaccard") {
+    val df = Seq(
+      (1L, "a b c d e"),   // shingles: abc bcd cde
+      (2L, "a b c d x"),   // shingles: abc bcd cdx  → common 2, union 4 → 0.5
+      (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, $"doc_id", $"text", 3, 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0.5)))
+  }
+
+  test("Dedup.minhashLshPairs surfaces identical docs with est 1.0") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, $"doc_id", $"text", 3, 16, 4, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("Dedup.simhashPairs: identical docs at hamming 0") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, $"doc_id", $"text", 0)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("Similarity.bruteForceTopK ranks the nearest vector first") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .select($"neighbor_id", $"rnk").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 3L -> 2L))
+  }
+
+  test("Multimodal: decode stub emits metadata with stable schema") {
+    val docs = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
+    val got = Multimodal.decode(Multimodal.asMediaTable(docs, "doc_id", "text"))
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum"))
+    val rows = got.orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("media_type") == "image") // even id
+    assert(rows(1).getAs[String]("media_type") == "audio")
+    assert(rows.forall(_.getAs[Long]("n_bytes") == 5L))
+    // deterministic: re-running yields identical checksums
+    val again = Multimodal.decode(Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("checksum")).toSeq ==
+      again.map(_.getAs[Long]("checksum")).toSeq)
+  }
+
+  test("Readers.flattenStationsJson flattens the feed shape") {
+    val raw = Seq(
+      """{"executionTime": "2019-06-22 01:53:41 PM", "stationBeanList": [
+        |{"id": 72, "stationName": "W 52 St", "availableDocks": 20, "totalDocks": 39,
+        | "latitude": 40.76727216, "longitude": -73.99392888, "statusValue": "In Service",
+        | "availableBikes": 19, "lastCommunicationTime": "2019-06-22 01:53:41 PM"}]}""".stripMargin)
+      .toDF("status")
+    val got = graft.sources.Readers.flattenStationsJson(raw, "status")
+    val row = got.head()
+    assert(row.getAs[Long]("station_id") == 72L)
+    assert(row.getAs[Long]("available_bikes") == 19L)
+    assert(row.getAs[String]("station_status") == "In Service")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audits: the 100 TB posture is only real if the physical plans
+  * show pushdown, pruning and broadcasts (SURVEY §5).
+  */
+class PlanSpec extends GraftSuite {
+
+  private def explained(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan (PushedFilters/ReadSchema)") {
+    val li = graft.sources.Readers.table(spark, sf, "lineitem")
+    val plan = explained(
+      li.filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"missing pushdown:\n$plan")
+    assert(plan.contains("struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan not pruned to 2 columns:\n$plan")
+  }
+
+  test("q18 revenue join broadcasts the nation dim") {
+    val plan = explained(SparkEntry.queries("q18_revenue_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q02 aggregation does map-side partial aggregation before the shuffle") {
+    // (AQE renders the adaptive plan without WholeStageCodegen markers; the
+    // partial_* functions prove the map-side combine, which is what matters
+    // for shuffle volume at scale.)
+    val plan = explained(SparkEntry.queries("q02_group_agg")(spark, sf))
+    assert(plan.contains("partial_sum"), s"no partial agg:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+  }
+
+  test("q09 nearby self-join is cell-blocked, not a cartesian product") {
+    val plan = explained(SparkEntry.queries("q09_nearby_selfjoin")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product found:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join found:\n$plan")
+  }
+
+  test("q21 exact dedup shuffles on an 8-byte hash, not the document text") {
+    val plan = explained(SparkEntry.queries("q21_dedup_exact")(spark, sf))
+    assert(plan.contains("xxhash64"), s"no hash grouping:\n$plan")
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+class QueriesSpec extends GraftSuite {
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("SURVEY §2 coverage: all 34 inventory queries are declared") {
+    assert(SparkEntry.queries.size == 34, s"got ${SparkEntry.queries.size}")
+  }
+
+  test("every query runs at sf0.001 and has a stable schema") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, sf)
+        df.count() // execute the plan
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

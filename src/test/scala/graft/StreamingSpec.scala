@@ -1,0 +1,26 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends GraftSuite {
+
+  test("streaming windowed agg matches the batch q34 aggregation") {
+    // stage the events table as µs-timestamp parquet (streaming source can't
+    // read the raw ns files; production streams arrive as µs anyway)
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+    ev.write.mode("overwrite").parquet(staged)
+
+    val q = EventsStream.runOnce(spark, staged, "stream_out")
+    try {
+      val streamed = spark.table("stream_out")
+        .select(col("window_start"), col("event_type"), col("n_events"), col("total_value"))
+      val batch = SparkEntry.queries("q34_windowed_events")(spark, sf)
+      val a = streamed.orderBy("window_start", "event_type").collect().toSeq
+      val b = batch.orderBy("window_start", "event_type").collect().toSeq
+      assert(a.nonEmpty)
+      assert(a == b, s"stream/batch mismatch: ${a.take(3)} vs ${b.take(3)}")
+    } finally q.stop()
+  }
+}
