@@ -18,12 +18,20 @@ object TextFns {
 
   /** Distinct word n-gram shingles ("a b c" strings). Empty array when the
     * document is shorter than n tokens.
+    *
+    * Built as n shifted `slice`s zipped together rather than a
+    * `transform(sequence(...), i => slice(toks, i, n))` lambda: higher-order
+    * lambdas are interpreted (no codegen) and re-evaluate any inlined
+    * subexpression — including the tokenizing `split` — once per element,
+    * turning shingling O(tokens²). The zip form evaluates `split` n times
+    * per row and the lambda only concatenates scalars.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    val m = size(toks) - (n - 1) // shingle count when size >= n
+    val shifted = (0 until n).map(j => slice(toks, lit(j + 1), m))
+    val joined = shifted.reduce((acc, p) => zip_with(acc, p, (x, y) => concat(x, lit(" "), y)))
+    when(size(toks) >= n, array_distinct(joined))
       .otherwise(array().cast("array<string>"))
   }
 

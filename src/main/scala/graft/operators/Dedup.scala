@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.{HashFns, TextFns, VecFns}
+import graft.functions.{HashFns, TextFns}
+import graft.plans.NativeFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -26,12 +27,16 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         n: Int, minJaccard: Double): DataFrame = {
+    // join on the 8-byte shingle hash, not the string: ~10× smaller shuffle
+    // (collision odds at 2^64 are negligible next to the estimate's noise)
     val sh = docs
-      .select(id.as("doc_id"), explode(TextFns.shingles(text, n)).as("shingle"))
+      .select(id.as("doc_id"),
+        explode(TextFns.shingles(text, n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
@@ -54,7 +59,7 @@ object Dedup {
     val signed = docs
       .select(id.as("doc_id"), TextFns.shingles(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), HashFns.minhashSignature(col("sh"), numPerms).as("sig"))
+      .select(col("doc_id"), NativeFns.minhashSig(col("sh"), numPerms).as("sig"))
     val banded = signed
       .select(col("doc_id"), col("sig"),
         explode(HashFns.bandKeys(col("sig"), numPerms, rowsPerBand)).as("bk"))
@@ -76,7 +81,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHam: Int): DataFrame = {
     val signed = docs.select(id.as("doc_id"),
-      HashFns.simhash64(TextFns.tokens(text)).as("sim"))
+      NativeFns.simhash(TextFns.tokens(text)).as("sim"))
     val banded = signed.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), HashFns.simhashBand(col("sim"), b).as("key"))): _*))
@@ -99,7 +104,7 @@ object Dedup {
     t.as("a").join(t.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(VecFns.cosine(col("a.v"), col("b.v")), 3).as("cos"))
+        round(NativeFns.cosineSim(col("a.v"), col("b.v")), 3).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VecFns
+import graft.plans.NativeFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,7 +23,7 @@ object Similarity {
       .join(broadcast(queries.as("q")),
         col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
-        round(VecFns.cosine(col(s"q.$vecCol"), col(s"c.$vecCol")), 4).as("cos"))
+        round(NativeFns.cosineSim(col(s"q.$vecCol"), col(s"c.$vecCol")), 4).as("cos"))
     scored
       .withColumn("rnk", row_number().over(
           Window.partitionBy(col("query_id"))
@@ -56,7 +57,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     cand
       .select(col("query_id"), col("neighbor_id"),
-        round(VecFns.cosine(col("qv"), col("cv")), 4).as("cos"))
+        round(NativeFns.cosineSim(col("qv"), col("cv")), 4).as("cos"))
       .withColumn("rnk", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("cos").desc, col("neighbor_id")))

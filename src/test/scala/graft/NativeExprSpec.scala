@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{HashFns, TextFns, VecFns}
+import graft.plans.NativeFns
+import org.apache.spark.sql.functions._
+
+class NativeExprSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("native cosine is bit-identical to the composed formulation") {
+    val embs = graft.sources.Readers.table(spark, sf, "embeddings").limit(50)
+    val diff = embs.as("a").join(embs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select(
+        NativeFns.cosineSim($"a.embedding", $"b.embedding").as("native"),
+        VecFns.cosine($"a.embedding", $"b.embedding").as("composed"))
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("native simhash equals the composed simhash (same xxhash64 seed)") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents").limit(50)
+    val diff = docs.select(
+        NativeFns.simhash(TextFns.tokens($"text")).as("native"),
+        HashFns.simhash64(TextFns.tokens($"text")).as("composed"))
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("native minhash: identical inputs → identical signature, agreement 1") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("id", "text")
+    val sigs = df.select(NativeFns.minhashSig(TextFns.shingles($"text", 3), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 16)
+  }
+
+  test("extensions register graft_* SQL functions") {
+    val cos = spark.sql(
+      """SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val sim = spark.sql("SELECT graft_simhash(array('a','b')) AS s").as[Long].head()
+    val sim2 = spark.sql("SELECT graft_simhash(array('a','b')) AS s").as[Long].head()
+    assert(sim == sim2)
+    val sig = spark.sql("SELECT graft_minhash(array('a','b','c'), 8) AS s")
+      .as[Seq[Long]].head()
+    assert(sig.length == 8)
+  }
+}
