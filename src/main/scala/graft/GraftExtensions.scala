@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{CosineSimilarity, MinHashSignature, SimHash64}
+import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -31,5 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_key"),
+      new ExpressionInfo(classOf[LshBucketKey].getName, "graft_lsh_key"),
+      (args: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Long = e match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_key: $what must be an integer literal, got $other")
+        }
+        LshBucketKey(args.head, intLit(args(1), "numPlanes").toInt,
+          if (args.size > 2) intLit(args(2), "seed") else 42L)
+      }))
   }
 }

@@ -44,10 +44,8 @@ object Similarity {
       df.select(col(idCol), col(vecCol),
         explode(array((0 until numTables).map(t =>
           struct(lit(t).as("table"),
-            VecFns.lshKey(col(vecCol), numPlanes).as("key"))): _*)).as("bucket"))
-    // NOTE: planes are seeded per bit position (VecFns.hyperplaneBit);
-    // tables reuse the same planes here — sufficient for the testdata scale,
-    // production would salt the seed by table id.
+            NativeFns.lshKey(col(vecCol), numPlanes, seed = 42L + t).as("key"))): _*))
+          .as("bucket"))
     val c = bucketed(corpus).as("c")
     val q = bucketed(queries).as("q")
     val cand = q.join(c,

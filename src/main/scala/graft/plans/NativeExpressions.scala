@@ -197,6 +197,67 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Random-hyperplane LSH bucket key over an `array<float>` embedding:
+  * bit p of the result is the sign of the dot product with pseudo-random
+  * plane p (components hash-derived in [-0.5, 0.5), salted by `seed` so
+  * multiple tables probe independent planes). One codegen'd pass.
+  */
+case class LshBucketKey(child: Expression, numPlanes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_key expects array<float>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_lsh_key"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var key = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < v.numElements()) {
+        val h = XXH64.hashLong(i.toLong * 1315423911L + p, seed)
+        val comp = (java.lang.Math.floorMod(h, 1000000L).toDouble / 1000000.0) - 0.5
+        proj += v.getFloat(i).toDouble * comp
+        i += 1
+      }
+      if (proj >= 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val key = ctx.freshName("key")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val proj = ctx.freshName("proj")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |long $key = 0L;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    long h = $xxh.hashLong(((long) $i) * 1315423911L + $p, ${seed}L);
+         |    double comp = (((double) java.lang.Math.floorMod(h, 1000000L)) / 1000000.0) - 0.5;
+         |    $proj += ((double) $a.getFloat($i)) * comp;
+         |  }
+         |  if ($proj >= 0) $key |= (1L << $p);
+         |}
+         |${ev.value} = $key;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API front door for the native expressions. */
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -206,4 +267,6 @@ object NativeFns {
     ColumnBridge.column(MinHashSignature(ex(shingles), numPerms))
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ex(tokens)))
+  def lshKey(vec: Column, numPlanes: Int, seed: Long): Column =
+    ColumnBridge.column(LshBucketKey(ex(vec), numPlanes, seed))
 }

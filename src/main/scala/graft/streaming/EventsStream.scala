@@ -2,8 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
+
+/** Per-user session tracking state carried across micro-batches. */
+case class SessionState(lastMs: Long, sessionId: Long)
 
 /** Structured Streaming twin of the batch windowed aggregation (q34):
   * the reference's collectors were cron jobs appending 3-minute samples
@@ -30,6 +33,34 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Stateful streaming sessionization: the custom-state twin of
+    * `TimeSeries.sessionize` (gap > gapMs ⇒ new session), via
+    * `flatMapGroupsWithState` — per-key state survives across micro-batches,
+    * which is how the reference's 3-minute cron feed would sessionize live.
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._1))
+        var (lastMs, sid) =
+          state.getOption.map(s => (s.lastMs, s.sessionId)).getOrElse((Long.MinValue, 0L))
+        val out = sorted.map { case (eid, uid, ts) =>
+          val ms = ts.getTime
+          if (lastMs == Long.MinValue || ms - lastMs > gapMs) sid += 1
+          lastMs = ms
+          (eid, uid, sid)
+        }
+        state.update(SessionState(lastMs, sid))
+        out.iterator
+      }
+      .toDF("event_id", "user_id", "session_id")
+  }
 
   /** Drive a parquet directory through the streaming engine into a memory
     * sink (synchronously, for tests): returns the finished query's table name.

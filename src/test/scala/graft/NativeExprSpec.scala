@@ -36,6 +36,22 @@ class NativeExprSpec extends GraftSuite {
     assert(sigs(0).length == 16)
   }
 
+  test("native lsh key: deterministic, bounded by numPlanes, similar vectors collide") {
+    val embs = graft.sources.Readers.table(spark, sf, "embeddings").limit(20)
+    val keys = embs.select(NativeFns.lshKey($"embedding", 8, 42L).as("k"))
+      .as[Long].collect()
+    val keys2 = embs.select(NativeFns.lshKey($"embedding", 8, 42L).as("k"))
+      .as[Long].collect()
+    assert(keys.toSeq == keys2.toSeq)
+    assert(keys.forall(k => k >= 0 && k < 256))
+    // identical vector → identical key (trivial collision property)
+    val self = embs.as("a").join(embs.as("b"), $"a.vec_id" === $"b.vec_id")
+      .select(NativeFns.lshKey($"a.embedding", 8, 42L) ===
+        NativeFns.lshKey($"b.embedding", 8, 42L))
+      .as[Boolean].collect()
+    assert(self.forall(identity))
+  }
+
   test("extensions register graft_* SQL functions") {
     val cos = spark.sql(
       """SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),

@@ -23,4 +23,27 @@ class StreamingSpec extends GraftSuite {
       assert(a == b, s"stream/batch mismatch: ${a.take(3)} vs ${b.take(3)}")
     } finally q.stop()
   }
+
+  test("stateful streaming sessionization matches batch sessionize") {
+    import org.apache.spark.sql.functions.col
+    val staged = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+    ev.write.mode("overwrite").parquet(staged)
+
+    val stream = spark.readStream.schema(EventsStream.eventSchema).parquet(staged)
+    val q = EventsStream.sessionizeStream(stream, 1800000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .orderBy("event_id").collect().toSeq
+      val batch = graft.operators.TimeSeries
+        .sessionize(ev.select(col("event_id"), col("user_id"), col("ts")),
+          col("user_id"), col("ts"), 1800000L)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
