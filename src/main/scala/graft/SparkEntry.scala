@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions._
+import graft.functions.{NumFns, TimeFns, TextFns, GeoFns}
 import graft.operators._
 import graft.sources.Readers
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -337,6 +337,19 @@ object SparkEntry {
           Seq(col("event_type")),
           Seq(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value")))
         .orderBy("window_start", "event_type")
+    }),
+
+    "q35_eda_timeofday" -> ((s, dir) => {
+      // the reference's core EDA lineplot: mean availability by time-of-day,
+      // split weekday/weekend (README.md:1040-1100). Engine-independent
+      // rounding (NumFns.roundHalfUp) because averages of .01-grained values
+      // sit exactly on decimal round boundaries.
+      T(s, dir, "events")
+        .groupBy(TimeFns.hourOfDay(col("ts")).as("hour_of_day"),
+          TimeFns.dayType(col("ts")).as("day_type"))
+        .agg(NumFns.roundHalfUp(avg(col("value")), 4).as("avg_value"),
+          count(lit(1)).as("n"))
+        .orderBy("hour_of_day", "day_type")
     })
   )
 
@@ -613,6 +626,13 @@ object SparkEntry {
     "q34_windowed_events" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q35_eda_timeofday" ->
+      """SELECT hour(ts) AS hour_of_day,
+        | CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS day_type,
+        | floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour_of_day, day_type""".stripMargin
   )
 }

@@ -98,6 +98,41 @@ object Relational {
   def latestPerKey(df: DataFrame, key: Seq[Column], version: Seq[Column]): DataFrame =
     firstPerGroup(df, key, version.map(_.desc))
 
+  /** Skew-mitigating equi-join: the fact side's hot keys are split across
+    * `salts` sub-keys (deterministic hash of `saltSource`), and the dim side
+    * is replicated once per salt — so a key with 10⁹ fact rows lands on
+    * `salts` reducers instead of one. Result rows are identical to the plain
+    * join. (AQE's skew handling covers sort-merge joins; explicit salting is
+    * the portable fallback and the classic 100 TB recipe.)
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+                 saltSource: Column, salts: Int): DataFrame = {
+    val saltedFacts = facts.withColumn("_salt", pmod(xxhash64(saltSource), lit(salts)))
+    val saltedDim = dim
+      .withColumn("_salt", explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    saltedFacts.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Scale fallback for [[interestingKeys]] when the per-key aggregate is too
+    * large for a single-partition ntile window (≳10⁷ keys): selection via
+    * distributed `approx_percentile` thresholds (one tiny broadcast) instead
+    * of exact global percentile ranks, then the same rank-1-per-group pick.
+    */
+  def interestingKeysApprox(perKeyAggs: DataFrame,
+                            q1: Double, q2: Double, q3: Double): DataFrame = {
+    val th = perKeyAggs.agg(
+      expr(s"approx_percentile(m1, $q1)").as("t1"),
+      expr(s"approx_percentile(m2, $q2)").as("t2"),
+      expr(s"approx_percentile(m3, $q3)").as("t3"))
+    perKeyAggs.crossJoin(broadcast(th))
+      .filter(col("m1") > col("t1") && col("m2") > col("t2") && col("m3") > col("t3"))
+      .withColumn("rnk",
+        rank().over(Window.partitionBy(col("grp"))
+          .orderBy(col("m1").desc, col("key"))).cast("long"))
+      .filter(col("rnk") === 1)
+      .drop("t1", "t2", "t3")
+  }
+
   /** Null-rate / distinct profile per column (reference df.info() checks).
     * One pass over the data: all per-column aggregates in a single projection,
     * then unpivoted via stack — never one job per column.

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Sink surfaces. At 100 TB the write layout IS the read plan of every
   * downstream query: hive-style partition columns give partition pruning;
@@ -33,4 +34,13 @@ object Writers {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Per-key JSON documents (the reference's nearby_stations.json shape:
+    * `{key: [{...}, ...]}` — notebooks/CitiBike-1.ipynb closest_stations).
+    * `sort_array` makes the list order deterministic; the aggregation is
+    * distributed, only the final JSON strings are row values.
+    */
+  def groupedJson(df: DataFrame, key: Column, entry: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(to_json(sort_array(collect_list(entry))).as("entries_json"))
 }

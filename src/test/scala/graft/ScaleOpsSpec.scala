@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Relational
+import graft.sources.{Readers, Writers}
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("saltedJoin produces exactly the plain join's rows") {
+    val ev = Readers.table(spark, sf, "events").select("event_id", "user_id", "value")
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_n"))
+    val plain = ev.join(dim, "user_id")
+    val salted = Relational.saltedJoin(ev, dim, "user_id", $"event_id", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain.select(salted.columns.map(col).toIndexedSeq: _*)).count() == 0)
+  }
+
+  test("interestingKeysApprox selects rows above all thresholds, one per group") {
+    val perKey = Readers.table(spark, sf, "orders")
+      .join(Readers.table(spark, sf, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Readers.table(spark, sf, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey".as("key"), $"n_name".as("grp"))
+      .agg(max($"o_totalprice").as("m1"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).cast("long").as("m2"),
+        sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).cast("long").as("m3"))
+    val got = Relational.interestingKeysApprox(perKey, 0.4, 0.5, 0.5)
+    assert(got.count() > 0)
+    // at most one winner per group
+    val dupGroups = got.groupBy("grp").count().filter($"count" > 1).count()
+    assert(dupGroups == 0)
+    assert(got.filter($"rnk" =!= 1).count() == 0)
+  }
+
+  test("groupedJson emits the nearby_stations.json shape") {
+    val pairs = Seq((72L, 480L, 0.28), (72L, 508L, 0.48), (79L, 146L, 0.37))
+      .toDF("id_a", "id_b", "dist_km")
+    val got = Writers.groupedJson(pairs, $"id_a",
+      struct($"id_b".as("station_id"), $"dist_km".as("distance")))
+    val m = got.as[(Long, String)].collect().toMap
+    assert(m(72L) == """[{"station_id":480,"distance":0.28},{"station_id":508,"distance":0.48}]""")
+    assert(m(79L) == """[{"station_id":146,"distance":0.37}]""")
+  }
+
+  test("NumFns.roundHalfUp rounds half up on the binary value") {
+    val df = Seq(1.00005, 1.00004, 2.5, 0.0).toDF("x")
+    val got = df.select(graft.functions.NumFns.roundHalfUp($"x", 4)).as[Double].collect()
+    // 1.00005 as double is 1.0000500000000000389 (above the decimal midpoint)
+    // → *1e4 + 0.5 = 10001.000... → floor 10001. The point is that ANY engine
+    // computing on the same double bits lands on the same side.
+    assert(got(0) == 1.0001)
+    assert(got(1) == 1.0)
+    assert(got(2) == 2.5)
+    assert(got(3) == 0.0)
+  }
+}
