@@ -62,6 +62,17 @@ object EventsStream {
       .toDF("event_id", "user_id", "session_id")
   }
 
+  /** Streaming exact dedup (the streaming twin of Dedup.exact): keep the
+    * first occurrence of each content hash, with state bounded by the
+    * watermark — the shape of a live training-data ingest that must not
+    * re-admit documents seen within the retention window.
+    */
+  def dedupStream(docsWithTs: DataFrame, contentCol: String, watermark: String): DataFrame =
+    docsWithTs
+      .withColumn("content_hash", xxhash64(col(contentCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Drive a parquet directory through the streaming engine into a memory
     * sink (synchronously, for tests): returns the finished query's table name.
     */

@@ -42,6 +42,16 @@ class ScaleOpsSpec extends GraftSuite {
     assert(m(79L) == """[{"station_id":146,"distance":0.37}]""")
   }
 
+  test("approx_count_distinct (HLL) lands within 5% of exact at testdata scale") {
+    val ev = Readers.table(spark, sf, "events")
+    val row = ev.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id").as("approx")).head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("NumFns.roundHalfUp rounds half up on the binary value") {
     val df = Seq(1.00005, 1.00004, 2.5, 0.0).toDF("x")
     val got = df.select(graft.functions.NumFns.roundHalfUp($"x", 4)).as[Double].collect()

@@ -46,4 +46,27 @@ class StreamingSpec extends GraftSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming dedup keeps one row per content within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    // events with duplicated props payloads serve as the "document" stream
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("props"))
+    ev.write.mode("overwrite").parquet(staged)
+
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, props STRING")
+      .parquet(staged)
+    val q = EventsStream.dedupStream(stream, "props", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").count()
+      val distinctProps = ev.select("props").distinct().count()
+      // single micro-batch ⇒ exactly one row per distinct content
+      assert(kept == distinctProps, s"kept $kept, distinct $distinctProps")
+    } finally q.stop()
+  }
 }
