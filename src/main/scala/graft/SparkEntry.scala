@@ -350,6 +350,20 @@ object SparkEntry {
         .agg(NumFns.roundHalfUp(avg(col("value")), 4).as("avg_value"),
           count(lit(1)).as("n"))
         .orderBy("hour_of_day", "day_type")
+    }),
+
+    "q36_asof_native" -> ((s, dir) => {
+      // same as-of semantics as q15, executed by the native
+      // AsOfJoinExec (custom LogicalPlan + Strategy + SparkPlan): one
+      // sort-merge pass per co-partitioned key, no union/window detour
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      graft.plans.AsOf.join(purchases, signups, "user_id", "ts", Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), col("signup_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -633,6 +647,13 @@ object SparkEntry {
         | CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS day_type,
         | floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
         | count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY hour_of_day, day_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour_of_day, day_type""".stripMargin,
+
+    "q36_asof_native" ->
+      """SELECT p.event_id, p.user_id, s.value AS signup_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+        | ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+
+class AsOfNativeSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("native as-of join semantics on crafted rows") {
+    val left = Seq((10L, 1L, "2024-01-01 02:00:00"), (11L, 1L, "2024-01-01 00:30:00"),
+      (12L, 2L, "2024-01-01 00:10:00"), (13L, 3L, "2024-01-01 09:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"))
+    val right = Seq((1L, "2024-01-01 00:00:00", 100.0), (1L, "2024-01-01 01:00:00", 200.0),
+      (2L, "2024-01-01 00:20:00", 300.0))
+      .toDF("user_id", "s", "v")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"v")
+    val got = AsOf.join(left, right, "user_id", "ts", Seq("v"))
+      .select($"event_id", $"v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(10L).contains(200.0)) // latest <= 02:00
+    assert(got(11L).contains(100.0)) // only 00:00 qualifies
+    assert(got(12L).isEmpty)         // right row later than left ts
+    assert(got(13L).isEmpty)         // key has no right rows at all
+  }
+
+  test("native as-of join equals the union+window formulation on testdata") {
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"value".as("signup_value"))
+    val native = AsOf.join(purchases, signups, "user_id", "ts", Seq("signup_value"))
+      .select($"event_id", $"user_id", $"signup_value")
+      .orderBy("event_id").collect().toSeq
+    val composed = graft.operators.TimeSeries
+      .asofJoin(purchases, signups, "user_id", "ts", Seq("signup_value"))
+      .select($"event_id", $"user_id", $"signup_value")
+      .orderBy("event_id").collect().toSeq
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("native as-of join plans as AsOfJoinExec with shuffle+sort, no nested loop") {
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+    val l = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"value".as("signup_value"))
+    val plan = AsOf.join(l, r, "user_id", "ts", Seq("signup_value"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"no AsOfJoin node:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+    assert(plan.contains("Exchange hashpartitioning(user_id"), s"no co-partitioning:\n$plan")
+  }
+}
