@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{HashFns, TextFns}
+import graft.operators.{Dedup, TimeSeries}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants over generated corpora — the behaviors that
+  * must hold for ANY input, not just the fixtures. (Generators driven
+  * directly with fixed seeds: the scalatest-scalacheck bridge isn't in the
+  * offline dependency set.)
+  */
+class PropertySpec extends GraftSuite {
+  import spark.implicits._
+
+  private val word = Gen.oneOf("join", "scan", "sort", "data", "row", "the", "a", "key")
+  private val doc = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+  private val docs = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, doc))
+
+  private def forAll[T](g: Gen[T], runs: Int = 5)(f: T => Unit): Unit =
+    (0 until runs).foreach { i =>
+      f(g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  test("jaccard is symmetric-by-construction, bounded, and 1.0 for identical docs") {
+    forAll(docs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(df, $"doc_id", $"text", 3, 0.0)
+        .as[(Long, Long, Double)].collect()
+      assert(pairs.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 })
+      // identical texts must appear with jaccard exactly 1.0
+      val dupIdx = texts.zipWithIndex.groupBy(_._1).values.filter(_.size > 1)
+      for (grp <- dupIdx; Seq(i, j) <- grp.map(_._2.toLong).sorted.sliding(2)
+           if texts(i.toInt).trim.split(" ").length >= 3) {
+        assert(pairs.exists { case (a, b, v) => a == i && b == j && v == 1.0 },
+          s"identical docs $i,$j not at 1.0 in ${pairs.toSeq}")
+      }
+    }
+  }
+
+  test("simhash hamming: 0 iff same signature; bounded by 64") {
+    forAll(docs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = Dedup.simhashPairs(df, $"doc_id", $"text", 64)
+        .as[(Long, Long, Long)].collect()
+      assert(pairs.forall { case (_, _, h) => h >= 0 && h <= 64 })
+      for ((t, i) <- texts.zipWithIndex; (u, j) <- texts.zipWithIndex if i < j && t == u) {
+        // identical token sequences must collide at hamming 0 (if banded together)
+        val found = pairs.find { case (a, b, _) => a == i && b == j }
+        assert(found.forall(_._3 == 0L), s"identical docs at hamming ${found}")
+      }
+    }
+  }
+
+  test("sessionize: session ids are contiguous from 1 and non-decreasing in time") {
+    val tsGen = Gen.listOfN(10, Gen.chooseNum(0L, 8L * 3600 * 1000))
+    forAll(tsGen) { offsets: List[Long] =>
+      val rows = offsets.zipWithIndex.map { case (off, i) =>
+        (i.toLong, 1L, new java.sql.Timestamp(1704067200000L + off))
+      }
+      val df = rows.toDF("event_id", "user_id", "ts")
+      val got = TimeSeries.sessionize(df, $"user_id", $"ts", 1800000L)
+        .orderBy("ts", "event_id")
+        .select($"session_id").as[Long].collect()
+      assert(got.head == 1L)
+      assert(got.sliding(2).forall(p => p.length < 2 || p(1) - p(0) == 0 || p(1) - p(0) == 1))
+    }
+  }
+
+  test("minhash signature agreement estimates true jaccard within tolerance for identical/disjoint") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val sig = df.select($"doc_id",
+      graft.plans.NativeFns.minhashSig(TextFns.shingles($"text", 3), 64).as("sig"))
+    val agree = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        HashFns.signatureAgreement($"a.sig", $"b.sig").as("est"))
+      .as[(Long, Long, Double)].collect().map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(agree((1L, 2L)) == 1.0)           // identical sets
+    assert(agree((1L, 3L)) < 0.3)            // disjoint sets ≈ 0
+    assert(agree((2L, 3L)) < 0.3)
+  }
+}
