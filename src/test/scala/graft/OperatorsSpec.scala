@@ -116,6 +116,21 @@ class OperatorsSpec extends GraftSuite {
       again.map(_.getAs[Long]("checksum")).toSeq)
   }
 
+  test("Readers.csvWithSchema keeps leading-zero zips and parses timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-in")
+    val f = dir.resolve("availability.csv")
+    java.nio.file.Files.writeString(f,
+      """station_id,station_name,station_status,latitude,longitude,zip,borough,hood,available_bikes,available_docks,time_interval,created_at,weather_summary,precip_intensity,temperature,humidity,wind_speed,wind_gust,cloud_cover,weather_status,updated_at
+        |3195,Sip Ave,In Service,40.730897,-74.063913,07306,New Jersey,Journal Square,1,33,2019-05-12 22:45:00,2019-05-13 02:45:04,Overcast,0.0,44.86,0.91,6.85,9.65,1.0,predicted,2019-05-13 02:45:04
+        |""".stripMargin)
+    val got = graft.sources.Readers.csvWithSchema(spark, f.toString,
+      graft.sources.Readers.availabilitySchema)
+    val row = got.head()
+    assert(row.getAs[String]("zip") == "07306") // leading zero survives
+    assert(row.getAs[java.sql.Timestamp]("time_interval").toString == "2019-05-12 22:45:00.0")
+    assert(row.getAs[Long]("available_bikes") == 1L)
+  }
+
   test("Readers.flattenStationsJson flattens the feed shape") {
     val raw = Seq(
       """{"executionTime": "2019-06-22 01:53:41 PM", "stationBeanList": [
