@@ -38,9 +38,9 @@ object SparkEntry {
       val li = T(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          NumFns.roundHalfUp(sum(col("l_quantity")), 2).as("sum_qty"),
+          NumFns.roundHalfUp(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          NumFns.roundHalfUp(avg(col("l_quantity")), 4).as("avg_qty"),
           sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).cast("long").as("n_disc"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -54,10 +54,10 @@ object SparkEntry {
         .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_rev"),
-          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2)
+          NumFns.roundHalfUp(sum(col("o_totalprice")), 2).as("total_rev"),
+          NumFns.roundHalfUp(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2)
             .as("open_rev"))
-      agg.withColumn("pct_open", round(col("open_rev") / col("total_rev"), 6))
+      agg.withColumn("pct_open", NumFns.roundHalfUp(col("open_rev") / col("total_rev"), 6))
         .orderBy("r_name", "n_name")
     }),
 
@@ -114,7 +114,7 @@ object SparkEntry {
       // pivot_table station × hour_of_day mean (notebooks/citibike_ck.ipynb)
       val ev = T(s, dir, "events")
       def bucketAvg(lo: Int, hi: Int): org.apache.spark.sql.Column =
-        round(avg(when(hour(col("ts")).between(lo, hi), col("value"))), 4)
+        NumFns.roundHalfUp(avg(when(hour(col("ts")).between(lo, hi), col("value"))), 4)
       ev.groupBy(col("user_id"))
         .agg(bucketAvg(0, 5).as("h00_05"), bucketAvg(6, 11).as("h06_11"),
           bucketAvg(12, 17).as("h12_17"), bucketAvg(18, 23).as("h18_23"))
@@ -222,7 +222,7 @@ object SparkEntry {
         .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(NumFns.roundHalfUp(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -335,7 +335,7 @@ object SparkEntry {
     "q34_windowed_events" -> ((s, dir) => {
       TimeSeries.windowedAgg(T(s, dir, "events"), col("ts"), "1 hour",
           Seq(col("event_type")),
-          Seq(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value")))
+          Seq(count(lit(1)).as("n_events"), NumFns.roundHalfUp(sum(col("value")), 2).as("total_value")))
         .orderBy("window_start", "event_type")
     }),
 
@@ -375,20 +375,20 @@ object SparkEntry {
 
     "q02_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        | round(avg(l_quantity), 4) AS avg_qty,
+        | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+        | floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
         | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q03_enrich_join" ->
       """SELECT r_name, n_name, n_orders, total_rev, open_rev,
-        | round(open_rev / total_rev, 6) AS pct_open
+        | floor(open_rev / total_rev * 1000000.0 + 0.5) / 1000000.0 AS pct_open
         |FROM (
         | SELECT r_name, n_name, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_rev,
-        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS open_rev
+        |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_rev,
+        |  floor(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END) * 100.0 + 0.5) / 100.0 AS open_rev
         | FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -448,10 +448,10 @@ object SparkEntry {
 
     "q08_pivot_hour" ->
       """SELECT user_id,
-        | round(avg(CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN value END), 4) AS h00_05,
-        | round(avg(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN value END), 4) AS h06_11,
-        | round(avg(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN value END), 4) AS h12_17,
-        | round(avg(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN value END), 4) AS h18_23
+        | floor(avg(CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h00_05,
+        | floor(avg(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h06_11,
+        | floor(avg(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h12_17,
+        | floor(avg(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h18_23
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q09_nearby_selfjoin" ->
@@ -536,7 +536,7 @@ object SparkEntry {
 
     "q18_revenue_join" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -639,7 +639,7 @@ object SparkEntry {
 
     "q34_windowed_events" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        | count(*) AS n_events, floor(sum(value) * 100.0 + 0.5) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q35_eda_timeofday" ->

@@ -65,4 +65,25 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Same decode with explicit intra-partition micro-batches — the batch
+    * shape a Pandas-UDF/`mapInPandas` (or Arrow-batched JNI codec) pipeline
+    * has: the codec is handed `batchSize` payloads at once and returns a
+    * batch of results, amortizing per-call overhead. Output is identical to
+    * [[decode]].
+    */
+  def decodeBatched(media: DataFrame, batchSize: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    media.select("doc_id", "media_type", "payload", "n_bytes")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real pipeline passes the whole batch to the codec in one call
+          val decoded = batch.map(r => decodeStub(r.getAs[Array[Byte]]("payload")))
+          batch.iterator.zip(decoded.iterator).map { case (r, (w, h, cs)) =>
+            Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+              r.getAs[Long]("n_bytes"), w, h, cs)
+          }
+        }
+      }(enc)
+  }
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.VecFns
 import graft.plans.NativeFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window

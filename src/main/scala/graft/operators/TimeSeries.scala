@@ -55,9 +55,11 @@ object TimeSeries {
                     movingRows: Int): DataFrame = {
     val byKey = Window.partitionBy(key).orderBy(order: _*)
     df.withColumn("running_sum",
-        round(sum(value).over(byKey.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        graft.functions.NumFns.roundHalfUp(
+          sum(value).over(byKey.rowsBetween(Window.unboundedPreceding, 0)), 2))
       .withColumn("moving_avg",
-        round(avg(value).over(byKey.rowsBetween(-(movingRows - 1), 0)), 4))
+        graft.functions.NumFns.roundHalfUp(
+          avg(value).over(byKey.rowsBetween(-(movingRows - 1), 0)), 4))
   }
 
   /** Tumbling-window aggregation (batch twin of the Structured Streaming

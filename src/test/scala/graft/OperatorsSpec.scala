@@ -114,6 +114,11 @@ class OperatorsSpec extends GraftSuite {
       .orderBy("doc_id").collect()
     assert(rows.map(_.getAs[Long]("checksum")).toSeq ==
       again.map(_.getAs[Long]("checksum")).toSeq)
+    // batched variant (mapInPandas-shaped) emits identical rows
+    val batched = Multimodal.decodeBatched(
+      Multimodal.asMediaTable(docs, "doc_id", "text"), 1)
+      .orderBy("doc_id").collect()
+    assert(batched.toSeq == again.toSeq)
   }
 
   test("Readers.csvWithSchema keeps leading-zero zips and parses timestamps") {
