@@ -364,6 +364,29 @@ object SparkEntry {
       graft.plans.AsOf.join(purchases, signups, "user_id", "ts", Seq("signup_value"))
         .select(col("event_id"), col("user_id"), col("signup_value"))
         .orderBy("event_id")
+    }),
+
+    "q37_vocab_topk" -> ((s, dir) => {
+      // corpus vocabulary: top-k tokens by frequency (tokenizer-training
+      // precursor). sort+limit plans as TakeOrderedAndProject — per-partition
+      // top-k then a k-row merge, never a full global sort.
+      T(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"))
+        .limit(100)
+    }),
+
+    "q38_length_stats" -> ((s, dir) => {
+      // per-language document length profile (min/median/max) — corpus QA
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          expr("percentile(n_chars, 0.5)").as("median_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -654,6 +677,16 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
         | ON p.user_id = s.user_id AND s.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q37_vocab_topk" ->
+      """SELECT tok, count(*) AS c FROM (
+        | SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+        |GROUP BY 1 ORDER BY c DESC, tok LIMIT 100""".stripMargin,
+
+    "q38_length_stats" ->
+      """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+        | max(n_chars) AS max_chars, quantile_cont(n_chars, 0.5) AS median_chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }
