@@ -129,6 +129,11 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
            carry: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // self-register on sessions built without GraftExtensions
+    val exp = left.sparkSession.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    }
     // Re-alias every right column: left and right often derive from the same
     // base relation and then share expression IDs; the analyzer would
     // deduplicate the right subtree underneath us, orphaning this node's

@@ -73,6 +73,24 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join: enrich each event with the reference rows
+    * (e.g. hourly weather) whose timestamp falls within `tolerance` before
+    * the event — both sides unbounded streams, state bounded by watermarks.
+    * The range predicate is what lets Spark expire join state.
+    */
+  def enrichStreamStream(events: DataFrame, reference: DataFrame,
+                         key: String, tolerance: String): DataFrame = {
+    val ev = events.withWatermark("ts", "2 hours")
+    val ref = reference
+      .withColumnRenamed(key, s"${key}_ref")
+      .withColumnRenamed("ts", "ref_ts")
+      .withWatermark("ref_ts", "2 hours")
+    ev.join(ref,
+      col(key) === col(s"${key}_ref") &&
+        col("ref_ts") <= col("ts") &&
+        col("ref_ts") >= col("ts") - expr(s"INTERVAL $tolerance"))
+  }
+
   /** Drive a parquet directory through the streaming engine into a memory
     * sink (synchronously, for tests): returns the finished query's table name.
     */

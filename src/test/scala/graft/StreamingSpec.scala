@@ -47,6 +47,41 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the equivalent batch join") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+    ev.write.mode("overwrite").parquet(staged)
+
+    def evStream = spark.readStream.schema(EventsStream.eventSchema).parquet(staged)
+    val events = evStream.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val reference = evStream.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+
+    val q = EventsStream.enrichStreamStream(events, reference, "user_id", "1 HOUR")
+      .select(col("event_id"), col("user_id"), col("ref_ts"), col("ref_value"))
+      .writeStream.outputMode("append").format("memory").queryName("ss_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_out").orderBy("event_id", "ref_ts").collect().toSeq
+
+      val bEv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val bRef = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("user_id_ref"), col("ts").as("ref_ts"),
+          col("value").as("ref_value"))
+      val batch = bEv.join(bRef,
+          col("user_id") === col("user_id_ref") &&
+            col("ref_ts") <= col("ts") &&
+            col("ref_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("user_id"), col("ref_ts"), col("ref_value"))
+        .orderBy("event_id", "ref_ts").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per content within the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
