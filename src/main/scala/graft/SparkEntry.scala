@@ -387,6 +387,33 @@ object SparkEntry {
           max(col("n_chars")).as("max_chars"),
           expr("percentile(n_chars, 0.5)").as("median_chars"))
         .orderBy("lang")
+    }),
+
+    "q39_dedup_clusters" -> ((s, dir) => {
+      // collapse the near-dup pair graph (3-gram jaccard >= 0.5) into
+      // components: every doc labeled with the min reachable doc_id
+      val pairs = Dedup.ngramJaccardPairs(
+        T(s, dir, "documents"), col("doc_id"), col("text"), 3, 0.5)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("node")
+    }),
+
+    "q40_quality_gopher" -> ((s, dir) => {
+      // Gopher-style quality rules: mean word length, token repetition,
+      // digit ratio, pass/fail flag. All ratios via roundHalfUp so the
+      // oracle reproduces the arithmetic bit-for-bit.
+      val toks = TextFns.tokens(col("text"))
+      val n = size(toks).cast("double")
+      val meanLen = (length(trim(col("text"))).cast("double") - (n - 1)) / n
+      val repetition = (n - size(array_distinct(toks)).cast("double")) / n
+      val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        length(col("text")).cast("double")
+      T(s, dir, "documents").select(col("doc_id"),
+          NumFns.roundHalfUp(meanLen, 4).as("mean_word_len"),
+          NumFns.roundHalfUp(repetition, 4).as("repetition_ratio"),
+          NumFns.roundHalfUp(digitRatio, 4).as("digit_ratio"),
+          (meanLen.between(3.0, 10.0) && repetition < 0.6).as("passes_gopher"))
+        .orderBy("doc_id")
     })
   )
 
@@ -687,6 +714,43 @@ object SparkEntry {
     "q38_length_stats" ->
       """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
         | max(n_chars) AS max_chars, quantile_cont(n_chars, 0.5) AS median_chars
-        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q39_dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        |  FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, label) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node, min(label) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "q40_quality_gopher" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS words FROM documents),
+        |m AS (SELECT doc_id,
+        |  (CAST(length(trim(text)) AS DOUBLE) - (len(words) - 1)) / len(words) AS mean_len,
+        |  (CAST(len(words) AS DOUBLE) - len(list_distinct(words))) / len(words) AS rep,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS dig
+        | FROM t)
+        |SELECT doc_id,
+        | floor(mean_len * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+        | floor(rep * 10000.0 + 0.5) / 10000.0 AS repetition_ratio,
+        | floor(dig * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
+        | (mean_len BETWEEN 3.0 AND 10.0) AND rep < 0.6 AS passes_gopher
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -95,6 +95,44 @@ object Dedup {
       .filter(col("hamming") <= maxHam)
   }
 
+  /** Collapse a near-dup pair graph into components: every node gets the
+    * minimum doc id reachable from it (well-defined and engine-independent).
+    * Iterative min-label propagation — each round is one join + one
+    * aggregation, rounds bounded by the component diameter (near-dup
+    * clusters are shallow; Large-Star/Small-Star would cut rounds to
+    * O(log d) at extreme scale). The driver-side loop iterates over ROUNDS,
+    * never over rows.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst").as("node2"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(neighborMin, labels("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      next.persist()
+      val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label id — at scale an LSH bucket, see Similarity.lshTopK).
     */

@@ -90,6 +90,16 @@ class OperatorsSpec extends GraftSuite {
     assert(got.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("Dedup.connectedComponents labels chains and keeps singleton edges apart") {
+    // components: {1,2,3,9} via 1-2, 2-3, 3-9 chain; {5,6}; node 7-8 pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("Similarity.bruteForceTopK ranks the nearest vector first") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
