@@ -414,6 +414,50 @@ object SparkEntry {
           NumFns.roundHalfUp(digitRatio, 4).as("digit_ratio"),
           (meanLen.between(3.0, 10.0) && repetition < 0.6).as("passes_gopher"))
         .orderBy("doc_id")
+    }),
+
+    "q41_chunk_documents" -> ((s, dir) => {
+      // context chunking: 20-token windows, stride 10 (the sequence-prep
+      // step before tokenization); one row per chunk
+      val chunk = 20
+      val stride = 10
+      val toks = TextFns.tokens(col("text"))
+      val nChunks = ceil(size(toks).cast("double") / stride).cast("long")
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0L), nChunks - 1),
+            i => struct(i.as("chunk_idx"),
+              concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(chunk)))
+                .as("chunk_text")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q42_pii_redact" -> ((s, dir) => {
+      // PII scrubbing: mask digit runs, emails, URLs (patterns chosen to be
+      // dialect-identical between Java regex and RE2)
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          "https?://[^ ]+", "<URL>"),
+        "[0-9]+", "<NUM>")
+      T(s, dir, "documents")
+        .select(col("doc_id"), redacted.as("redacted_text"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("long").as("n_digits_removed"))
+        .orderBy("doc_id")
+    }),
+
+    "q43_train_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment (stable under reruns and
+      // engine-independent: pure key arithmetic, no RNG)
+      val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+      val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+      T(s, dir, "documents")
+        .groupBy(split.as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("split")
     })
   )
 
@@ -751,6 +795,30 @@ object SparkEntry {
         | floor(rep * 10000.0 + 0.5) / 10000.0 AS repetition_ratio,
         | floor(dig * 10000.0 + 0.5) / 10000.0 AS digit_ratio,
         | (mean_len BETWEEN 3.0 AND 10.0) AND rep < 0.6 AS passes_gopher
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q41_chunk_documents" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        | array_to_string(words[i*10+1 : i*10+20], ' ') AS chunk_text
+        |FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i) t
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q42_pii_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |   'https?://[^ ]+', '<URL>', 'g'),
+        |  '[0-9]+', '<NUM>', 'g') AS redacted_text,
+        | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+        |  AS n_digits_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_train_split" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+        |  WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   )
 }
