@@ -105,10 +105,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions — cached: every propagation
+    // round (and its convergence check) joins against it, and without the
+    // cache each round would re-execute the full upstream pair pipeline
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .persist()
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
     var iter = 0
@@ -130,6 +133,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
 
