@@ -40,6 +40,19 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join found:\n$plan")
   }
 
+  test("no query plans a cartesian product (q26 excepted: brute-force = corpus × broadcast queries by design)") {
+    val exceptions = Set("q26_ann_bruteforce")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => exceptions.contains(q._1))
+      .flatMap { case (name, fn) =>
+        val plan = explained(fn(spark, sf))
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"cartesian/nested-loop in: $offenders")
+  }
+
   test("q21 exact dedup shuffles on an 8-byte hash, not the document text") {
     val plan = explained(SparkEntry.queries("q21_dedup_exact")(spark, sf))
     assert(plan.contains("xxhash64"), s"no hash grouping:\n$plan")
