@@ -252,13 +252,14 @@ object SparkEntry {
     }),
 
     "q22_dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 3, 0.5)
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 3, 0.5,
+          persistIndex = true)
         .orderBy("doc_a", "doc_b")
     }),
 
     "q23_dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
-          3, 32, 4, 0.5)
+          3, 32, 4, 0.5, persistIndex = true)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -393,7 +394,8 @@ object SparkEntry {
       // collapse the near-dup pair graph (3-gram jaccard >= 0.5) into
       // components: every doc labeled with the min reachable doc_id
       val pairs = Dedup.ngramJaccardPairs(
-        T(s, dir, "documents"), col("doc_id"), col("text"), 3, 0.5)
+        T(s, dir, "documents"), col("doc_id"), col("text"), 3, 0.5,
+        persistIndex = true)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .orderBy("node")
     }),

@@ -26,13 +26,17 @@ object Dedup {
     * |A∩B| / (|A|+|B|-|A∩B|). Shingle is the blocking key.
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
-                        n: Int, minJaccard: Double): DataFrame = {
+                        n: Int, minJaccard: Double,
+                        persistIndex: Boolean = false): DataFrame = {
     // join on the 8-byte shingle hash, not the string: ~10× smaller shuffle
     // (collision odds at 2^64 are negligible next to the estimate's noise)
-    val sh = docs
+    val shRaw = docs
       .select(id.as("doc_id"),
         explode(TextFns.shingles(text, n)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    // the inverted index feeds both join sides AND the size table; caching it
+    // avoids shingling the corpus three times (cache is LRU-evicted)
+    val sh = if (persistIndex) shRaw.persist() else shRaw
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -55,14 +59,16 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
                       shingleN: Int, numPerms: Int, rowsPerBand: Int,
-                      minEstJaccard: Double): DataFrame = {
+                      minEstJaccard: Double,
+                      persistIndex: Boolean = false): DataFrame = {
     val signed = docs
       .select(id.as("doc_id"), TextFns.shingles(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), NativeFns.minhashSig(col("sh"), numPerms).as("sig"))
-    val banded = signed
+    val bandedRaw = signed
       .select(col("doc_id"), col("sig"),
         explode(HashFns.bandKeys(col("sig"), numPerms, rowsPerBand)).as("bk"))
+    val banded = if (persistIndex) bandedRaw.persist() else bandedRaw
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
