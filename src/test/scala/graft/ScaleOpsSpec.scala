@@ -42,6 +42,24 @@ class ScaleOpsSpec extends GraftSuite {
     assert(m(79L) == """[{"station_id":146,"distance":0.37}]""")
   }
 
+  test("LSH ANN recall vs brute force improves with more tables") {
+    import graft.operators.Similarity
+    val embs = Readers.table(spark, sf, "embeddings")
+    val queries = embs.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshTopK(embs, queries, "vec_id", "embedding", 5, 8, tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"recall with 4 tables ($r4) below 1 table ($r1)")
+    assert(r4 > 0.1, s"recall@5 with 4 tables unreasonably low: $r4")
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact at testdata scale") {
     val ev = Readers.table(spark, sf, "events")
     val row = ev.agg(
