@@ -302,9 +302,9 @@ object SparkEntry {
       val stopr = TextFns.stopwordRatio(col("text"))
       d.select(col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
-          round(punct, 4).as("punct_ratio"),
-          round(stopr, 4).as("stopword_ratio"),
-          round(least(lit(1.0), size(toks).cast("double") / 100.0) *
+          NumFns.roundHalfUp(punct, 4).as("punct_ratio"),
+          NumFns.roundHalfUp(stopr, 4).as("stopword_ratio"),
+          NumFns.roundHalfUp(least(lit(1.0), size(toks).cast("double") / 100.0) *
             (lit(1.0) - punct) * (lit(1.0) - lit(0.5) * stopr), 4).as("quality"))
         .orderBy("doc_id")
     }),
@@ -666,7 +666,7 @@ object SparkEntry {
         | GROUP BY 1, 2)
         |SELECT doc_a, doc_b, jaccard FROM (
         | SELECT doc_a, doc_b,
-        |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        |  floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000.0 + 0.5) / 10000.0 AS jaccard
         | FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -719,8 +719,9 @@ object SparkEntry {
         |   ELSE 0.0 END AS stopr
         | FROM t)
         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
-        | round(punct, 4) AS punct_ratio, round(stopr, 4) AS stopword_ratio,
-        | round(least(1.0, nt / 100.0) * (1 - punct) * (1 - 0.5 * stopr), 4) AS quality
+        | floor(punct * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+        | floor(stopr * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+        | floor(least(1.0, nt / 100.0) * (1 - punct) * (1 - 0.5 * stopr) * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q30_token_count" ->
@@ -774,7 +775,7 @@ object SparkEntry {
         | GROUP BY 1, 2),
         |pairs AS (SELECT doc_a, doc_b FROM (
         |  SELECT doc_a, doc_b,
-        |   round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        |   floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000.0 + 0.5) / 10000.0 AS jaccard
         |  FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id)
         | WHERE jaccard >= 0.5),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

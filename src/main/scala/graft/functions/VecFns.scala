@@ -18,21 +18,7 @@ object VecFns {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign bit of the dot product with a deterministic pseudo-random
-    * hyperplane (seeded per plane) — random-hyperplane LSH for q27. The
-    * "plane" components are hash-derived in [-0.5, 0.5).
-    */
-  def hyperplaneBit(vec: Column, planeSeed: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
-        val h = pmod(xxhash64(i, lit(planeSeed)), lit(1000000L)).cast("double") / 1000000.0 - 0.5
-        x.cast("double") * h
-      }),
-      lit(0.0), (acc, v) => acc + v)
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
-
-  /** Pack k hyperplane bits into a single long LSH bucket key. */
-  def lshKey(vec: Column, numPlanes: Int): Column =
-    (0 until numPlanes).map(p => hyperplaneBit(vec, p) * (1L << p)).reduce(_ + _)
+  // NOTE: LSH bucket keys live only in graft.plans.LshBucketKey (native,
+  // codegen'd). A composed twin existed here but used a different hash
+  // derivation, so keeping it as a "reference impl" would be misleading.
 }

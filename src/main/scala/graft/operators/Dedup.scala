@@ -43,11 +43,15 @@ object Dedup {
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    // no broadcast hint on sizes: its cardinality is the whole corpus, so at
+    // scale it must shuffle-join (Catalyst/AQE still broadcasts when small);
+    // jaccard rounds via the engine-exact formula (Spark round() diverges
+    // from binary-rounding engines on ratios like 57/800)
     pairs
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("n_common").cast("double") /
+        graft.functions.NumFns.roundHalfUp(col("n_common").cast("double") /
           (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -140,6 +144,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(component diameter exceeds maxIters) — raise maxIters")
+    }
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -44,10 +44,15 @@ object TimeSeries {
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("_is_ref").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = carry.foldLeft(all) { (df, c) =>
-      df.withColumn(c, last(when(col("_is_ref") === 1, col(c)), ignoreNulls = true).over(w))
+    // carry the whole ref row as ONE struct: a matched ref whose carry value
+    // is genuinely NULL must still count as the match (last+ignoreNulls on
+    // the bare column would skip it and leak an older non-null value)
+    val packed = when(col("_is_ref") === 1, struct(carry.map(col): _*))
+    val carried = all.withColumn("_carry", last(packed, ignoreNulls = true).over(w))
+    val unpacked = carry.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("_carry").getField(c))
     }
-    carried.filter(col("_is_ref") === 0).drop("_is_ref")
+    unpacked.filter(col("_is_ref") === 0).drop("_is_ref", "_carry")
   }
 
   /** Running total + moving average per key (reference rolling views). */

@@ -73,6 +73,15 @@ case class AsOfJoinExec(
       val nullCarry = new GenericInternalRow(carryAttrs.length)
       val joined = new JoinedRow
 
+      // values evaluated off iterator rows may be backed by reused buffers
+      // (UnsafeRow sort output) — copy anything we hold across next() calls
+      def copyVal(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case r: InternalRow => r.copy()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case x => x
+      }
+
       new Iterator[InternalRow] {
         private val rBuf = rIter.buffered
         private var matchKey: Any = null
@@ -85,21 +94,30 @@ case class AsOfJoinExec(
           val lRow = lIter.next()
           val lk = lKeyB.eval(lRow)
           val lt = lTsB.eval(lRow)
+          if (lk == null || lt == null) {
+            // null key/ts never matches (inequality with NULL is false);
+            // null keys sort first, so nothing on the right is consumed early
+            return resultProj(joined(lRow, nullCarry))
+          }
           // advance the right side through every row at or before (lk, lt)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val head = rBuf.head
             val rk = rKeyB.eval(head)
-            val cmp = keyOrd.compare(rk, lk)
-            if (cmp < 0 || (cmp == 0 && tsOrd.compare(rTsB.eval(head), lt) <= 0)) {
-              if (cmp == 0) {
-                matchKey = lk
-                hasMatch = true
-                matchRow = carryProj(head).copy()
-              }
-              rBuf.next()
+            if (rk == null || rTsB.eval(head) == null) {
+              rBuf.next() // unmatched by definition; discard
             } else {
-              advancing = false
+              val cmp = keyOrd.compare(rk, lk)
+              if (cmp < 0 || (cmp == 0 && tsOrd.compare(rTsB.eval(head), lt) <= 0)) {
+                if (cmp == 0) {
+                  matchKey = copyVal(lk)
+                  hasMatch = true
+                  matchRow = carryProj(head).copy()
+                }
+                rBuf.next()
+              } else {
+                advancing = false
+              }
             }
           }
           val useMatch = hasMatch && keyOrd.compare(matchKey, lk) == 0

@@ -18,6 +18,11 @@ object Readers {
     * directly readable by Spark; read nanos as long and truncate to
     * microseconds (integer division — same truncation DuckDB applies), so
     * both engines see identical timestamp values.
+    *
+    * NOTE: sets `spark.sql.legacy.parquet.nanosAsLong` on the session as a
+    * side effect — after the first call, plain `spark.read.parquet` on other
+    * nanos-timestamp files returns LongType instead of erroring. Scoped
+    * per-read isn't possible (the conf is consulted at scan planning time).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

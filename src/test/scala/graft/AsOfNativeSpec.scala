@@ -24,6 +24,35 @@ class AsOfNativeSpec extends GraftSuite {
     assert(got(13L).isEmpty)         // key has no right rows at all
   }
 
+  test("matched ref with NULL carry value yields NULL (not an older non-null) — both impls") {
+    val left = Seq((10L, 1L, "2024-01-01 03:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"))
+    val right = Seq((1L, "2024-01-01 01:00:00", Some(5.0)), (1L, "2024-01-01 02:00:00", None))
+      .toDF("user_id", "s", "v")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"v")
+    val native = AsOf.join(left, right, "user_id", "ts", Seq("v"))
+      .select($"v").collect().map(r => Option(r.get(0))).toSeq
+    val composed = graft.operators.TimeSeries.asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .select($"v").collect().map(r => Option(r.get(0))).toSeq
+    assert(native == Seq(None), s"native carried $native")
+    assert(composed == Seq(None), s"composed carried $composed")
+  }
+
+  test("native as-of join handles string keys (buffer-backed key copies)") {
+    val left = Seq((1L, "alice", "2024-01-01 02:00:00"), (2L, "alice", "2024-01-01 03:00:00"),
+      (3L, "bob", "2024-01-01 02:00:00"), (4L, "carol", "2024-01-01 02:00:00"))
+      .toDF("event_id", "k", "s")
+      .select($"event_id", $"k", to_timestamp($"s").as("ts"))
+    val right = Seq(("alice", "2024-01-01 01:00:00", 1.0), ("bob", "2024-01-01 01:30:00", 2.0))
+      .toDF("k", "s", "v")
+      .select($"k", to_timestamp($"s").as("ts"), $"v")
+    val got = AsOf.join(left, right, "k", "ts", Seq("v"))
+      .select($"event_id", $"v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0), 4L -> None))
+  }
+
   test("native as-of join equals the union+window formulation on testdata") {
     val ev = graft.sources.Readers.table(spark, sf, "events")
     val purchases = ev.filter($"event_type" === "purchase")
