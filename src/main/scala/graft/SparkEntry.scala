@@ -460,6 +460,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("split")
+    }),
+
+    "q44_sequence_packing" -> ((s, dir) => {
+      // contiguous sequence packing: assign 20-token chunks to fixed
+      // 100-token context packs via a running token total. Global window for
+      // oracle determinism; the production variant packs per shard/partition
+      // (same expression over a partitioned window).
+      val chunks = queries("q41_chunk_documents")(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      chunks
+        .withColumn("n_tok", size(split(col("chunk_text"), " ")).cast("long"))
+        .withColumn("pack_id",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / 100.0).cast("long"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("pack_id"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q45_bpe_pair_counts" -> ((s, dir) => {
+      // first BPE iteration: adjacent-token pair counts over the corpus
+      // (multiset — NOT the distinct shingle set), top 50
+      val toks = TextFns.tokens(col("text"))
+      val m = size(toks) - 1
+      val bigrams = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (x, y) => concat(x, lit(" "), y))
+      T(s, dir, "documents")
+        .select(explode(bigrams).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(50)
+    }),
+
+    "q46_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified downsampling: keep 50% of 'en', all others
+      // (rebalancing an over-represented language) — keyed arithmetic, no RNG
+      val bucket = pmod(col("doc_id") * 1000003L, lit(100L))
+      val rate = when(col("lang") === "en", 50L).otherwise(100L)
+      T(s, dir, "documents")
+        .filter(bucket < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     })
   )
 
@@ -822,6 +865,29 @@ object SparkEntry {
       """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
         |  WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val' ELSE 'test' END AS split,
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q44_sequence_packing" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(words[i*10+1 : i*10+20], ' ') AS chunk_text
+        | FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i) t),
+        |tk AS (SELECT doc_id, chunk_idx,
+        |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tok FROM c)
+        |SELECT doc_id, chunk_idx, n_tok,
+        | CAST(floor((sum(n_tok) OVER (ORDER BY doc_id, chunk_idx
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 100.0) AS BIGINT) AS pack_id
+        |FROM tk ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q45_bpe_pair_counts" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |b AS (SELECT words[i] || ' ' || words[i+1] AS pair
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words))) AS i) t)
+        |SELECT pair, count(*) AS c FROM b GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
+
+    "q46_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 1000003) % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin
   )
 }
