@@ -20,6 +20,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q18_revenue_join")(spark, "/root/testdata/sf0.001")
 
+  /** Shared by q41/q44: 20-token windows with stride 10, unordered (each
+    * consumer applies its own ordering; q44's window would otherwise discard
+    * and redo q41's global sort).
+    */
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 20
+    val stride = 10
+    val toks = TextFns.tokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / stride).cast("long")
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), nChunks - 1),
+          i => struct(i.as("chunk_idx"),
+            concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(chunk)))
+              .as("chunk_text")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2a reference-derived relational/ETL -----------------------------------
     "q01_interval_agg" -> ((s, dir) => {
@@ -421,18 +439,7 @@ object SparkEntry {
     "q41_chunk_documents" -> ((s, dir) => {
       // context chunking: 20-token windows, stride 10 (the sequence-prep
       // step before tokenization); one row per chunk
-      val chunk = 20
-      val stride = 10
-      val toks = TextFns.tokens(col("text"))
-      val nChunks = ceil(size(toks).cast("double") / stride).cast("long")
-      T(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0L), nChunks - 1),
-            i => struct(i.as("chunk_idx"),
-              concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(chunk)))
-                .as("chunk_text")))).as("c"))
-        .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
-        .orderBy("doc_id", "chunk_idx")
+      chunkDocs(s, dir).orderBy("doc_id", "chunk_idx")
     }),
 
     "q42_pii_redact" -> ((s, dir) => {
@@ -467,7 +474,7 @@ object SparkEntry {
       // 100-token context packs via a running token total. Global window for
       // oracle determinism; the production variant packs per shard/partition
       // (same expression over a partitioned window).
-      val chunks = queries("q41_chunk_documents")(s, dir)
+      val chunks = chunkDocs(s, dir)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("doc_id"), col("chunk_idx"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -628,10 +635,10 @@ object SparkEntry {
 
     "q13_running_window" ->
       """SELECT event_id, user_id,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
-        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        | floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS running_sum,
+        | floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 10000.0 + 0.5) / 10000.0 AS moving_avg
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q14_sessionize" ->

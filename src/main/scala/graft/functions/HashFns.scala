@@ -21,6 +21,9 @@ object HashFns {
     * each band. Docs sharing any band key are candidate pairs.
     */
   def bandKeys(signature: Column, numPerms: Int, rowsPerBand: Int): Column = {
+    require(numPerms % rowsPerBand == 0,
+      s"numPerms ($numPerms) must be divisible by rowsPerBand ($rowsPerBand) — " +
+        "trailing permutations would be silently ignored")
     val bands = numPerms / rowsPerBand
     array((0 until bands).map { b =>
       struct(

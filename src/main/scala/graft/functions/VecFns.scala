@@ -16,7 +16,9 @@ object VecFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL for zero-norm vectors (mirrors SQL 0/0 → NULL; never NaN). */
+  def cosine(a: Column, b: Column): Column =
+    when(norm(a) > 0 && norm(b) > 0, dot(a, b) / (norm(a) * norm(b)))
 
   // NOTE: LSH bucket keys live only in graft.plans.LshBucketKey (native,
   // codegen'd). A composed twin existed here but used a different hash

@@ -59,9 +59,16 @@ object Multimodal {
     media.select("doc_id", "media_type", "payload", "n_bytes")
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, cs) = decodeStub(r.getAs[Array[Byte]]("payload"))
-          Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-            r.getAs[Long]("n_bytes"), w, h, cs)
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null) {
+            // null passthrough: missing blobs keep their row, metadata null
+            Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+              r.getAs[Long]("n_bytes"), null, null, null)
+          } else {
+            val (w, h, cs) = decodeStub(payload)
+            Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+              r.getAs[Long]("n_bytes"), w, h, cs)
+          }
         }
       }(enc)
   }
@@ -78,10 +85,16 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // a real pipeline passes the whole batch to the codec in one call
-          val decoded = batch.map(r => decodeStub(r.getAs[Array[Byte]]("payload")))
-          batch.iterator.zip(decoded.iterator).map { case (r, (w, h, cs)) =>
-            Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-              r.getAs[Long]("n_bytes"), w, h, cs)
+          val decoded = batch.map { r =>
+            Option(r.getAs[Array[Byte]]("payload")).map(decodeStub)
+          }
+          batch.iterator.zip(decoded.iterator).map {
+            case (r, Some((w, h, cs))) =>
+              Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+                r.getAs[Long]("n_bytes"), w, h, cs)
+            case (r, None) =>
+              Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
+                r.getAs[Long]("n_bytes"), null, null, null)
           }
         }
       }(enc)

@@ -88,7 +88,8 @@ object Relational {
                      flagName: String): DataFrame = {
     val rollup = facts
       .groupBy(key.as("k"), date.as("d"))
-      .agg(max(flag.cast("long")).as(flagName))
+      // null flags (null measure) count as false, matching SQL CASE semantics
+      .agg(max(coalesce(flag.cast("long"), lit(0L))).as(flagName))
     facts.join(rollup, key === col("k") && date === col("d")).drop("k", "d")
   }
 

@@ -30,7 +30,8 @@ object EventsStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.NumFns.roundHalfUp(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
@@ -53,7 +54,9 @@ object EventsStream {
         val out = sorted.map { case (eid, uid, ts) =>
           val ms = ts.getTime
           if (lastMs == Long.MinValue || ms - lastMs > gapMs) sid += 1
-          lastMs = ms
+          // never move the frontier backward: a late event joining an old
+          // session must not make the next on-time event look gapped
+          lastMs = math.max(lastMs, ms)
           (eid, uid, sid)
         }
         state.update(SessionState(lastMs, sid))
