@@ -36,6 +36,16 @@ class NativeExprSpec extends GraftSuite {
     assert(sigs(0).length == 16)
   }
 
+  test("cosine of a zero-norm vector is NULL (never NaN) in both impls") {
+    val df = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    val native = df.select(NativeFns.cosineSim($"a", $"b")).collect().map(r => Option(r.get(0)))
+    val composed = df.select(VecFns.cosine($"a", $"b")).collect().map(r => Option(r.get(0)))
+    assert(native(0).isEmpty && composed(0).isEmpty)
+    assert(native(1).contains(1.0) && composed(1).contains(1.0))
+  }
+
   test("native lsh key: deterministic, bounded by numPlanes, similar vectors collide") {
     val embs = graft.sources.Readers.table(spark, sf, "embeddings").limit(20)
     val keys = embs.select(NativeFns.lshKey($"embedding", 8, 42L).as("k"))

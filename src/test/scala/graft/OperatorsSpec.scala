@@ -131,6 +131,20 @@ class OperatorsSpec extends GraftSuite {
     assert(batched.toSeq == again.toSeq)
   }
 
+  test("Multimodal: null payloads pass through with null metadata (both variants)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val docs = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+      .withColumn("payload", when(col("doc_id") === 1L, lit(null)).otherwise(col("payload")))
+    for (decoded <- Seq(Multimodal.decode(media), Multimodal.decodeBatched(media, 2))) {
+      val rows = decoded.orderBy("doc_id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Any]("checksum") != null)
+      assert(rows(1).getAs[Any]("width") == null)
+      assert(rows(1).getAs[Any]("checksum") == null)
+    }
+  }
+
   test("Readers.csvWithSchema keeps leading-zero zips and parses timestamps") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv-in")
     val f = dir.resolve("availability.csv")

@@ -82,6 +82,32 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionize: late event does not regress the session frontier") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    def write(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("event_id", "user_id", "s")
+        .selectExpr("event_id", "CAST(s AS TIMESTAMP) AS ts", "user_id",
+          "'x' AS event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    write("b1", Seq((1L, 1L, "2024-01-01 10:00:00")))
+    val stream = spark.readStream.schema(EventsStream.eventSchema).parquet(dir)
+    val q = EventsStream.sessionizeStream(stream, 1800000L)
+      .writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event (09:00) plus an on-time one 5 min after the
+      // frontier — the on-time event must stay in session 1
+      write("b2", Seq((2L, 1L, "2024-01-01 09:00:00"), (3L, 1L, "2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("late_out")
+        .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+      assert(got(1L) == 1L)
+      assert(got(3L) == 1L, s"frontier regressed: $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per content within the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
