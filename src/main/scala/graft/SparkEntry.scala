@@ -510,6 +510,22 @@ object SparkEntry {
         .filter(bucket < rate)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+
+    "q47_range_join" -> ((s, dir) => {
+      // interval join: purchases within 45 minutes after a signup of the
+      // same user — bucketed equi-join, not a nested loop
+      val ev = T(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("s_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 45 MINUTES")).as("win_end"))
+      TimeSeries.rangeJoin(purchases, col("ts"),
+          windows, col("win_start"), col("win_end"), "user_id", 15)
+        .select(col("event_id").as("p_event_id"), col("s_id"))
+        .orderBy("p_event_id", "s_id")
     })
   )
 
@@ -895,6 +911,13 @@ object SparkEntry {
     "q46_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 1000003) % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 100 END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q47_range_join" ->
+      """SELECT p.event_id AS p_event_id, s.event_id AS s_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+        | ON p.user_id = s.user_id AND s.ts <= p.ts AND p.ts < s.ts + INTERVAL 45 MINUTE
+        |ORDER BY p_event_id, s_id""".stripMargin
   )
 }

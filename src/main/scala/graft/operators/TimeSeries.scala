@@ -67,6 +67,26 @@ object TimeSeries {
           avg(value).over(byKey.rowsBetween(-(movingRows - 1), 0)), 4))
   }
 
+  /** Range (interval) join: left rows matched to right intervals with
+    * rStart <= lTs < rEnd on the same key. Spark plans a raw inequality join
+    * as a nested loop; here each interval explodes into the fixed-size time
+    * buckets it covers and the join becomes a hash equi-join on
+    * (key, bucket) + a residual filter. Bucket width should approximate the
+    * typical interval length (fan-out = interval/bucket).
+    */
+  def rangeJoin(left: DataFrame, lTs: Column,
+                right: DataFrame, rStart: Column, rEnd: Column,
+                key: String, bucketMinutes: Int): DataFrame = {
+    val b = bucketMinutes * 60L
+    val bucketed = right.withColumn("_bucket",
+      explode(sequence(floor(rStart.cast("long") / b).cast("long"),
+        floor(rEnd.cast("long") / b).cast("long"))))
+    val lb = left.withColumn("_bucket", floor(lTs.cast("long") / b).cast("long"))
+    lb.join(bucketed, Seq(key, "_bucket"))
+      .filter(rStart <= lTs && lTs < rEnd)
+      .drop("_bucket")
+  }
+
   /** Tumbling-window aggregation (batch twin of the Structured Streaming
     * path in graft.streaming.EventsStream — same logical aggregation).
     */

@@ -53,6 +53,13 @@ class PlanSpec extends GraftSuite {
     assert(offenders.isEmpty, s"cartesian/nested-loop in: $offenders")
   }
 
+  test("q47 range join plans as a hash equi-join on buckets, not a nested loop") {
+    val plan = explained(SparkEntry.queries("q47_range_join")(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), s"nested loop:\n$plan")
+    assert(plan.contains("_bucket") || plan.contains("hashpartitioning(user_id"),
+      s"no bucketed equi-join:\n$plan")
+  }
+
   test("q21 exact dedup shuffles on an 8-byte hash, not the document text") {
     val plan = explained(SparkEntry.queries("q21_dedup_exact")(spark, sf))
     assert(plan.contains("xxhash64"), s"no hash grouping:\n$plan")
