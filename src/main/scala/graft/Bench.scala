@@ -15,11 +15,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed loop (first query otherwise
     // carries multi-second JIT cost)
-    try SparkEntry.queries("q02_group_agg")(spark, sfDir).count()
+    try SparkEntry.queries("q02_group_agg")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // noop sink: forces full evaluation of every output column (count()
+      // would let Catalyst prune the computed projections being measured)
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
