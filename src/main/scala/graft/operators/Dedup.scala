@@ -116,8 +116,8 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
     // undirected edge list, both directions — cached: every propagation
-    // round (and its convergence check) joins against it, and without the
-    // cache each round would re-execute the full upstream pair pipeline
+    // round joins against it, and without the cache each round would
+    // re-execute the full upstream pair pipeline
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -131,13 +131,22 @@ object Dedup {
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst").as("node2"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      val relaxed = labels
         .join(neighborMin, labels("node") === col("node2"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // path compression (pointer doubling): label := label's own label.
+      // Cuts convergence from O(diameter) to O(log diameter) rounds — on a
+      // chain of 2^10 nodes that is 10 rounds instead of 1024.
+      val next = relaxed.as("x")
+        .join(relaxed.select(col("node").as("l_node"), col("label").as("l_label")).as("y"),
+          col("x.label") === col("y.l_node"), "left")
+        .select(col("x.node").as("node"), col("x.old_label").as("old_label"),
+          least(col("x.label"), coalesce(col("y.l_label"), col("x.label"))).as("label"))
       next.persist()
-      val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      // convergence check rides the same materialization — no extra join
+      // against the previous round's labels
+      val changed = next.filter(col("label") =!= col("old_label")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
