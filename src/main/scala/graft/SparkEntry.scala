@@ -307,6 +307,17 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "q48_ann_ivf" -> ((s, dir) => {
+      // inverted-file ANN: the 100 TB similarity-search path — probe 4 of 16
+      // coarse cells instead of scanning the corpus (q26 is the exact baseline,
+      // q27 the LSH variant; recall-vs-probes tradeoff spec-tested)
+      val embs = T(s, dir, "embeddings")
+      Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          5, 16, 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "q28_langid" -> ((s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"), TextFns.langId(col("text")).as("predicted_lang"))

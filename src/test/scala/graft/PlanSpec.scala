@@ -40,8 +40,8 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join found:\n$plan")
   }
 
-  test("no query plans a cartesian product (q26 excepted: brute-force = corpus × broadcast queries by design)") {
-    val exceptions = Set("q26_ann_bruteforce")
+  test("no query plans a cartesian product (q26/q48 excepted: corpus × broadcast queries/centroids by design)") {
+    val exceptions = Set("q26_ann_bruteforce", "q48_ann_ivf")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .flatMap { case (name, fn) =>

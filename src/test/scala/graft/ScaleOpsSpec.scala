@@ -60,6 +60,26 @@ class ScaleOpsSpec extends GraftSuite {
     assert(r4 > 0.1, s"recall@5 with 4 tables unreasonably low: $r4")
   }
 
+  test("IVF ANN recall vs brute force improves with more probes; full probe = exact") {
+    import graft.operators.Similarity
+    val embs = Readers.table(spark, sf, "embeddings")
+    val queries = embs.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 5, 16, nProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r2 = recall(2)
+    val r8 = recall(8)
+    assert(r8 >= r2, s"recall with 8 probes ($r8) below 2 probes ($r2)")
+    assert(r8 > 0.2, s"recall@5 with 8/16 probes unreasonably low: $r8")
+    // probing every cell degenerates to the exact brute-force result
+    assert(recall(16) == 1.0, "probing all cells must equal brute force")
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact at testdata scale") {
     val ev = Readers.table(spark, sf, "events")
     val row = ev.agg(
