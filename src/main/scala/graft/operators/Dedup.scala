@@ -118,23 +118,34 @@ object Dedup {
     // undirected edge list, both directions — cached: every propagation
     // round joins against it, and without the cache each round would
     // re-execute the full upstream pair pipeline
+    // localCheckpoint (not persist): truncates lineage, so each round's plan
+    // is a join over two flat in-memory tables instead of a tree that embeds
+    // the whole upstream pair pipeline k times — in iterative loops the
+    // re-analysis/re-optimization of that growing tree, not the tiny data,
+    // is what dominates. (On a real cluster use reliable checkpoint() if
+    // executor loss must be survivable mid-algorithm.)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node"))
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     var iter = 0
     var converged = false
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     while (!converged && iter < maxIters) {
+      val t0 = System.nanoTime()
       val neighborMin = edges
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst").as("node2"))
         .agg(min(col("label")).as("nbr_label"))
+      // checkpointed: the compression self-join below reads it from both
+      // sides — without materialization each side would recompute the relax
       val relaxed = labels
         .join(neighborMin, labels("node") === col("node2"), "left")
         .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
       // path compression (pointer doubling): label := label's own label.
       // Cuts convergence from O(diameter) to O(log diameter) rounds — on a
       // chain of 2^10 nodes that is 10 rounds instead of 1024.
@@ -143,16 +154,16 @@ object Dedup {
           col("x.label") === col("y.l_node"), "left")
         .select(col("x.node").as("node"), col("x.old_label").as("old_label"),
           least(col("x.label"), coalesce(col("y.l_label"), col("x.label"))).as("label"))
-      next.persist()
-      // convergence check rides the same materialization — no extra join
+        .localCheckpoint()
+      // convergence check over the materialized checkpoint — no extra join
       // against the previous round's labels
       val changed = next.filter(col("label") =!= col("old_label")).count()
-      labels.unpersist()
-      labels = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
+      if (verbose) System.err.println(
+        f"[cc] round $iter: changed=$changed, ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    edges.unpersist()
     if (!converged) {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
