@@ -307,6 +307,21 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "q49_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: for every train-split doc (q43's split
+      // rule), count distinct 3-grams shared with any held-out test doc
+      Dedup.contaminationHits(T(s, dir, "documents"), col("doc_id"), col("text"),
+          pmod(col("doc_id") * 2654435761L, lit(100L)) >= 95, 3)
+        .orderBy("doc_id")
+    }),
+
+    "q50_mix_epochs" -> ((s, dir) => {
+      // corpus-mix rebalancing: repeat under-represented sources up to 4×
+      // toward a uniform mix; one row per (doc, epoch)
+      Relational.mixEpochs(T(s, dir, "documents"), col("doc_id"), col("source"), 4)
+        .orderBy("doc_id", "epoch")
+    }),
+
     "q48_ann_ivf" -> ((s, dir) => {
       // inverted-file ANN: the 100 TB similarity-search path — probe 4 of 16
       // coarse cells instead of scanning the corpus (q26 is the exact baseline,
@@ -923,6 +938,27 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 1000003) % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q49_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words,
+        |  (doc_id * 2654435761) % 100 >= 95 AS held FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, held, array_to_string(words[i:i+2], ' ') AS g
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |hg AS (SELECT DISTINCT g FROM sh WHERE held)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh JOIN hg USING (g) WHERE NOT held
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q50_mix_epochs" ->
+      """WITH c AS (SELECT source, count(*) AS n_grp FROM documents GROUP BY 1),
+        |w AS (SELECT source,
+        |  LEAST(4, CAST(floor((SELECT max(n_grp) FROM c) / n_grp) AS BIGINT)) AS n_rep
+        | FROM c)
+        |SELECT doc_id, d.source AS grp, CAST(e AS BIGINT) AS epoch
+        |FROM documents d JOIN w ON d.source = w.source,
+        | LATERAL (SELECT unnest(range(1, n_rep + 1)) AS e) t
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q47_range_join" ->
       """SELECT p.event_id AS p_event_id, s.event_id AS s_id

@@ -172,6 +172,28 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Benchmark decontamination: count, per non-held-out document, the
+    * distinct word n-grams it shares with ANY held-out document. The
+    * train-set hygiene pass before an LLM run — a doc with n_hits > 0
+    * leaks evaluation content.
+    *
+    * Join is on the 8-byte xxhash64 of the shingle (same trick as
+    * [[ngramJaccardPairs]]): the shuffle moves hashes, not text. The
+    * held-out gram set is NOT broadcast — it is corpus-sized, so it must
+    * shuffle (AQE still broadcasts when it turns out small).
+    */
+  def contaminationHits(docs: DataFrame, id: Column, text: Column,
+                        isHeldOut: Column, n: Int): DataFrame = {
+    val grams = docs.select(id.as("doc_id"), isHeldOut.as("held"),
+        explode(TextFns.shingles(text, n)).as("g"))
+      .select(col("doc_id"), col("held"), xxhash64(col("g")).as("gh"))
+    val heldGrams = grams.filter(col("held")).select(col("gh")).distinct()
+    grams.filter(!col("held"))
+      .join(heldGrams, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label id — at scale an LSH bucket, see Similarity.lshTopK).
     */

@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Corpus-mix rebalancing by repeat factor ("epochs"): under-represented
+    * groups (source/domain/language) are repeated up to `maxRepeat` times so
+    * the training mix approaches uniform. Emits one row per (doc, epoch) via
+    * `explode(sequence(...))` — deliberate row amplification, the inverse of
+    * sampling.
+    *
+    * The group-count table has #groups rows: the max-share lookup is a
+    * single-partition window over it (not over the corpus), and the weight
+    * table is broadcast back onto the fact side — the corpus itself is
+    * never shuffled.
+    */
+  def mixEpochs(docs: DataFrame, id: Column, grp: Column, maxRepeat: Int): DataFrame = {
+    val counts = docs.groupBy(grp.as("grp")).agg(count(lit(1)).as("n_grp"))
+    val weights = counts
+      .withColumn("max_n", max(col("n_grp")).over(Window.partitionBy()))
+      .select(col("grp"),
+        least(lit(maxRepeat.toLong), floor(col("max_n") / col("n_grp"))).cast("long")
+          .as("n_rep"))
+    docs.join(broadcast(weights), grp === weights("grp"))
+      .select(id.as("doc_id"), col("grp"),
+        explode(sequence(lit(1L), col("n_rep"))).as("epoch"))
+  }
+
   /** "Interesting keys" — the reference's Reducing-Complexity CTE
     * (README.md:230-290): per-key aggregates → ntile(100) percentiles →
     * score + rank per group → keep rank 1 → semi-join back to the fact table.

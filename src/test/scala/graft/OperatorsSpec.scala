@@ -145,6 +145,29 @@ class OperatorsSpec extends GraftSuite {
     }
   }
 
+  test("contaminationHits counts distinct shared n-grams, held-out docs excluded") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", false), // shares "alpha beta gamma" + "beta gamma delta"
+      (2L, "alpha beta gamma zeta", false),  // shares "alpha beta gamma"
+      (3L, "nothing in common here", false),
+      (9L, "alpha beta gamma delta epsilon", true) // held out
+    ).toDF("doc_id", "text", "held")
+    val got = Dedup.contaminationHits(docs, $"doc_id", $"text", $"held", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L)) // doc 3 clean, doc 9 not scored
+  }
+
+  test("mixEpochs repeats under-represented groups, capped, majority stays 1x") {
+    import graft.operators.Relational
+    val docs = (1L to 8L).map(i => (i, "big")) ++ Seq((9L, "small"))
+    val df = docs.toDF("doc_id", "source")
+    val got = Relational.mixEpochs(df, $"doc_id", $"source", 4)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert((1L to 8L).forall(got(_) == 1L)) // max-share group: 1 epoch
+    assert(got(9L) == 4L) // 8/1 = 8, capped at 4
+  }
+
   test("Readers.csvWithSchema keeps leading-zero zips and parses timestamps") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv-in")
     val f = dir.resolve("availability.csv")
