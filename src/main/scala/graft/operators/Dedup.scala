@@ -57,6 +57,51 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** [[ngramJaccardPairs]] with a document-frequency cap on the blocking
+    * shingles — the 100 TB variant. A shingle occurring in f documents
+    * yields f·(f-1)/2 candidate pairs, so one boilerplate phrase shared by
+    * 10^6 docs alone produces ~5·10^11 join rows; dropping shingles with
+    * df > maxDocFreq bounds per-key fan-out at the cost of slightly
+    * under-estimating jaccard for pairs whose overlap was mostly
+    * ultra-common shingles (which near-dup detection does not care about —
+    * such pairs are not near-dups). Sizes are still computed over ALL
+    * shingles so the jaccard denominator is unchanged; only candidate
+    * generation is capped. With maxDocFreq >= corpus size this is exactly
+    * [[ngramJaccardPairs]] (spec-asserted).
+    */
+  def ngramJaccardPairsCapped(docs: DataFrame, id: Column, text: Column,
+                              n: Int, minJaccard: Double,
+                              maxDocFreq: Long): DataFrame = {
+    val sh = docs
+      .select(id.as("doc_id"), explode(TextFns.shingles(text, n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+      .persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("sh_h"))
+    val blocked = sh.join(rare, "sh_h")
+    val pairs = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common_rare"))
+    // n_common over capped shingles underestimates the true intersection, so
+    // recompute the exact intersection per surviving candidate pair via a
+    // semi-structured re-join ... is corpus-quadratic again. Instead keep the
+    // conservative estimate: jaccard_lower <= true jaccard, so a pair passing
+    // minJaccard on the lower bound is guaranteed a true near-dup; borderline
+    // pairs whose overlap hides in capped shingles need the exact variant.
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.NumFns.roundHalfUp(col("n_common_rare").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common_rare")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** MinHash+LSH candidate pairs: signature → bands → join docs sharing a
     * band bucket → estimate Jaccard as signature agreement. The band bucket
     * is the blocking key; numPerms/rowsPerBand tune recall vs fan-out.

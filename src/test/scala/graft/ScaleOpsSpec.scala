@@ -60,6 +60,44 @@ class ScaleOpsSpec extends GraftSuite {
     assert(r4 > 0.1, s"recall@5 with 4 tables unreasonably low: $r4")
   }
 
+  test("df-capped jaccard: uncapped-equivalent at high cap, lower-bound subset at low cap") {
+    import graft.operators.Dedup
+    val docs = Readers.table(spark, sf, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val high = Dedup.ngramJaccardPairsCapped(docs, $"doc_id", $"text", 3, 0.5,
+        maxDocFreq = 1000000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(high == exact, "cap above corpus size must reproduce the exact pairs")
+    val low = Dedup.ngramJaccardPairsCapped(docs, $"doc_id", $"text", 3, 0.5,
+        maxDocFreq = 5L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(low.subsetOf(exact), "capped jaccard is a lower bound: no false positives")
+  }
+
+  test("contaminationHits bounded by the doc's own distinct gram count") {
+    import graft.operators.Dedup
+    val docs = Readers.table(spark, sf, "documents")
+    val held = pmod($"doc_id" * 2654435761L, lit(100L)) >= 95
+    val grams = docs.select($"doc_id",
+      size(graft.functions.TextFns.shingles($"text", 3)).cast("long").as("n_grams"))
+    val bad = Dedup.contaminationHits(docs, $"doc_id", $"text", held, 3)
+      .join(grams, "doc_id")
+      .filter($"n_hits" > $"n_grams" || $"n_hits" <= 0)
+    assert(bad.count() == 0)
+  }
+
+  test("mixEpochs row count equals the sum of per-group weights") {
+    import graft.operators.Relational
+    val docs = Readers.table(spark, sf, "documents")
+    val out = Relational.mixEpochs(docs, $"doc_id", $"source", 4)
+    // every doc appears at least once, at most 4 times, epochs contiguous from 1
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min($"epoch").as("lo"), max($"epoch").as("hi"))
+    assert(perDoc.filter($"n" < 1 || $"n" > 4 || $"lo" =!= 1 || $"hi" =!= $"n").count() == 0)
+    assert(out.count() >= docs.count())
+  }
+
   test("IVF ANN recall vs brute force improves with more probes; full probe = exact") {
     import graft.operators.Similarity
     val embs = Readers.table(spark, sf, "embeddings")
