@@ -109,7 +109,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
                       shingleN: Int, numPerms: Int, rowsPerBand: Int,
                       minEstJaccard: Double,
-                      persistIndex: Boolean = false): DataFrame = {
+                      persistIndex: Boolean = false,
+                      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val signed = docs
       .select(id.as("doc_id"), TextFns.shingles(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -117,7 +118,19 @@ object Dedup {
     val bandedRaw = signed
       .select(col("doc_id"), col("sig"),
         explode(HashFns.bandKeys(col("sig"), numPerms, rowsPerBand)).as("bk"))
-    val banded = if (persistIndex) bandedRaw.persist() else bandedRaw
+    val bandedAll = if (persistIndex) bandedRaw.persist() else bandedRaw
+    // optional bucket-size cap — the 100 TB guard for dup cliques: a band
+    // bucket holding f docs yields f(f-1)/2 candidates, and a 10^4-wide
+    // clique of boilerplate docs would emit 5·10^7 pairs from one bucket.
+    // Oversized buckets are near-certain exact-dup families; run `exact`
+    // first (cheap, linear) and cap here, instead of paying the quadratic
+    // join. Cap = MaxValue (default) keeps the operator exact.
+    val banded =
+      if (maxBucketSize == Long.MaxValue) bandedAll
+      else bandedAll.join(
+        bandedAll.groupBy(col("bk")).agg(count(lit(1)).as("bkn"))
+          .filter(col("bkn") <= maxBucketSize).select(col("bk")),
+        "bk")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))

@@ -75,6 +75,17 @@ class ScaleOpsSpec extends GraftSuite {
     assert(low.subsetOf(exact), "capped jaccard is a lower bound: no false positives")
   }
 
+  test("bucket-capped minhash LSH: default cap exact, low cap yields a subset") {
+    import graft.operators.Dedup
+    val docs = Readers.table(spark, sf, "documents")
+    val exact = Dedup.minhashLshPairs(docs, $"doc_id", $"text", 3, 32, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLshPairs(docs, $"doc_id", $"text", 3, 32, 4, 0.5,
+        maxBucketSize = 3L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact), "capping buckets must only drop candidates")
+  }
+
   test("contaminationHits bounded by the doc's own distinct gram count") {
     import graft.operators.Dedup
     val docs = Readers.table(spark, sf, "documents")
