@@ -1,9 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query → noop sink, per-query MEDIAN of
+  * `SPARK_GRAFT_BENCH_REPS` runs (default 3 — this box shows ±40% noise with
+  * occasional 4× single-query spikes, so a single reading is not a
+  * measurement). Caches and lingering checkpoint blocks are cleared between
+  * runs so no query is timed against another query's session state.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
+    // a typo'd query name must fail loudly, not silently bench nothing
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
@@ -18,29 +38,42 @@ object Bench {
     try SparkEntry.queries("q02_group_agg")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
-    // optional args: bench only the named queries (dev-time tuning loop)
+    def resetSessionState(): Unit = {
+      // drop caches AND checkpoint blocks left by eager operators, so the
+      // next timed run starts from a cold, honest session
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.view.filterKeys(args.toSet).toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every output column (count()
-      // would let Catalyst prune the computed projections being measured)
-      val ok = try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+      val times = Seq.newBuilder[Double]
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        resetSessionState()
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every output column (count()
+        // would let Catalyst prune the computed projections being measured)
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed = true
+        }
+        r += 1
       }
       // -1 marks failure in the JSON — a broken query must not look like a
       // fast pass to anything consuming only the metric line
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (failed) -1.0 else median(times.result()))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

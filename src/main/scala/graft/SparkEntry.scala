@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{NumFns, TimeFns, TextFns, GeoFns}
 import graft.operators._
-import graft.sources.Readers
+import graft.sources.{Readers, Writers}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -276,13 +276,24 @@ object SparkEntry {
     }),
 
     "q23_dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
-          3, 32, 4, 0.5, persistIndex = true)
+      // the 100 TB shape, end to end: collapse exact-dup families first (a
+      // linear 8-byte-key shuffle) so they cannot form quadratic LSH
+      // cliques, then cap any residual band bucket — a bucket wider than
+      // the cap is boilerplate, not near-dups. At sf test scale there are no
+      // exact dups and no oversized buckets, so the guards pass everything
+      // through; they exist to be measured in the driver-visible query.
+      val docs = T(s, dir, "documents")
+      val keepers = Dedup.exact(docs, col("doc_id"), col("text"))
+        .select(col("keeper_id").as("doc_id"))
+      Dedup.minhashLshPairs(docs.join(keepers, "doc_id"),
+          col("doc_id"), col("text"), 3, 32, 4, 0.5,
+          persistIndex = true, maxBucketSize = 100L)
         .orderBy("doc_a", "doc_b")
     }),
 
     "q24_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 8)
+      Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 8,
+          persistIndex = true)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -326,9 +337,13 @@ object SparkEntry {
       // inverted-file ANN: the 100 TB similarity-search path — probe 4 of 16
       // coarse cells instead of scanning the corpus (q26 is the exact baseline,
       // q27 the LSH variant; recall-vs-probes tradeoff spec-tested)
+      // coarse quantizer = one Lloyd refinement over deterministic seeds
+      // (recall ties first-N seeding on the synthetic spec corpus — random
+      // embeddings have no cluster structure to exploit — and balances cells
+      // on corpora that do; see ScaleOpsSpec's recall assertion)
       val embs = T(s, dir, "embeddings")
       Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
-          5, 16, 4)
+          5, 16, 4, kmeansIters = 1)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
         .orderBy("query_id", "rnk")
     }),
@@ -497,18 +512,25 @@ object SparkEntry {
 
     "q44_sequence_packing" -> ((s, dir) => {
       // contiguous sequence packing: assign 20-token chunks to fixed
-      // 100-token context packs via a running token total. Global window for
-      // oracle determinism; the production variant packs per shard/partition
-      // (same expression over a partitioned window).
+      // 100-token context packs via a running token total. Packing is PER
+      // SHARD — the window partitions on a deterministic key arithmetic, so
+      // the sort is distributed (no single-partition WindowExec) and each
+      // shard packs independently, which is exactly how a 1000-executor run
+      // would do it. Pack ids are globally unique via shard * offset +
+      // local pack; the oracle reproduces the identical shard arithmetic.
+      val nShards = 8L
       val chunks = chunkDocs(s, dir)
+        .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("long"))
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
         .orderBy(col("doc_id"), col("chunk_idx"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       chunks
         .withColumn("n_tok", size(split(col("chunk_text"), " ")).cast("long"))
         .withColumn("pack_id",
-          floor((sum(col("n_tok")).over(w) - col("n_tok")) / 100.0).cast("long"))
-        .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("pack_id"))
+          (col("shard") * 1000000L +
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / 100.0)).cast("long"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("shard"), col("pack_id"))
         .orderBy("doc_id", "chunk_idx")
     }),
 
@@ -552,6 +574,50 @@ object SparkEntry {
           windows, col("win_start"), col("win_end"), "user_id", 15)
         .select(col("event_id").as("p_event_id"), col("s_id"))
         .orderBy("p_event_id", "s_id")
+    }),
+
+    "q51_pivot_hours" -> ((s, dir) => {
+      // the reference's true wide pivot (notebooks/citibike_ck.ipynb:419):
+      // pivot_table(values='available_bikes', index='hood',
+      // columns=['hour_of_day']) → one column per hour, 24 of them. Pivot
+      // values are PINNED (0..23) so Spark skips the extra distinct-values
+      // job and plans a single-shuffle conditional aggregation.
+      val pivoted = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot(hour(col("ts")), (0 to 23))
+        .agg(NumFns.roundHalfUp(avg(col("value")), 4))
+      (0 to 23).foldLeft(pivoted)((df, h) =>
+          df.withColumnRenamed(h.toString, f"h$h%02d"))
+        .orderBy("user_id")
+    }),
+
+    "q52_dedup_jaccard_capped" -> ((s, dir) => {
+      // the df-capped jaccard as a driver-checked contract entry: shingles
+      // seen in more than 50 docs are excluded from candidate generation
+      // (bounding per-key join fan-out at 100 TB); sizes still count ALL
+      // shingles, so the score is a guaranteed lower bound of q22's.
+      Dedup.ngramJaccardPairsCapped(T(s, dir, "documents"), col("doc_id"), col("text"),
+          3, 0.5, maxDocFreq = 50L, persistIndex = true)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q53_upsert_scd" -> ((s, dir) => {
+      // write-side upsert driven end to end (reference stations_static
+      // insert-or-update): seed a keyed parquet table with half the events,
+      // upsert the other half, read the table back. The final state must
+      // equal the q20 read-side SCD collapse — the oracle IS q20's SQL.
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val version = Seq(col("ts"), col("event_id"))
+      val path = java.nio.file.Files.createTempDirectory("graft_upsert_")
+        .resolve("events_current").toString
+      Writers.upsert(s, path, ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        Seq("user_id"), version)
+      Writers.upsert(s, path, ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        Seq("user_id"), version)
+      s.read.parquet(path)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
     })
   )
 
@@ -922,9 +988,11 @@ object SparkEntry {
         |  array_to_string(words[i*10+1 : i*10+20], ' ') AS chunk_text
         | FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i) t),
         |tk AS (SELECT doc_id, chunk_idx,
-        |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tok FROM c)
-        |SELECT doc_id, chunk_idx, n_tok,
-        | CAST(floor((sum(n_tok) OVER (ORDER BY doc_id, chunk_idx
+        |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(doc_id % 8 AS BIGINT) AS shard FROM c)
+        |SELECT doc_id, chunk_idx, n_tok, shard,
+        | CAST(shard * 1000000 + floor((sum(n_tok) OVER (PARTITION BY shard
+        |   ORDER BY doc_id, chunk_idx
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 100.0) AS BIGINT) AS pack_id
         |FROM tk ORDER BY doc_id, chunk_idx""".stripMargin,
 
@@ -965,6 +1033,39 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
         | ON p.user_id = s.user_id AND s.ts <= p.ts AND p.ts < s.ts + INTERVAL 45 MINUTE
-        |ORDER BY p_event_id, s_id""".stripMargin
+        |ORDER BY p_event_id, s_id""".stripMargin,
+
+    "q51_pivot_hours" -> {
+      val hourCols = (0 to 23).map(h =>
+        f"floor(avg(CASE WHEN hour(ts) = $h THEN value END) * 10000.0 + 0.5) / 10000.0 AS h$h%02d")
+        .mkString(",\n ")
+      s"""SELECT user_id,
+         | $hourCols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "q52_dedup_jaccard_capped" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        | WHERE df <= 50),
+        |bl AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common_rare
+        | FROM bl a JOIN bl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT doc_a, doc_b,
+        |  floor(CAST(n_common_rare AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common_rare) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        | FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q53_upsert_scd" ->
+      """SELECT user_id, event_id, event_type FROM (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

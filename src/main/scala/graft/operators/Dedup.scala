@@ -9,8 +9,26 @@ import org.apache.spark.sql.functions._
   * All pairwise variants are *blocked* joins (shingle / band / bucket keys) —
   * never an unbounded cross join; block fan-out is bounded so the shuffle
   * stays balanced at 100 TB (AQE skew handling on top).
+  *
+  * Cache lifecycle: operators that persist an internal index (the inverted
+  * shingle/band table feeds several plan branches) materialize their — much
+  * smaller — result via `localCheckpoint()` and release the index before
+  * returning, so a long session running many operators never accumulates
+  * corpus-sized cached datasets. The returned DataFrame is therefore EAGER
+  * when an index was persisted; its backing blocks are dropped by the
+  * ContextCleaner once the DataFrame is garbage-collected.
   */
 object Dedup {
+
+  /** Materialize `result` (one job), then drop the operator's internal
+    * caches. The checkpoint truncates lineage, so the released caches are
+    * never re-read through the returned plan.
+    */
+  private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    caches.foreach(_.unpersist(false))
+    out
+  }
 
   /** Exact dedup: hash-groupBy on content, keep the minimum id as keeper.
     * One shuffle on the content hash; at scale, group on xxhash64(text)
@@ -35,7 +53,7 @@ object Dedup {
         explode(TextFns.shingles(text, n)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     // the inverted index feeds both join sides AND the size table; caching it
-    // avoids shingling the corpus three times (cache is LRU-evicted)
+    // avoids shingling the corpus three times
     val sh = if (persistIndex) shRaw.persist() else shRaw
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
@@ -47,7 +65,7 @@ object Dedup {
     // scale it must shuffle-join (Catalyst/AQE still broadcasts when small);
     // jaccard rounds via the engine-exact formula (Spark round() diverges
     // from binary-rounding engines on ratios like 57/800)
-    pairs
+    val result = pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -55,6 +73,7 @@ object Dedup {
           (col("sa.n_sh") + col("sb.n_sh") - col("n_common")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    if (persistIndex) materializeAndRelease(result, sh) else result
   }
 
   /** [[ngramJaccardPairs]] with a document-frequency cap on the blocking
@@ -71,11 +90,13 @@ object Dedup {
     */
   def ngramJaccardPairsCapped(docs: DataFrame, id: Column, text: Column,
                               n: Int, minJaccard: Double,
-                              maxDocFreq: Long): DataFrame = {
-    val sh = docs
+                              maxDocFreq: Long,
+                              persistIndex: Boolean = false): DataFrame = {
+    val shRaw = docs
       .select(id.as("doc_id"), explode(TextFns.shingles(text, n)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-      .persist()
+    // the index feeds FOUR branches here (sizes, df counts, both join sides)
+    val sh = if (persistIndex) shRaw.persist() else shRaw
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
@@ -86,13 +107,13 @@ object Dedup {
         col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common_rare"))
-    // n_common over capped shingles underestimates the true intersection, so
-    // recompute the exact intersection per surviving candidate pair via a
-    // semi-structured re-join ... is corpus-quadratic again. Instead keep the
-    // conservative estimate: jaccard_lower <= true jaccard, so a pair passing
-    // minJaccard on the lower bound is guaranteed a true near-dup; borderline
-    // pairs whose overlap hides in capped shingles need the exact variant.
-    pairs
+    // n_common over capped shingles underestimates the true intersection;
+    // recomputing the exact intersection per surviving pair would be
+    // corpus-quadratic again. Keep the conservative estimate instead:
+    // jaccard_lower <= true jaccard, so a pair passing minJaccard on the
+    // lower bound is guaranteed a true near-dup; borderline pairs whose
+    // overlap hides in capped shingles need the exact variant.
+    val result = pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -100,17 +121,24 @@ object Dedup {
           (col("sa.n_sh") + col("sb.n_sh") - col("n_common_rare")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    if (persistIndex) materializeAndRelease(result, sh) else result
   }
 
   /** MinHash+LSH candidate pairs: signature → bands → join docs sharing a
     * band bucket → estimate Jaccard as signature agreement. The band bucket
     * is the blocking key; numPerms/rowsPerBand tune recall vs fan-out.
+    *
+    * A bucket-size cap implies persistence of the banded index: the cap adds
+    * a bucket-count aggregate over it, and recomputing the full
+    * shingle+minhash pipeline three times would cost more than the quadratic
+    * join the cap avoids.
     */
   def minhashLshPairs(docs: DataFrame, id: Column, text: Column,
                       shingleN: Int, numPerms: Int, rowsPerBand: Int,
                       minEstJaccard: Double,
                       persistIndex: Boolean = false,
                       maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val capped = maxBucketSize != Long.MaxValue
     val signed = docs
       .select(id.as("doc_id"), TextFns.shingles(text, shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -118,7 +146,8 @@ object Dedup {
     val bandedRaw = signed
       .select(col("doc_id"), col("sig"),
         explode(HashFns.bandKeys(col("sig"), numPerms, rowsPerBand)).as("bk"))
-    val bandedAll = if (persistIndex) bandedRaw.persist() else bandedRaw
+    val doPersist = persistIndex || capped
+    val bandedAll = if (doPersist) bandedRaw.persist() else bandedRaw
     // optional bucket-size cap — the 100 TB guard for dup cliques: a band
     // bucket holding f docs yields f(f-1)/2 candidates, and a 10^4-wide
     // clique of boilerplate docs would emit 5·10^7 pairs from one bucket.
@@ -126,7 +155,7 @@ object Dedup {
     // first (cheap, linear) and cap here, instead of paying the quadratic
     // join. Cap = MaxValue (default) keeps the operator exact.
     val banded =
-      if (maxBucketSize == Long.MaxValue) bandedAll
+      if (!capped) bandedAll
       else bandedAll.join(
         bandedAll.groupBy(col("bk")).agg(count(lit(1)).as("bkn"))
           .filter(col("bkn") <= maxBucketSize).select(col("bk")),
@@ -137,96 +166,103 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val result = cand
       .select(col("doc_a"), col("doc_b"),
         round(HashFns.signatureAgreement(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+    if (doPersist) materializeAndRelease(result, bandedAll) else result
   }
 
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit bands as blocking
     * keys (hamming ≤ 3 guarantees a shared band; we filter hamming ≤ maxHam
     * after candidate generation).
     */
-  def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHam: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHam: Int,
+                   persistIndex: Boolean = false): DataFrame = {
     val signed = docs.select(id.as("doc_id"),
       NativeFns.simhash(TextFns.tokens(text)).as("sim"))
-    val banded = signed.select(col("doc_id"), col("sim"),
+    val bandedRaw = signed.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), HashFns.simhashBand(col("sim"), b).as("key"))): _*))
         .as("bk"))
-    banded.as("a")
+    val banded = if (persistIndex) bandedRaw.persist() else bandedRaw
+    val result = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         HashFns.hamming(col("a.sim"), col("b.sim")).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHam)
+    if (persistIndex) materializeAndRelease(result, banded) else result
   }
 
   /** Collapse a near-dup pair graph into components: every node gets the
     * minimum doc id reachable from it (well-defined and engine-independent).
-    * Iterative min-label propagation — each round is one join + one
-    * aggregation, rounds bounded by the component diameter (near-dup
-    * clusters are shallow; Large-Star/Small-Star would cut rounds to
-    * O(log d) at extreme scale). The driver-side loop iterates over ROUNDS,
-    * never over rows.
+    *
+    * Iterative min-label propagation with pointer-doubling path compression
+    * (rounds = O(log diameter)), fused so each round is ONE logical plan —
+    * neighbor-min relax AND a compress hop through the previous round's
+    * labels — materialized by a single `localCheckpoint()` job. The compress
+    * hop reads the *previous* round's labels (one round stale); that is safe
+    * because labels only decrease and label(x) ≤ x is invariant, so a stale
+    * hop can never overshoot the component minimum — it just compresses one
+    * round later. Convergence is checked every `checkEvery` rounds (a count
+    * over the already-materialized checkpoint — no shuffle); a stale check
+    * only costs idempotent extra rounds. Each round unpersists the previous
+    * round's checkpoint, so peak storage is two label tables + the edge list.
+    *
+    * The driver-side loop iterates over ROUNDS, never over rows. (On a real
+    * cluster use reliable checkpoint() if executor loss must be survivable
+    * mid-algorithm.)
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
-    // undirected edge list, both directions — cached: every propagation
-    // round joins against it, and without the cache each round would
-    // re-execute the full upstream pair pipeline
-    // localCheckpoint (not persist): truncates lineage, so each round's plan
-    // is a join over two flat in-memory tables instead of a tree that embeds
-    // the whole upstream pair pipeline k times — in iterative loops the
-    // re-analysis/re-optimization of that growing tree, not the tiny data,
-    // is what dominates. (On a real cluster use reliable checkpoint() if
-    // executor loss must be survivable mid-algorithm.)
+                          maxIters: Int = 20, checkEvery: Int = 2): DataFrame = {
+    // undirected edge list, both directions — checkpointed: every round
+    // joins against it, and without materialization each round would
+    // re-execute the full upstream pair pipeline. No distinct(): min-agg
+    // propagation is idempotent under duplicate edges.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
       .localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .withColumn("old_label", col("node"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
+      val prev = labels
       val neighborMin = edges
         .join(labels, edges("src") === labels("node"))
-        .groupBy(col("dst").as("node2"))
+        .groupBy(col("dst").as("n2"))
         .agg(min(col("label")).as("nbr_label"))
-      // checkpointed: the compression self-join below reads it from both
-      // sides — without materialization each side would recompute the relax
-      val relaxed = labels
-        .join(neighborMin, labels("node") === col("node2"), "left")
-        .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val lookup = labels.select(col("node").as("p_node"), col("label").as("p_label"))
+      labels = labels
+        .join(neighborMin, labels("node") === col("n2"), "left")
+        .select(col("node"), col("label").as("prev_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
+        .join(lookup, col("l1") === col("p_node"), "left")
+        .select(col("node"), col("prev_label").as("old_label"),
+          least(col("l1"), coalesce(col("p_label"), col("l1"))).as("label"))
+        .select(col("node"), col("label"), col("old_label"))
         .localCheckpoint()
-      // path compression (pointer doubling): label := label's own label.
-      // Cuts convergence from O(diameter) to O(log diameter) rounds — on a
-      // chain of 2^10 nodes that is 10 rounds instead of 1024.
-      val next = relaxed.as("x")
-        .join(relaxed.select(col("node").as("l_node"), col("label").as("l_label")).as("y"),
-          col("x.label") === col("y.l_node"), "left")
-        .select(col("x.node").as("node"), col("x.old_label").as("old_label"),
-          least(col("x.label"), coalesce(col("y.l_label"), col("x.label"))).as("label"))
-        .localCheckpoint()
-      // convergence check over the materialized checkpoint — no extra join
-      // against the previous round's labels
-      val changed = next.filter(col("label") =!= col("old_label")).count()
-      labels = next.select(col("node"), col("label"))
-      converged = changed == 0
       iter += 1
+      if (iter % checkEvery == 0 || iter >= maxIters) {
+        // cheap: a filter over the materialized checkpoint, no shuffle
+        converged = labels.filter(col("label") =!= col("old_label")).isEmpty
+      }
+      prev.unpersist(false)
       if (verbose) System.err.println(
-        f"[cc] round $iter: changed=$changed, ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        f"[cc] round $iter: converged=$converged, ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (!converged) {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           "(component diameter exceeds maxIters) — raise maxIters")
     }
+    edges.unpersist(false)
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -22,6 +22,9 @@ object Relational {
     * never shuffled.
     */
   def mixEpochs(docs: DataFrame, id: Column, grp: Column, maxRepeat: Int): DataFrame = {
+    // maxRepeat = 0 would make n_rep 0 and sequence(1, 0) silently emit a
+    // DESCENDING [1, 0] (Spark defaults the step to -1), i.e. a bogus epoch 0
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
     val counts = docs.groupBy(grp.as("grp")).agg(count(lit(1)).as("n_grp"))
     val weights = counts
       .withColumn("max_n", max(col("n_grp")).over(Window.partitionBy()))

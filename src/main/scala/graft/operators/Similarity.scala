@@ -31,23 +31,58 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Coarse quantizer for [[ivfTopK]]: Lloyd k-means with deterministic
+    * seeding (first `k` corpus vectors by id — no RNG, so specs and reruns
+    * are stable). Each iteration is one broadcast assignment pass over the
+    * corpus plus one element-wise mean (posexplode → groupBy (cell, dim) —
+    * a corpus×dim shuffle, but of scalars, and at 100 TB the quantizer is
+    * trained on a fixed-size sample, not the full corpus). Cells that end an
+    * iteration empty simply drop out (standard Lloyd behavior); intermediate
+    * centroid tables are checkpointed per iteration and released.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    var cent = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cell_id"),
+        col(vecCol).cast("array<float>").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val prev = cent
+      val assigned = corpus.as("c")
+        .join(broadcast(cent))
+        .groupBy(col(s"c.$idCol").as("nid"))
+        .agg(max_by(struct(col("cell_id"), col(s"c.$vecCol").as("v")),
+          struct(NativeFns.cosineSim(col(s"c.$vecCol"), col("cvec")).as("sim"),
+            (-col("cell_id")).as("tb"))).as("best"))
+        .select(col("best.cell_id").as("cell_id"), col("best.v").as("v"))
+      cent = assigned
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e("m").cast("float")).as("cvec"))
+        .localCheckpoint()
+      prev.unpersist(false)
+    }
+    cent
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into cells around coarse
     * centroids; a query probes only its `nProbe` nearest cells. The classic
     * FAISS-style scale path: assignment is one broadcast pass over the corpus
     * (centroid count is small by construction), search touches
     * ~nProbe/numCells of the corpus instead of all of it.
     *
-    * The coarse quantizer here is deterministic — the first `numCells` corpus
-    * vectors by id — so specs and reruns are stable with no RNG and no
-    * training loop. A k-means quantizer would balance cells better at equal
-    * recall; the operator shape (assign → invert → probe → score) is
-    * unchanged by that substitution.
+    * The coarse quantizer is [[kmeansCentroids]] — deterministic first-N
+    * seeding refined by `kmeansIters` Lloyd iterations (0 keeps the raw
+    * seeds). The operator shape (assign → invert → probe → score) is
+    * independent of the quantizer quality.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numCells: Int, nProbe: Int): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(numCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+              numCells: Int, nProbe: Int, kmeansIters: Int = 0): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCells, kmeansIters)
     // assignment: nearest centroid per corpus vector. Broadcast nested-loop
     // against the tiny centroid table, then a map-side-combinable max_by —
     // the corpus is never shuffled on anything wider than its own id.

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink surfaces. At 100 TB the write layout IS the read plan of every
@@ -25,6 +25,74 @@ object Writers {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Write-side upsert (the reference's stations_static insert-or-update:
+    * README.md "Stations-Static"): the parquet directory at `path` holds ONE
+    * row per key — the latest by `version` — and `upsert` merges a batch of
+    * updates into it. Merge-by-rewrite: read current ∪ updates → SCD-latest
+    * collapse → write to a staging directory → atomic directory swap, so a
+    * reader never sees a half-written table and the job never reads the
+    * directory it is overwriting. Idempotent: re-ingesting the same batch is
+    * a no-op. (At 100 TB you would scope the rewrite to the partitions the
+    * batch touches — see [[upsertPartitioned]] — or use a table format with
+    * native MERGE; the collapse semantics are identical.)
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             keys: Seq[String], version: Seq[Column]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val merged =
+      if (java.nio.file.Files.exists(dir))
+        spark.read.parquet(path).unionByName(updates.select(spark.read.parquet(path).columns.map(col).toIndexedSeq: _*))
+      else updates
+    val latest = graft.operators.Relational.latestPerKey(merged, keys.map(col), version)
+    val staging = path + ".staging"
+    latest.write.mode("overwrite").parquet(staging)
+    val tmpOld = java.nio.file.Paths.get(path + ".old")
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.move(dir, tmpOld,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), dir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (java.nio.file.Files.exists(tmpOld)) {
+      // best-effort cleanup of the displaced generation
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpOld).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Upsert scoped to the hive partitions the batch touches: with dynamic
+    * partition-overwrite only directories containing updated keys are
+    * rewritten — the 100 TB path (a batch touching 3 of 10⁴ date partitions
+    * rewrites 3). Requires the updates to carry the partition column; the
+    * per-partition collapse joins current rows of ONLY those partitions.
+    * The partition column is implicitly part of the key: uniqueness is
+    * per (partition, keys) — rows never move between partitions, which is
+    * what makes the partition-scoped rewrite sound.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                        keys: Seq[String], version: Seq[Column],
+                        partitionCol: String): Unit = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      graft.operators.Relational.latestPerKey(updates, keys.map(col), version)
+        .write.partitionBy(partitionCol).parquet(path)
+      return
+    }
+    val touched = updates.select(partitionCol).distinct()
+    val current = spark.read.parquet(path)
+      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+      // materialize before the overwrite: dynamic partition-overwrite deletes
+      // the very files this branch reads
+      .localCheckpoint()
+    val merged = graft.operators.Relational.latestPerKey(
+      current.unionByName(updates.select(current.columns.map(col).toIndexedSeq: _*)),
+      keys.map(col), version)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
 
   /** Single-directory CSV/JSON exports (the reference's to_csv / json.dumps
     * outputs — README.md:660, notebooks/CitiBike-1.ipynb nearby_stations).

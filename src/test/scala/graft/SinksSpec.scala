@@ -35,6 +35,58 @@ class SinksSpec extends GraftSuite {
     assert(joined.count() == ev.count())
   }
 
+  test("upsert: re-ingest of changed keys reproduces the SCD-latest collapse; idempotent") {
+    import graft.operators.Relational
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert")
+      .resolve("events_current").toString
+    val ev = Readers.table(spark, sf, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+    val version = Seq(col("ts"), col("event_id"))
+    Writers.upsert(spark, path, ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      Seq("user_id"), version)
+    Writers.upsert(spark, path, ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      Seq("user_id"), version)
+    val expected = Relational.latestPerKey(ev, Seq(col("user_id")), version)
+      .select("user_id", "event_id", "event_type")
+    val got = spark.read.parquet(path).select("user_id", "event_id", "event_type")
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0,
+      "upserted table diverges from the q20 read-side SCD collapse")
+    // idempotence: replaying the same batch must not change the table
+    Writers.upsert(spark, path, ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      Seq("user_id"), version)
+    val again = spark.read.parquet(path).select("user_id", "event_id", "event_type")
+    assert(again.count() == expected.count() && again.exceptAll(expected).count() == 0)
+  }
+
+  test("upsertPartitioned rewrites only the partitions the batch touches") {
+    import graft.operators.Relational
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert-part")
+      .resolve("events_by_type").toString
+    val ev = Readers.table(spark, sf, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+    val version = Seq(col("ts"), col("event_id"))
+    Writers.upsertPartitioned(spark, path, ev.filter(col("event_type") =!= "purchase"),
+      Seq("user_id"), version, "event_type")
+    // snapshot an untouched partition's file listing
+    def listing(part: String): Seq[String] = {
+      val d = java.nio.file.Paths.get(path, s"event_type=$part")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    }
+    val clickBefore = listing("click")
+    Writers.upsertPartitioned(spark, path, ev.filter(col("event_type") === "purchase"),
+      Seq("user_id"), version, "event_type")
+    assert(listing("click") == clickBefore,
+      "a batch touching only 'purchase' must not rewrite the 'click' partition")
+    // per-partition collapse: latest per (key) within each touched partition
+    val expected = Relational.latestPerKey(ev.filter(col("event_type") === "purchase"),
+      Seq(col("user_id")), version).select("user_id", "event_id")
+    val got = spark.read.parquet(path).filter(col("event_type") === "purchase")
+      .select("user_id", "event_id")
+    assert(got.count() == expected.count() && got.exceptAll(expected).count() == 0)
+  }
+
   test("csv and json round-trip") {
     val out1 = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val out2 = java.nio.file.Files.createTempDirectory("graft-json").toString
