@@ -618,6 +618,36 @@ object SparkEntry {
       s.read.parquet(path)
         .select(col("user_id"), col("event_id"), col("event_type"))
         .orderBy("user_id")
+    }),
+
+    "q54_chunk_dedup" -> ((s, dir) => {
+      // sequence-level exact dedup (Lee et al. 2022 "Deduplicating Training
+      // Data Makes Language Models Better"): repeated 20-token spans are
+      // removed at CHUNK granularity — boilerplate survives document-level
+      // dedup (q21) but not this. Per-doc rollup of kept vs dropped chunks.
+      Dedup.firstOccurrenceFlags(chunkDocs(s, dir), col("chunk_text"),
+          Seq(col("doc_id"), col("chunk_idx")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("is_first").cast("long")).as("n_kept"),
+          sum((!col("is_first")).cast("long")).as("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    "q55_token_budget" -> ((s, dir) => {
+      // per-source token-budget capping: keep each source's docs in doc_id
+      // order until the source's running token total exceeds the budget —
+      // the exact-cutoff companion to q46's rate-based sampling. The running
+      // total is a distributed two-level prefix scan (Relational.prefixSum),
+      // not a one-partition-per-source window.
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      Relational.prefixSum(docs, col("source"), col("doc_id"), col("n_tok"),
+          bucketWidth = 64, cumName = "cum_tok")
+        .filter(col("cum_tok") <= 800L)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1066,6 +1096,28 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type FROM (
         | SELECT user_id, event_id, event_type,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q54_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(words[i*10+1 : i*10+20], ' ') AS chunk_text
+        | FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i) t),
+        |r AS (SELECT doc_id, chunk_idx,
+        |  row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+        | FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q55_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok FROM documents),
+        |r AS (SELECT doc_id, source, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tok
+        | FROM t)
+        |SELECT doc_id, source, n_tok, cum_tok FROM r
+        |WHERE cum_tok <= 800 ORDER BY doc_id""".stripMargin
   )
 }

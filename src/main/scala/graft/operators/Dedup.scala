@@ -266,6 +266,32 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Sequence-level (chunk) exact dedup: flag, for every row, whether it is
+    * the FIRST occurrence of its content in `order`-order — the
+    * training-data pass that removes repeated spans at sequence granularity
+    * rather than whole-document granularity (boilerplate, licenses, quoted
+    * text survive document-level dedup but not this).
+    *
+    * Shape chosen for dup-clique skew: a groupBy on the 8-byte content hash
+    * (map-side partial min collapses each partition's copies of a clique to
+    * one row before the shuffle) plus a hash-keyed join back — NOT a
+    * row_number window, whose single sorted partition per content value
+    * cannot be split by AQE when one span repeats 10⁶ times. The join's
+    * build side has one row per distinct content, so clique fan-out on the
+    * stream side is 1:1.
+    */
+  def firstOccurrenceFlags(rows: DataFrame, content: Column,
+                           order: Seq[Column]): DataFrame = {
+    val withH = rows.withColumn("_ch", xxhash64(content))
+    // struct comparison is lexicographic, so min(struct(order…)) is the
+    // first occurrence under the caller's ordering
+    val keepers = withH.groupBy(col("_ch"))
+      .agg(min(struct(order: _*)).as("_keeper"))
+    withH.join(keepers, "_ch")
+      .withColumn("is_first", struct(order: _*) === col("_keeper"))
+      .drop("_ch", "_keeper")
+  }
+
   /** Benchmark decontamination: count, per non-held-out document, the
     * distinct word n-grams it shares with ANY held-out document. The
     * train-set hygiene pass before an LLM run — a doc with n_hits > 0

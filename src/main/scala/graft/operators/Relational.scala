@@ -160,6 +160,41 @@ object Relational {
       .drop("t1", "t2", "t3")
   }
 
+  /** Distributed running total (prefix scan) per `part` group, ordered by a
+    * numeric `ord` — the scale-correct form of
+    * `sum(w) OVER (PARTITION BY part ORDER BY ord)`.
+    *
+    * A plain window puts each group in ONE sorted partition, so a dominant
+    * group (one source holding half a 100 TB corpus) serializes on a single
+    * task. This runs the classic two-level scan instead: (1) per-(part,
+    * bucket) sums, bucket = floor(ord / bucketWidth) — one balanced
+    * shuffle; (2) exclusive cumulative offsets across buckets — a window
+    * over the tiny #buckets×#parts table; (3) join the offsets back and
+    * run the intra-bucket running sum — a window whose partitions are
+    * bounded by bucketWidth rows, regardless of group skew.
+    *
+    * Rows are unchanged; `cumName` holds the inclusive running total.
+    * `ord` must be unique within `part` for a well-defined total order
+    * (same requirement the plain window has).
+    */
+  def prefixSum(df: DataFrame, part: Column, ord: Column, weight: Column,
+                bucketWidth: Long, cumName: String = "cum"): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val b = df.withColumn("_bkt", floor(ord / lit(bucketWidth)).cast("long"))
+    val bucketSums = b.groupBy(part.as("_p"), col("_bkt").as("_obkt"))
+      .agg(sum(weight.cast("long")).as("_bsum"))
+    val offsets = bucketSums
+      .withColumn("_off",
+        sum(col("_bsum")).over(Window.partitionBy(col("_p")).orderBy(col("_obkt")))
+          - col("_bsum"))
+      .select(col("_p"), col("_obkt"), col("_off"))
+    b.join(offsets, part === col("_p") && col("_bkt") === col("_obkt"))
+      .withColumn(cumName,
+        col("_off") + sum(weight.cast("long"))
+          .over(Window.partitionBy(part, col("_bkt")).orderBy(ord)))
+      .drop("_bkt", "_p", "_obkt", "_off")
+  }
+
   /** Null-rate / distinct profile per column (reference df.info() checks).
     * One pass over the data: all per-column aggregates in a single projection,
     * then unpivoted via stack — never one job per column.

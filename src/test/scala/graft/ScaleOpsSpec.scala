@@ -32,6 +32,46 @@ class ScaleOpsSpec extends GraftSuite {
     assert(got.filter($"rnk" =!= 1).count() == 0)
   }
 
+  test("prefixSum equals the single-window running total, at any bucket width") {
+    val docs = Readers.table(spark, sf, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val expected = docs.withColumn("cum",
+      sum($"n_chars").over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")))
+    for (w <- Seq(1L, 7L, 64L, 1000000L)) {
+      val got = Relational.prefixSum(docs, $"source", $"doc_id", $"n_chars", w)
+      assert(got.count() == docs.count(), s"width $w changed row count")
+      assert(got.exceptAll(expected.select(got.columns.map(col).toIndexedSeq: _*)).count() == 0,
+        s"width $w diverges from the window running total")
+    }
+  }
+
+  test("prefixSum intra-bucket window partitions are bounded by bucketWidth") {
+    // the point of the scan: no window partition ever exceeds the bucket
+    // width, regardless of how skewed the group sizes are
+    val skewed = Readers.table(spark, sf, "documents")
+      .select($"doc_id", lit("one_source").as("source"), $"n_chars")
+    val got = Relational.prefixSum(skewed, $"source", $"doc_id", $"n_chars", 32L)
+    val expected = skewed.withColumn("cum",
+      sum($"n_chars").over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")))
+    assert(got.exceptAll(expected.select(got.columns.map(col).toIndexedSeq: _*)).count() == 0)
+  }
+
+  test("firstOccurrenceFlags marks exactly one keeper per distinct content") {
+    val docs = Readers.table(spark, sf, "documents").select($"doc_id", $"text")
+    val flagged = graft.operators.Dedup.firstOccurrenceFlags(
+      docs, $"text", Seq($"doc_id"))
+    assert(flagged.count() == docs.count())
+    // exactly one is_first per distinct text, and it is the min doc_id
+    val perContent = flagged.groupBy($"text")
+      .agg(sum($"is_first".cast("long")).as("n_first"),
+        min($"doc_id").as("min_id"),
+        min(when($"is_first", $"doc_id")).as("first_id"))
+    assert(perContent.filter($"n_first" =!= 1L).count() == 0)
+    assert(perContent.filter($"min_id" =!= $"first_id").count() == 0)
+  }
+
   test("groupedJson emits the nearby_stations.json shape") {
     val pairs = Seq((72L, 480L, 0.28), (72L, 508L, 0.48), (79L, 146L, 0.37))
       .toDF("id_a", "id_b", "dist_km")
