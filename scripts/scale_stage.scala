@@ -10,12 +10,9 @@ val s = graft.SparkTestBase.spark
 import s.implicits._
 s.sparkContext.setLogLevel("ERROR")
 
-val base = graft.sources.Readers.table(s, "/root/testdata/sf0.1", "documents")
-  .select($"doc_id", $"text", $"source", $"n_chars")
-val staged = (0 until 10).map(i =>
-    base.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text", $"source", $"n_chars"))
-  .reduce(_ unionByName _)
-  .repartition(32).localCheckpoint()
+val base = graft.sources.Readers.table(s, "/root/testdata/sf0.1", "documents").select($"doc_id", $"text", $"source", $"n_chars")
+// NOTE: single line — the piped REPL treats a leading-dot line as a new statement
+val staged = (0 until 10).map(i => base.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"), $"text", $"source", $"n_chars")).reduce(_ unionByName _).repartition(32).localCheckpoint()
 println(s"staged docs: ${staged.count()}")
 
 def time(name: String)(f: => Unit): Unit = {

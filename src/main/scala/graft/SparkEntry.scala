@@ -516,8 +516,11 @@ object SparkEntry {
       // SHARD — the window partitions on a deterministic key arithmetic, so
       // the sort is distributed (no single-partition WindowExec) and each
       // shard packs independently, which is exactly how a 1000-executor run
-      // would do it. Pack ids are globally unique via shard * offset +
-      // local pack; the oracle reproduces the identical shard arithmetic.
+      // would do it. Pack ids are globally unique via shard * 2^40 + local
+      // pack — 2^40 local packs ≈ 10^14 tokens per shard before collision,
+      // comfortably past the 100 TB design point (a 10^6 offset would alias
+      // across shards at ~10^8 tokens); the oracle reproduces the identical
+      // shard arithmetic.
       val nShards = 8L
       val chunks = chunkDocs(s, dir)
         .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("long"))
@@ -528,7 +531,7 @@ object SparkEntry {
       chunks
         .withColumn("n_tok", size(split(col("chunk_text"), " ")).cast("long"))
         .withColumn("pack_id",
-          (col("shard") * 1000000L +
+          (col("shard") * (1L << 40) +
             floor((sum(col("n_tok")).over(w) - col("n_tok")) / 100.0)).cast("long"))
         .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("shard"), col("pack_id"))
         .orderBy("doc_id", "chunk_idx")
@@ -1021,7 +1024,7 @@ object SparkEntry {
         |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tok,
         |  CAST(doc_id % 8 AS BIGINT) AS shard FROM c)
         |SELECT doc_id, chunk_idx, n_tok, shard,
-        | CAST(shard * 1000000 + floor((sum(n_tok) OVER (PARTITION BY shard
+        | CAST(shard * 1099511627776 + floor((sum(n_tok) OVER (PARTITION BY shard
         |   ORDER BY doc_id, chunk_idx
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 100.0) AS BIGINT) AS pack_id
         |FROM tk ORDER BY doc_id, chunk_idx""".stripMargin,

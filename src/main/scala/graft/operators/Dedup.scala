@@ -5,6 +5,33 @@ import graft.plans.NativeFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** localCheckpoint with RDD-block bookkeeping for iterative operators.
+  * `Dataset.unpersist` is a NO-OP for localCheckpoint'd data: it only
+  * uncaches CacheManager entries, while checkpoint blocks are persisted at
+  * the RDD level and otherwise linger until the ContextCleaner reclaims them
+  * after driver GC — up to maxIters full tables resident at once in a loop.
+  * `tracked` diffs `sparkContext.getPersistentRDDs` around the checkpoint to
+  * capture the registered RDDs; `release` drops their blocks explicitly.
+  * Assumes no concurrent persist activity on the same session between the
+  * two snapshots (operators here run their loops single-threaded).
+  */
+private[operators] object Checkpoints {
+  def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    val added = sc.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }.values.toSeq
+    (out, added)
+  }
+
+  /** Safe only once nothing will re-read the blocks: a localCheckpoint has
+    * truncated lineage, so dropped blocks are unrecoverable by design.
+    */
+  def release(blocks: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+    blocks.foreach(_.unpersist(blocking = false))
+}
+
 /** Deduplication operators for LLM training-data pipelines (SURVEY §2b).
   * All pairwise variants are *blocked* joins (shingle / band / bucket keys) —
   * never an unbounded cross join; block fan-out is bounded so the shuffle
@@ -22,7 +49,9 @@ object Dedup {
 
   /** Materialize `result` (one job), then drop the operator's internal
     * caches. The checkpoint truncates lineage, so the released caches are
-    * never re-read through the returned plan.
+    * never re-read through the returned plan. (The caches here are
+    * `persist()`ed DataFrames, which `unpersist` does release via the
+    * CacheManager — unlike localCheckpoint blocks, see [[Checkpoints]].)
     */
   private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
     val out = result.localCheckpoint()
@@ -208,8 +237,10 @@ object Dedup {
     * hop can never overshoot the component minimum — it just compresses one
     * round later. Convergence is checked every `checkEvery` rounds (a count
     * over the already-materialized checkpoint — no shuffle); a stale check
-    * only costs idempotent extra rounds. Each round unpersists the previous
-    * round's checkpoint, so peak storage is two label tables + the edge list.
+    * only costs idempotent extra rounds. Each round releases the previous
+    * round's checkpoint blocks at the RDD level via [[Checkpoints]]
+    * (`Dataset.unpersist` would be a no-op for them), so peak storage is two
+    * label tables + the edge list.
     *
     * The driver-side loop iterates over ROUNDS, never over rows. (On a real
     * cluster use reliable checkpoint() if executor loss must be survivable
@@ -221,39 +252,42 @@ object Dedup {
     // joins against it, and without materialization each round would
     // re-execute the full upstream pair pipeline. No distinct(): min-agg
     // propagation is idempotent under duplicate edges.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .withColumn("old_label", col("node"))
-      .localCheckpoint()
+    val (edges, edgeBlocks) = Checkpoints.tracked(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var (labels, labelBlocks) = Checkpoints.tracked(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .withColumn("old_label", col("node")))
     var iter = 0
     var converged = false
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
-      val prev = labels
       val neighborMin = edges
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst").as("n2"))
         .agg(min(col("label")).as("nbr_label"))
       val lookup = labels.select(col("node").as("p_node"), col("label").as("p_label"))
-      labels = labels
-        .join(neighborMin, labels("node") === col("n2"), "left")
-        .select(col("node"), col("label").as("prev_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
-        .join(lookup, col("l1") === col("p_node"), "left")
-        .select(col("node"), col("prev_label").as("old_label"),
-          least(col("l1"), coalesce(col("p_label"), col("l1"))).as("label"))
-        .select(col("node"), col("label"), col("old_label"))
-        .localCheckpoint()
+      val (next, nextBlocks) = Checkpoints.tracked(
+        labels
+          .join(neighborMin, labels("node") === col("n2"), "left")
+          .select(col("node"), col("label").as("prev_label"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("l1"))
+          .join(lookup, col("l1") === col("p_node"), "left")
+          .select(col("node"), col("prev_label").as("old_label"),
+            least(col("l1"), coalesce(col("p_label"), col("l1"))).as("label"))
+          .select(col("node"), col("label"), col("old_label")))
+      labels = next
       iter += 1
       if (iter % checkEvery == 0 || iter >= maxIters) {
         // cheap: a filter over the materialized checkpoint, no shuffle
         converged = labels.filter(col("label") =!= col("old_label")).isEmpty
       }
-      prev.unpersist(false)
+      // `next` is materialized (eager checkpoint), so the previous round's
+      // blocks can be dropped — nothing reads them again
+      Checkpoints.release(labelBlocks)
+      labelBlocks = nextBlocks
       if (verbose) System.err.println(
         f"[cc] round $iter: converged=$converged, ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
@@ -262,7 +296,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds " +
           "(component diameter exceeds maxIters) — raise maxIters")
     }
-    edges.unpersist(false)
+    Checkpoints.release(edgeBlocks)
     labels.select(col("node"), col("label").as("component"))
   }
 
@@ -283,13 +317,18 @@ object Dedup {
   def firstOccurrenceFlags(rows: DataFrame, content: Column,
                            order: Seq[Column]): DataFrame = {
     val withH = rows.withColumn("_ch", xxhash64(content))
+    // group on (hash, content), not the hash alone: the hash keys the
+    // shuffle, but a 64-bit collision would otherwise mark a UNIQUE chunk
+    // as a duplicate — deleted data, unlike the pair-generation joins where
+    // a collision only adds a candidate that is re-scored later. At the
+    // 5·10⁹-chunk scale this operator targets, one collision is odds-on.
     // struct comparison is lexicographic, so min(struct(order…)) is the
-    // first occurrence under the caller's ordering
-    val keepers = withH.groupBy(col("_ch"))
+    // first occurrence under the caller's ordering.
+    val keepers = withH.groupBy(col("_ch").as("_kh"), content.as("_ct"))
       .agg(min(struct(order: _*)).as("_keeper"))
-    withH.join(keepers, "_ch")
+    withH.join(keepers, col("_ch") === col("_kh") && content <=> col("_ct"))
       .withColumn("is_first", struct(order: _*) === col("_keeper"))
-      .drop("_ch", "_keeper")
+      .drop("_ch", "_kh", "_ct", "_keeper")
   }
 
   /** Benchmark decontamination: count, per non-held-out document, the

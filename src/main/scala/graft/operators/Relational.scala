@@ -188,7 +188,9 @@ object Relational {
         sum(col("_bsum")).over(Window.partitionBy(col("_p")).orderBy(col("_obkt")))
           - col("_bsum"))
       .select(col("_p"), col("_obkt"), col("_off"))
-    b.join(offsets, part === col("_p") && col("_bkt") === col("_obkt"))
+    // null-SAFE equality: the plain window groups NULL part values together,
+    // and `===` would silently drop every NULL-part row from the inner join
+    b.join(offsets, part <=> col("_p") && col("_bkt") <=> col("_obkt"))
       .withColumn(cumName,
         col("_off") + sum(weight.cast("long"))
           .over(Window.partitionBy(part, col("_bkt")).orderBy(ord)))

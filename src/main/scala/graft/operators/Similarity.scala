@@ -42,12 +42,11 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
-    var cent = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long").as("cell_id"),
-        col(vecCol).cast("array<float>").as("cvec"))
-      .localCheckpoint()
+    var (cent, centBlocks) = Checkpoints.tracked(
+      corpus.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long").as("cell_id"),
+          col(vecCol).cast("array<float>").as("cvec")))
     for (_ <- 0 until iters) {
-      val prev = cent
       val assigned = corpus.as("c")
         .join(broadcast(cent))
         .groupBy(col(s"c.$idCol").as("nid"))
@@ -55,15 +54,18 @@ object Similarity {
           struct(NativeFns.cosineSim(col(s"c.$vecCol"), col("cvec")).as("sim"),
             (-col("cell_id")).as("tb"))).as("best"))
         .select(col("best.cell_id").as("cell_id"), col("best.v").as("v"))
-      cent = assigned
-        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e("m").cast("float")).as("cvec"))
-        .localCheckpoint()
-      prev.unpersist(false)
+      val (next, nextBlocks) = Checkpoints.tracked(
+        assigned
+          .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell_id"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("cell_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            e => e("m").cast("float")).as("cvec")))
+      cent = next
+      // RDD-level release: Dataset.unpersist is a no-op for localCheckpoints
+      Checkpoints.release(centBlocks)
+      centBlocks = nextBlocks
     }
     cent
   }

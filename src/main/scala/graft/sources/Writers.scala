@@ -39,28 +39,44 @@ object Writers {
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              keys: Seq[String], version: Seq[Column]): Unit = {
-    val dir = java.nio.file.Paths.get(path)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    val tmpOld = Paths.get(path + ".old")
+    val stagingDir = Paths.get(path + ".staging")
+    // crash recovery: a previous upsert that died between its two moves left
+    // the live table at `.old` and nothing at `path` — restore it first, or
+    // this call would silently rebuild the table from the new batch alone.
+    if (!Files.exists(dir) && Files.exists(tmpOld)) {
+      Files.move(tmpOld, dir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // stale leftovers (crash after the swap / during the staging write) would
+    // otherwise make the moves below throw FileAlreadyExistsException
+    deleteRecursively(tmpOld)
+    deleteRecursively(stagingDir)
     val merged =
-      if (java.nio.file.Files.exists(dir))
+      if (Files.exists(dir))
         spark.read.parquet(path).unionByName(updates.select(spark.read.parquet(path).columns.map(col).toIndexedSeq: _*))
       else updates
     val latest = graft.operators.Relational.latestPerKey(merged, keys.map(col), version)
-    val staging = path + ".staging"
-    latest.write.mode("overwrite").parquet(staging)
-    val tmpOld = java.nio.file.Paths.get(path + ".old")
-    if (java.nio.file.Files.exists(dir)) {
-      java.nio.file.Files.move(dir, tmpOld,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    latest.write.mode("overwrite").parquet(stagingDir.toString)
+    if (Files.exists(dir)) {
+      Files.move(dir, tmpOld, StandardCopyOption.ATOMIC_MOVE)
     }
-    java.nio.file.Files.move(java.nio.file.Paths.get(staging), dir,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    if (java.nio.file.Files.exists(tmpOld)) {
-      // best-effort cleanup of the displaced generation
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpOld).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    // between the two moves `path` is briefly absent (a plain filesystem has
+    // no atomic directory swap); a crash here is recovered by the `.old`
+    // restore above on the next call
+    Files.move(stagingDir, dir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(tmpOld)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try
+        walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
+    }
 
   /** Upsert scoped to the hive partitions the batch touches: with dynamic
     * partition-overwrite only directories containing updated keys are
@@ -74,8 +90,13 @@ object Writers {
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
                         keys: Seq[String], version: Seq[Column],
                         partitionCol: String): Unit = {
+    // the partition column is part of the collapse key: uniqueness is per
+    // (partition, keys), and collapsing on `keys` alone would keep ONE global
+    // row for a key legally present in several partitions — then dynamic
+    // overwrite of the touched partitions would delete its other rows
+    val fullKey = (keys :+ partitionCol).map(col)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-      graft.operators.Relational.latestPerKey(updates, keys.map(col), version)
+      graft.operators.Relational.latestPerKey(updates, fullKey, version)
         .write.partitionBy(partitionCol).parquet(path)
       return
     }
@@ -87,7 +108,7 @@ object Writers {
       .localCheckpoint()
     val merged = graft.operators.Relational.latestPerKey(
       current.unionByName(updates.select(current.columns.map(col).toIndexedSeq: _*)),
-      keys.map(col), version)
+      fullKey, version)
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)

@@ -186,8 +186,11 @@ class ScaleOpsSpec extends GraftSuite {
     // one Lloyd iteration must not lose recall vs raw seeding (on this
     // synthetic corpus — uniform random embeddings, no cluster structure —
     // it ties; additional iterations shrink centroids toward the sphere
-    // center and hurt, so the contract entry uses exactly one)
-    assert(trained >= seeded,
+    // center and hurt, so the contract entry uses exactly one). Tolerance of
+    // one neighbor (1/50): centroid means come from float sums over
+    // nondeterministically ordered partials, and an exact >= sits on a tie
+    // that a ULP-level difference can flip.
+    assert(trained >= seeded - 1.0 / truth.size - 1e-9,
       s"k-means quantizer recall ($trained) below first-N seeding ($seeded)")
   }
 
@@ -209,6 +212,20 @@ class ScaleOpsSpec extends GraftSuite {
     Dedup.simhashPairs(docs, $"doc_id", $"text", 8, persistIndex = true).count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "an operator left a cached plan in the CacheManager after returning")
+  }
+
+  test("connectedComponents releases per-round checkpoint blocks at the RDD level") {
+    import graft.operators.Dedup
+    val docs = Readers.table(spark, sf, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", 3, 0.5)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b").count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final label table's checkpoint may remain (it backs the
+    // returned DataFrame); per-round checkpoints and the edge list must be
+    // gone — Dataset.unpersist alone would leave one per round
+    assert(after - before <= 1,
+      s"per-round checkpoint blocks leaked: $before persistent RDDs before, $after after")
   }
 
   test("connectedComponents converges on a 64-node chain (pointer doubling, stale compress)") {

@@ -87,6 +87,48 @@ class SinksSpec extends GraftSuite {
     assert(got.count() == expected.count() && got.exceptAll(expected).count() == 0)
   }
 
+  test("upsert recovers the table from a crash between the two swap moves") {
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-crash")
+    val path = base.resolve("t").toString
+    val ev = Readers.table(spark, sf, "events")
+      .select("user_id", "event_id", "event_type", "ts")
+    val version = Seq(col("ts"), col("event_id"))
+    Writers.upsert(spark, path, ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      Seq("user_id"), version)
+    // simulate a crash after `dir -> .old` but before `staging -> dir`:
+    // the live table sits at .old and `path` is absent
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + ".old"))
+    Writers.upsert(spark, path, ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      Seq("user_id"), version)
+    val expected = graft.operators.Relational.latestPerKey(ev, Seq(col("user_id")), version)
+      .select("user_id", "event_id")
+    val got = spark.read.parquet(path).select("user_id", "event_id")
+    assert(got.count() == expected.count() && got.exceptAll(expected).count() == 0,
+      "post-crash upsert lost the displaced generation")
+  }
+
+  test("upsertPartitioned keeps a key that legally exists in several partitions") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert-multi")
+      .resolve("t").toString
+    // uniqueness is per (partition, key): user 7 in two partitions is legal
+    val seed = Seq((7L, 1L, "click", 10L), (7L, 2L, "purchase", 11L))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val version = Seq(col("ts"), col("event_id"))
+    Writers.upsertPartitioned(spark, path, seed, Seq("user_id"), version, "event_type")
+    assert(spark.read.parquet(path).count() == 2,
+      "seed collapsed per key globally instead of per (partition, key)")
+    // a batch touching BOTH partitions must not delete either row
+    val batch = Seq((7L, 3L, "click", 12L), (7L, 4L, "purchase", 13L))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    Writers.upsertPartitioned(spark, path, batch, Seq("user_id"), version, "event_type")
+    val got = spark.read.parquet(path).select("user_id", "event_id", "event_type")
+    assert(got.count() == 2)
+    assert(got.filter($"event_type" === "click").select("event_id").as[Long].head() == 3L)
+    assert(got.filter($"event_type" === "purchase").select("event_id").as[Long].head() == 4L)
+  }
+
   test("csv and json round-trip") {
     val out1 = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val out2 = java.nio.file.Files.createTempDirectory("graft-json").toString
