@@ -94,6 +94,16 @@ object EventsStream {
         col("ref_ts") >= col("ts") - expr(s"INTERVAL $tolerance"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * dimension row (the reference's geocode lookup joined onto the live
+    * feed). The static side is re-planned per micro-batch (so a dim refresh
+    * is picked up) and broadcast when small; unlike the stream-stream
+    * variant this keeps NO join state — the right shape whenever the
+    * enrichment source is a table, not a feed.
+    */
+  def enrichStreamStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Drive a parquet directory through the streaming engine into a memory
     * sink (synchronously, for tests): returns the finished query's table name.
     */

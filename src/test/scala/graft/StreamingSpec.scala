@@ -130,4 +130,25 @@ class StreamingSpec extends GraftSuite {
       assert(kept == distinctProps, s"kept $kept, distinct $distinctProps")
     } finally q.stop()
   }
+
+  test("stream-static enrichment join matches the batch join, stateless") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+    ev.write.mode("overwrite").parquet(staged)
+    // static dim: per-user event count (stands in for the geocode lookup)
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_n"))
+
+    val stream = spark.readStream.schema(EventsStream.eventSchema).parquet(staged)
+    val q = EventsStream.enrichStreamStatic(stream, dim, "user_id")
+      .select(col("event_id"), col("user_n"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+      val batch = ev.join(dim, Seq("user_id"), "left").select(col("event_id"), col("user_n"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0, "stream/batch enrichment mismatch")
+    } finally q.stop()
+  }
 }
