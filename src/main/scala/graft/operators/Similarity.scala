@@ -11,6 +11,48 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Deterministic top-k per query over a (query_id, neighbor_id, cos)
+    * frame: rank over the ROUNDED score with neighbor_id as tiebreaker so
+    * the exact baseline and every ANN variant rank identically (and match
+    * the DuckDB oracle). This contract lives in exactly one place — the
+    * recall specs compare these operators against each other.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id")))
+          .cast("long"))
+      .filter(col("rnk") <= k)
+
+  /** Nearest-centroid cell per corpus vector: broadcast the (small) centroid
+    * table, score, keep the arg-max cell with the lower cell_id winning
+    * ties. Shared by the k-means trainer and the IVF index build so the
+    * quantizer and the index can never disagree on cell membership.
+    * Emits (nid, cell_id[, v] — vector kept when `carryVec`).
+    */
+  private def assignCells(corpus: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String,
+                          carryVec: Boolean): DataFrame = {
+    val best =
+      if (carryVec)
+        max_by(struct(col("cell_id"), col(s"c.$vecCol").as("v")),
+          struct(NativeFns.cosineSim(col(s"c.$vecCol"), col("cvec")).as("sim"),
+            (-col("cell_id")).as("tb"))).as("best")
+      else
+        max_by(struct(col("cell_id")),
+          struct(NativeFns.cosineSim(col(s"c.$vecCol"), col("cvec")).as("sim"),
+            (-col("cell_id")).as("tb"))).as("best")
+    val assigned = corpus.as("c")
+      .join(broadcast(centroids))
+      .groupBy(col(s"c.$idCol").as("nid"))
+      .agg(best)
+    if (carryVec)
+      assigned.select(col("nid"), col("best.cell_id").as("cell_id"), col("best.v").as("v"))
+    else
+      assigned.select(col("nid"), col("best.cell_id").as("cell_id"))
+  }
+
   /** Brute-force cosine top-k: queries × corpus scored pairwise, then
     * row_number per query. The query set is small and broadcast; the corpus
     * is never collected. Ranking is over the *rounded* score with the
@@ -23,12 +65,7 @@ object Similarity {
         col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
         round(NativeFns.cosineSim(col(s"q.$vecCol"), col(s"c.$vecCol")), 4).as("cos"))
-    scored
-      .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("neighbor_id")))
-          .cast("long"))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Coarse quantizer for [[ivfTopK]]: Lloyd k-means with deterministic
@@ -47,13 +84,7 @@ object Similarity {
         .select(col(idCol).cast("long").as("cell_id"),
           col(vecCol).cast("array<float>").as("cvec")))
     for (_ <- 0 until iters) {
-      val assigned = corpus.as("c")
-        .join(broadcast(cent))
-        .groupBy(col(s"c.$idCol").as("nid"))
-        .agg(max_by(struct(col("cell_id"), col(s"c.$vecCol").as("v")),
-          struct(NativeFns.cosineSim(col(s"c.$vecCol"), col("cvec")).as("sim"),
-            (-col("cell_id")).as("tb"))).as("best"))
-        .select(col("best.cell_id").as("cell_id"), col("best.v").as("v"))
+      val assigned = assignCells(corpus, cent, idCol, vecCol, carryVec = true)
       val (next, nextBlocks) = Checkpoints.tracked(
         assigned
           .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -79,21 +110,14 @@ object Similarity {
     * The coarse quantizer is [[kmeansCentroids]] — deterministic first-N
     * seeding refined by `kmeansIters` Lloyd iterations (0 keeps the raw
     * seeds). The operator shape (assign → invert → probe → score) is
-    * independent of the quantizer quality.
+    * independent of the quantizer quality; index build and quantizer share
+    * [[assignCells]], so cell membership is decided by one code path.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numCells: Int, nProbe: Int, kmeansIters: Int = 0): DataFrame = {
     val centroids = kmeansCentroids(corpus, idCol, vecCol, numCells, kmeansIters)
-    // assignment: nearest centroid per corpus vector. Broadcast nested-loop
-    // against the tiny centroid table, then a map-side-combinable max_by —
-    // the corpus is never shuffled on anything wider than its own id.
-    val cells = corpus.as("c")
-      .join(broadcast(centroids))
-      .groupBy(col(s"c.$idCol").as("nid"))
-      .agg(max_by(col("cell_id"),
-        struct(NativeFns.cosineSim(col(s"c.$vecCol"), col("cvec")).as("sim"),
-          (-col("cell_id")).as("tb"))).as("cell_id"))
+    val cells = assignCells(corpus, centroids, idCol, vecCol, carryVec = false)
     val inverted = corpus.join(cells, col(idCol) === col("nid"))
       .select(col("cell_id"), col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     // probe list: nProbe nearest cells per query (queries are small)
@@ -107,15 +131,11 @@ object Similarity {
           .orderBy(col("csim").desc, col("cell_id"))))
       .filter(col("crnk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell_id"))
-    probes.join(inverted, Seq("cell_id"))
+    val scored = probes.join(inverted, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(NativeFns.cosineSim(col("qv"), col("nvec")), 4).as("cos"))
-      .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("neighbor_id")))
-          .cast("long"))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: hash corpus and queries into random-hyperplane
@@ -134,18 +154,16 @@ object Similarity {
           .as("bucket"))
     val c = bucketed(corpus).as("c")
     val q = bucketed(queries).as("q")
-    val cand = q.join(c,
+    // score BEFORE the pair dedup: a pair surfacing in several tables has
+    // the identical score in each, so results are unchanged, and the
+    // dropDuplicates exchange then shuffles three scalars per row instead
+    // of two full embedding vectors (which would dominate the exchange
+    // payload at scale); the duplicate cosine evaluations are map-side
+    val scored = q.join(c,
         col("q.bucket") === col("c.bucket") && col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
-        col(s"q.$vecCol").as("qv"), col(s"c.$vecCol").as("cv"))
+        round(NativeFns.cosineSim(col(s"q.$vecCol"), col(s"c.$vecCol")), 4).as("cos"))
       .dropDuplicates("query_id", "neighbor_id")
-    cand
-      .select(col("query_id"), col("neighbor_id"),
-        round(NativeFns.cosineSim(col("qv"), col("cv")), 4).as("cos"))
-      .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("neighbor_id")))
-          .cast("long"))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, k)
   }
 }

@@ -38,7 +38,13 @@ object TimeSeries {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                carry: Seq[String]): DataFrame = {
     val lTagged = left.withColumn("_is_ref", lit(0))
-    val rTagged = right.withColumn("_is_ref", lit(1))
+    // a reference row with a NULL key or NULL timestamp can match nothing
+    // (no order position, no key group) — drop it, matching the native
+    // AsOfJoinExec, which discards such rows; without this filter a NULL ts
+    // sorts FIRST in the window and leaks its values into every event row
+    // of its (possibly NULL) key group
+    val rTagged = right.filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_is_ref", lit(1))
     val all = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // refs sort before events at identical timestamps (inclusive <= semantics)
     val w = Window.partitionBy(col(key))

@@ -163,10 +163,17 @@ object AsOf {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    val (lk, rk) = (attr(lPlan, key), attr(rPlan, key))
+    val (lt, rt) = (attr(lPlan, ts), attr(rPlan, ts))
+    // the exec builds key/ts orderings (and hash-partitions both sides) from
+    // the LEFT types — a type drift between sides (INT vs BIGINT key) would
+    // otherwise surface as an executor ClassCastException, or worse,
+    // silently co-partition the sides differently. Fail at plan time.
+    require(lk.dataType == rk.dataType,
+      s"as-of key type mismatch: left $key is ${lk.dataType}, right is ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of ts type mismatch: left $ts is ${lt.dataType}, right is ${rt.dataType}")
     ColumnBridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lPlan, rPlan,
-        attr(lPlan, key), attr(rPlan, key),
-        attr(lPlan, ts), attr(rPlan, ts),
-        carry.map(attr(rPlan, _))))
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, carry.map(attr(rPlan, _))))
   }
 }

@@ -38,11 +38,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   // zero-norm (or empty) vectors have no defined cosine: return NULL, which
   // matches SQL division semantics in oracle engines (0/0 → NULL) — a NaN
-  // would compare greater than everything in Spark and pollute top-k results
+  // would compare greater than everything in Spark and pollute top-k results.
+  // Length-mismatched arrays also return NULL (corrupt/ragged embedding data
+  // must surface, not silently score as the truncated prefix) — same result
+  // as the zip_with formulation, whose null padding nulls the aggregate.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -63,17 +67,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = (double) $a.getFloat($i);
-         |  double yi = (double) $b.getFloat($i);
-         |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
-         |}
-         |if ($nx == 0.0 || $ny == 0.0) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xi = (double) $a.getFloat($i);
+         |    double yi = (double) $b.getFloat($i);
+         |    $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })
@@ -99,8 +107,16 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_minhash"
 
+  // NULL for an empty shingle set: the all-MaxValue sentinel signature would
+  // otherwise make every empty/too-short document a perfect near-duplicate
+  // of every other — an O(n²) false clique from SQL callers that don't
+  // pre-filter (Dedup.minhashLshPairs filters size > 0, but graft_minhash
+  // is registered for arbitrary SQL use)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) return null
     val mins = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
@@ -126,18 +142,22 @@ case class MinHashSignature(child: Expression, numPerms: Int)
       val xxh = classOf[XXH64].getName
       val gad = classOf[GenericArrayData].getName
       s"""
-         |long[] $mins = new long[$numPerms];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String s = $a.getUTF8String($i);
-         |  long h1 = $xxh.hashUTF8String(s, 42L);
-         |  long h2 = $xxh.hashUTF8String(s, 77L);
-         |  for (int $p = 0; $p < $numPerms; $p++) {
-         |    long h = h1 + $p * h2;
-         |    if (h < $mins[$p]) $mins[$p] = h;
+         |if ($a.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$numPerms];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    org.apache.spark.unsafe.types.UTF8String s = $a.getUTF8String($i);
+         |    long h1 = $xxh.hashUTF8String(s, 42L);
+         |    long h2 = $xxh.hashUTF8String(s, 77L);
+         |    for (int $p = 0; $p < $numPerms; $p++) {
+         |      long h = h1 + $p * h2;
+         |      if (h < $mins[$p]) $mins[$p] = h;
+         |    }
          |  }
+         |  ${ev.value} = new $gad($mins);
          |}
-         |${ev.value} = new $gad($mins);
        """.stripMargin
     })
 
@@ -214,6 +234,11 @@ case class SimHash64(child: Expression)
   */
 case class LshBucketKey(child: Expression, numPlanes: Int, seed: Long)
     extends UnaryExpression {
+
+  // planes map to bits of one long; numPlanes > 64 would wrap `1L << p`
+  // mod 64 and silently alias planes (bucket keys lose discriminating power)
+  require(numPlanes >= 1 && numPlanes <= 64,
+    s"graft_lsh_key supports 1..64 planes, got $numPlanes")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

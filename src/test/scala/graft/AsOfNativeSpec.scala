@@ -39,6 +39,36 @@ class AsOfNativeSpec extends GraftSuite {
     assert(composed == Seq(None), s"composed carried $composed")
   }
 
+  test("NULL-ts/NULL-key reference rows match nothing — both impls agree") {
+    val left = Seq((10L, 1L, "2024-01-01 02:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .select($"event_id", $"user_id", to_timestamp($"s").as("ts"))
+    // the only refs for user 1 have NULL ts or NULL key: a match is undefined
+    // (NULL inequality is false), so the event must carry NULL — a naive
+    // union+window would sort NULL ts first and leak v=9.0 forward
+    val right = Seq((Some(1L), None: Option[String], 9.0),
+        (None: Option[Long], Some("2024-01-01 01:00:00"), 8.0))
+      .toDF("user_id", "s", "v")
+      .select($"user_id", to_timestamp($"s").as("ts"), $"v")
+    val native = AsOf.join(left, right, "user_id", "ts", Seq("v"))
+      .select($"v").collect().map(r => Option(r.get(0))).toSeq
+    val windowed = graft.operators.TimeSeries.asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .select($"v").collect().map(r => Option(r.get(0))).toSeq
+    assert(native == Seq(None), s"native leaked a NULL-ts ref: $native")
+    assert(windowed == Seq(None), s"union+window leaked a NULL-ts ref: $windowed")
+  }
+
+  test("as-of join rejects key/ts type drift between sides at plan time") {
+    val left = Seq((1L, 1L)).toDF("user_id", "tsv")
+      .select($"user_id".cast("int").as("user_id"), to_timestamp(lit("2024-01-01")).as("ts"))
+    val right = Seq((1L, 1.0)).toDF("user_id", "v")
+      .select($"user_id", to_timestamp(lit("2024-01-01")).as("ts"), $"v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(left, right, "user_id", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("key type mismatch"))
+  }
+
   test("native as-of join handles string keys (buffer-backed key copies)") {
     val left = Seq((1L, "alice", "2024-01-01 02:00:00"), (2L, "alice", "2024-01-01 03:00:00"),
       (3L, "bob", "2024-01-01 02:00:00"), (4L, "carol", "2024-01-01 02:00:00"))

@@ -46,6 +46,29 @@ class NativeExprSpec extends GraftSuite {
     assert(native(1).contains(1.0) && composed(1).contains(1.0))
   }
 
+  test("native cosine of length-mismatched arrays is NULL, matching the composed form") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f))).toDF("a", "b")
+    val row = df.select(
+      NativeFns.cosineSim($"a", $"b").as("native"),
+      VecFns.cosine($"a", $"b").as("composed")).collect().head
+    assert(row.isNullAt(0), "native cosine scored a truncated prefix instead of NULL")
+    assert(row.isNullAt(1))
+  }
+
+  test("native minhash of an empty shingle set is NULL (no all-MaxValue clique)") {
+    val df = Seq(Tuple1(Array.empty[String]), Tuple1(Array("a b c"))).toDF("sh")
+    val rows = df.select(NativeFns.minhashSig($"sh", 8).as("sig")).collect()
+    assert(rows.head.isNullAt(0), "empty input produced a sentinel signature")
+    assert(!rows(1).isNullAt(0))
+  }
+
+  test("lsh key rejects numPlanes outside 1..64 (bit wrap would alias planes)") {
+    val df = Seq(Tuple1(Array(1.0f))).toDF("v")
+    intercept[IllegalArgumentException] {
+      df.select(NativeFns.lshKey($"v", 65, 42L)).collect()
+    }
+  }
+
   test("native lsh key: deterministic, bounded by numPlanes, similar vectors collide") {
     val embs = graft.sources.Readers.table(spark, sf, "embeddings").limit(20)
     val keys = embs.select(NativeFns.lshKey($"embedding", 8, 42L).as("k"))
