@@ -154,7 +154,11 @@ object SparkEntry {
           col("a.nclat") === col("b.clat") && col("a.nclon") === col("b.clon") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          round(GeoFns.haversineKm(col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")), 6)
+          // roundHalfUp, not round(): Spark rounds the shortest decimal
+          // repr, DuckDB the exact binary — a distance near a .5 boundary
+          // at the 6th decimal would diverge (and near 0.5 km, flip pairs)
+          NumFns.roundHalfUp(
+            GeoFns.haversineKm(col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")), 6)
             .as("dist_km"))
         .filter(col("dist_km") < 0.5)
         .orderBy("id_a", "id_b")
@@ -322,7 +326,7 @@ object SparkEntry {
       // benchmark decontamination: for every train-split doc (q43's split
       // rule), count distinct 3-grams shared with any held-out test doc
       Dedup.contaminationHits(T(s, dir, "documents"), col("doc_id"), col("text"),
-          pmod(col("doc_id") * 2654435761L, lit(100L)) >= 95, 3)
+          pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95, 3)
         .orderBy("doc_id")
     }),
 
@@ -467,8 +471,11 @@ object SparkEntry {
       val n = size(toks).cast("double")
       val meanLen = (length(trim(col("text"))).cast("double") - (n - 1)) / n
       val repetition = (n - size(array_distinct(toks)).cast("double")) / n
-      val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
-        length(col("text")).cast("double")
+      // empty-text guard: Spark 0/0 is NULL but DuckDB float 0/0 is NaN —
+      // guard BOTH sides (same pattern as q29's punct_ratio)
+      val digitRatio = when(length(col("text")) > 0,
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          length(col("text")).cast("double"))
       T(s, dir, "documents").select(col("doc_id"),
           NumFns.roundHalfUp(meanLen, 4).as("mean_word_len"),
           NumFns.roundHalfUp(repetition, 4).as("repetition_ratio"),
@@ -500,8 +507,12 @@ object SparkEntry {
 
     "q43_train_split" -> ((s, dir) => {
       // deterministic train/val/test assignment (stable under reruns and
-      // engine-independent: pure key arithmetic, no RNG)
-      val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+      // engine-independent: pure key arithmetic, no RNG). doc_id is reduced
+      // mod a prime BEFORE the Knuth multiplier: the raw product overflows
+      // Int64 at doc_id ≈ 3.5e9 (within the design scale), where Spark wraps
+      // silently but ANSI engines raise — the reduced form stays in range
+      // and is identical for doc_id < 100003 (all test SFs).
+      val bucket = pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L))
       val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
       T(s, dir, "documents")
         .groupBy(split.as("split"))
@@ -554,8 +565,9 @@ object SparkEntry {
 
     "q46_stratified_sample" -> ((s, dir) => {
       // deterministic stratified downsampling: keep 50% of 'en', all others
-      // (rebalancing an over-represented language) — keyed arithmetic, no RNG
-      val bucket = pmod(col("doc_id") * 1000003L, lit(100L))
+      // (rebalancing an over-represented language) — keyed arithmetic, no
+      // RNG; doc_id reduced mod a prime first (overflow headroom, see q43)
+      val bucket = pmod(pmod(col("doc_id"), lit(100003L)) * 1000003L, lit(100L))
       val rate = when(col("lang") === "en", 50L).otherwise(100L)
       T(s, dir, "documents")
         .filter(bucket < rate)
@@ -612,8 +624,14 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       val version = Seq(col("ts"), col("event_id"))
-      val path = java.nio.file.Files.createTempDirectory("graft_upsert_")
-        .resolve("events_current").toString
+      // fixed, reused location (not a fresh createTempDirectory per call):
+      // repeated bench/verify runs would otherwise each leak a full parquet
+      // copy of the events table into /tmp. Cleared before seeding so the
+      // query stays idempotent.
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q53_upsert")
+      Writers.deleteRecursively(root)
+      val path = root.resolve("events_current").toString
       Writers.upsert(s, path, ev.filter(pmod(col("event_id"), lit(2)) === 0),
         Seq("user_id"), version)
       Writers.upsert(s, path, ev.filter(pmod(col("event_id"), lit(2)) === 1),
@@ -748,10 +766,10 @@ object SparkEntry {
         | FROM customer)
         |SELECT * FROM (
         | SELECT a.id AS id_a, b.id AS id_b,
-        |  round(2 * 6371.0088 * asin(sqrt(
+        |  floor(2 * 6371.0088 * asin(sqrt(
         |   pow(sin(radians(b.lat - a.lat) / 2), 2) +
         |   cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2)
-        |  )), 6) AS dist_km
+        |  )) * 1000000.0 + 0.5) / 1000000.0 AS dist_km
         | FROM p a JOIN p b ON a.id < b.id)
         |WHERE dist_km < 0.5 ORDER BY id_a, id_b""".stripMargin,
 
@@ -982,7 +1000,9 @@ object SparkEntry {
         |m AS (SELECT doc_id,
         |  (CAST(length(trim(text)) AS DOUBLE) - (len(words) - 1)) / len(words) AS mean_len,
         |  (CAST(len(words) AS DOUBLE) - len(list_distinct(words))) / len(words) AS rep,
-        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS dig
+        |  CASE WHEN length(text) > 0
+        |   THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+        |  END AS dig
         | FROM t)
         |SELECT doc_id,
         | floor(mean_len * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
@@ -1010,8 +1030,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q43_train_split" ->
-      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-        |  WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+      """SELECT CASE WHEN ((doc_id % 100003) * 2654435761) % 100 < 90 THEN 'train'
+        |  WHEN ((doc_id % 100003) * 2654435761) % 100 < 95 THEN 'val' ELSE 'test' END AS split,
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
@@ -1037,12 +1057,12 @@ object SparkEntry {
 
     "q46_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 1000003) % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 100 END
+        |WHERE ((doc_id % 100003) * 1000003) % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
 
     "q49_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words,
-        |  (doc_id * 2654435761) % 100 >= 95 AS held FROM documents),
+        |  ((doc_id % 100003) * 2654435761) % 100 >= 95 AS held FROM documents),
         |sh AS (SELECT DISTINCT doc_id, held, array_to_string(words[i:i+2], ' ') AS g
         | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
         | WHERE len(words) >= 3),

@@ -54,6 +54,10 @@ object Multimodal {
     * per-row task overhead, no driver involvement; the 100 TB path just
     * raises partition count.
     */
+  // read nullable long columns as raw boxed values: getAs[Long] would unbox
+  // a NULL to 0L, silently corrupting ids (and colliding with doc_id 0)
+  private def raw(r: Row, name: String): Any = r.get(r.fieldIndex(name))
+
   def decode(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
     media.select("doc_id", "media_type", "payload", "n_bytes")
@@ -62,12 +66,12 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]]("payload")
           if (payload == null) {
             // null passthrough: missing blobs keep their row, metadata null
-            Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-              r.getAs[Long]("n_bytes"), null, null, null)
+            Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
+              raw(r, "n_bytes"), null, null, null)
           } else {
             val (w, h, cs) = decodeStub(payload)
-            Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-              r.getAs[Long]("n_bytes"), w, h, cs)
+            Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
+              raw(r, "n_bytes"), w, h, cs)
           }
         }
       }(enc)
@@ -90,11 +94,11 @@ object Multimodal {
           }
           batch.iterator.zip(decoded.iterator).map {
             case (r, Some((w, h, cs))) =>
-              Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-                r.getAs[Long]("n_bytes"), w, h, cs)
+              Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
+                raw(r, "n_bytes"), w, h, cs)
             case (r, None) =>
-              Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
-                r.getAs[Long]("n_bytes"), null, null, null)
+              Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
+                raw(r, "n_bytes"), null, null, null)
           }
         }
       }(enc)

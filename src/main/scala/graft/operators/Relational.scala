@@ -20,6 +20,10 @@ object Relational {
     * single-partition window over it (not over the corpus), and the weight
     * table is broadcast back onto the fact side — the corpus itself is
     * never shuffled.
+    *
+    * Docs with a NULL group are excluded by the equi-join — deliberate:
+    * matches SQL join semantics (the oracle) and pandas dropna groupby;
+    * assign a sentinel source upstream if NULL groups must participate.
     */
   def mixEpochs(docs: DataFrame, id: Column, grp: Column, maxRepeat: Int): DataFrame = {
     // maxRepeat = 0 would make n_rep 0 and sequence(1, 0) silently emit a
@@ -92,9 +96,12 @@ object Relational {
       facts: DataFrame, broken: Column,
       fixTable: DataFrame, joinKeys: Seq[String],
       measure: String, fixedMeasure: String): DataFrame = {
-    val clean = facts.filter(!broken)
+    // a NULL predicate must not lose the row (filter(p) and filter(!p) would
+    // BOTH exclude it): treat undecidable as not-broken and keep it observed
+    val isBroken = coalesce(broken, lit(false))
+    val clean = facts.filter(!isBroken)
       .withColumn("src", lit("observed"))
-    val repaired = facts.filter(broken)
+    val repaired = facts.filter(isBroken)
       .drop(measure)
       .join(broadcast(fixTable), joinKeys, "left")
       .withColumn(measure, col(fixedMeasure))
@@ -109,6 +116,10 @@ object Relational {
     * README.md:1640-1700 `groupby(['station_id','date'])['is_raining'].max()`
     * then merge). The rollup shuffles once on (key, date); the join reuses
     * that partitioning.
+    *
+    * NULL-key/date rows are excluded by the equi-join — deliberate: this
+    * matches SQL join semantics (the DuckDB oracle) and the reference's
+    * pandas groupby, which drops NaN groups by default.
     */
   def flagRollupJoin(facts: DataFrame, key: Column, date: Column, flag: Column,
                      flagName: String): DataFrame = {

@@ -43,7 +43,11 @@ object EventsStream {
   def sessionizeStream(events: DataFrame, gapMs: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    // NULL event times are dropped: they have no watermark position and no
+    // place in the gap ordering (Spark's own event-time operators drop them
+    // too); without the filter one null row would NPE the micro-batch task
+    events.filter(col("ts").isNotNull)
+      .selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
@@ -82,12 +86,16 @@ object EventsStream {
     * The range predicate is what lets Spark expire join state.
     */
   def enrichStreamStream(events: DataFrame, reference: DataFrame,
-                         key: String, tolerance: String): DataFrame = {
-    val ev = events.withWatermark("ts", "2 hours")
+                         key: String, tolerance: String,
+                         lateness: String = "2 hours"): DataFrame = {
+    // `lateness` governs how late either side may arrive before being
+    // dropped — previously a hard-coded "2 hours" that silently overrode
+    // callers whose join tolerance exceeded it
+    val ev = events.withWatermark("ts", lateness)
     val ref = reference
       .withColumnRenamed(key, s"${key}_ref")
       .withColumnRenamed("ts", "ref_ts")
-      .withWatermark("ref_ts", "2 hours")
+      .withWatermark("ref_ts", lateness)
     ev.join(ref,
       col(key) === col(s"${key}_ref") &&
         col("ref_ts") <= col("ts") &&

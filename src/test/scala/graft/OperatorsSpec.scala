@@ -56,6 +56,18 @@ class OperatorsSpec extends GraftSuite {
     assert(okSrc == "observed")
   }
 
+  test("Relational.repairUnion keeps rows whose broken predicate is NULL") {
+    val facts = Seq((1L, Some("ok"), 10.0), (2L, None, 20.0))
+      .toDF("id", "status", "value").withColumn("k", lit(1))
+    val fix = Seq((1, 99.0)).toDF("k", "fixed_value")
+    // status NULL ⇒ predicate NULL: the row must survive as observed, not
+    // vanish from both filter branches
+    val got = Relational.repairUnion(facts, $"status" === "bad", fix, Seq("k"),
+      "value", "fixed_value")
+    assert(got.count() == 2, "NULL-predicate row was dropped")
+    assert(got.filter($"id" === 2).select($"src").as[String].head() == "observed")
+  }
+
   test("Dedup.exact groups identical content") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val got = Dedup.exact(df, $"doc_id", $"text")
@@ -142,6 +154,22 @@ class OperatorsSpec extends GraftSuite {
       assert(rows(0).getAs[Any]("checksum") != null)
       assert(rows(1).getAs[Any]("width") == null)
       assert(rows(1).getAs[Any]("checksum") == null)
+    }
+  }
+
+  test("Multimodal: NULL doc_id/n_bytes stay NULL through decode (no 0 coercion)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val docs = Seq((5L, "hello"), (6L, "world")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+      .withColumn("doc_id", when(col("doc_id") === 6L, lit(null)).otherwise(col("doc_id")))
+      .withColumn("n_bytes", when(col("doc_id").isNull, lit(null)).otherwise(col("n_bytes")))
+    for (decoded <- Seq(Multimodal.decode(media), Multimodal.decodeBatched(media, 2))) {
+      val rows = decoded.orderBy(col("doc_id").asc_nulls_last).collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Any]("doc_id") == 5L)
+      // a getAs[Long] implementation would have coerced these to 0
+      assert(rows(1).getAs[Any]("doc_id") == null, "NULL doc_id coerced")
+      assert(rows(1).getAs[Any]("n_bytes") == null, "NULL n_bytes coerced")
     }
   }
 
