@@ -68,6 +68,42 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("prefixSum equals the plain window for any data, widths, and NULL groups") {
+    val rowGen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        grp <- Gen.oneOf(Some("a"), Some("b"), None)
+        w <- Gen.chooseNum(0L, 50L)
+      } yield (grp, w))
+    } yield rows
+    forAll(Gen.zip(rowGen, Gen.oneOf(1L, 3L, 17L, 1000L))) { case (rows, width) =>
+      val df = rows.zipWithIndex.map { case ((g, w), i) => (i.toLong, g, w) }
+        .toDF("ord", "grp", "w")
+      val got = graft.operators.Relational.prefixSum(df, $"grp", $"ord", $"w", width)
+      val expected = df.withColumn("cum",
+        sum($"w").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"grp").orderBy($"ord")))
+      assert(got.count() == df.count(), s"width $width lost rows (NULL grp?)")
+      assert(got.exceptAll(expected.select(got.columns.map(col).toIndexedSeq: _*)).count() == 0,
+        s"width $width diverges from the window")
+    }
+  }
+
+  test("firstOccurrenceFlags: one keeper per distinct content, any corpus") {
+    forAll(docs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val flagged = Dedup.firstOccurrenceFlags(df, $"text", Seq($"doc_id"))
+      assert(flagged.count() == texts.size)
+      val perContent = flagged.groupBy($"text")
+        .agg(sum($"is_first".cast("long")).as("n_first"),
+          min($"doc_id").as("min_id"),
+          min(when($"is_first", $"doc_id")).as("first_id"))
+        .collect()
+      assert(perContent.forall(_.getAs[Long]("n_first") == 1L))
+      assert(perContent.forall(r => r.getAs[Long]("min_id") == r.getAs[Long]("first_id")))
+    }
+  }
+
   test("minhash signature agreement estimates true jaccard within tolerance for identical/disjoint") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),
