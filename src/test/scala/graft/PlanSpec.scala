@@ -53,6 +53,26 @@ class PlanSpec extends GraftSuite {
     assert(offenders.isEmpty, s"cartesian/nested-loop in: $offenders")
   }
 
+  test("no query plans an unpartitioned window over corpus-sized input") {
+    // the q44 round-1 failure mode: Window with an empty partition spec
+    // moves ALL data to one task. Allowed only where the windowed relation
+    // is an already-aggregated small table: q04's global ntile percentiles
+    // (per-key aggregate, documented in SURVEY §5) and q50's max-share
+    // lookup (#groups rows).
+    val exceptions = Set("q04_interesting_keys", "q50_mix_epochs")
+    // WindowExec prints as: Window [funcs], [partitionSpec], [orderSpec] —
+    // an empty partition spec collapses the middle bracket pair to "], ["
+    // followed directly by the order spec; detect via the node's toString
+    val unpartitioned = raw"Window\s+\[[^\]]*\],\s*\[[^\]]*(ASC|DESC)".r
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => exceptions.contains(q._1))
+      .flatMap { case (name, fn) =>
+        val plan = explained(fn(spark, sf))
+        if (unpartitioned.findFirstIn(plan).isDefined) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"unpartitioned window in: $offenders")
+  }
+
   test("q47 range join plans as a hash equi-join on buckets, not a nested loop") {
     val plan = explained(SparkEntry.queries("q47_range_join")(spark, sf))
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), s"nested loop:\n$plan")
