@@ -669,6 +669,18 @@ object SparkEntry {
         .filter(col("cum_tok") <= 800L)
         .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
         .orderBy("doc_id")
+    }),
+
+    "q56_decontaminate_bloom" -> ((s, dir) => {
+      // q49's decontamination via the two-phase 100 TB shape: a distributed
+      // Bloom filter over held-out gram hashes prefilters train grams before
+      // the exact semi-join. False positives are removed by the exact join,
+      // so the result — and the oracle — is IDENTICAL to q49; what changes
+      // is the join shuffle volume (~fpp of clean grams instead of all).
+      Dedup.contaminationHitsBloom(T(s, dir, "documents"), col("doc_id"), col("text"),
+          pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95, 3,
+          expectedItems = 100000L, numBits = 1000000L)
+        .orderBy("doc_id")
     })
   )
 
@@ -1141,6 +1153,19 @@ object SparkEntry {
         |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tok
         | FROM t)
         |SELECT doc_id, source, n_tok, cum_tok FROM r
-        |WHERE cum_tok <= 800 ORDER BY doc_id""".stripMargin
+        |WHERE cum_tok <= 800 ORDER BY doc_id""".stripMargin,
+
+    // identical to q49's oracle by construction: the Bloom prefilter only
+    // discards grams the exact join would discard anyway
+    "q56_decontaminate_bloom" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words,
+        |  ((doc_id % 100003) * 2654435761) % 100 >= 95 AS held FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, held, array_to_string(words[i:i+2], ' ') AS g
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |hg AS (SELECT DISTINCT g FROM sh WHERE held)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh JOIN hg USING (g) WHERE NOT held
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -353,6 +353,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contaminationHits]] with a Bloom-filter prefilter — the 100 TB
+    * two-phase shape. Phase 1 builds a Bloom filter over the distinct
+    * held-out gram hashes with Catalyst's own `BloomFilterAggregate`
+    * (distributed build, fixed-size sketch — the only thing that reaches
+    * the driver is the ~numBits/8-byte filter, like any sketch aggregate)
+    * and prefilters train grams with codegen'd `BloomFilterMightContain`.
+    * Phase 2 exact-joins only the survivors. False positives pass the
+    * prefilter but are removed by the exact join, so the result is
+    * EXACTLY [[contaminationHits]] — same oracle — while the shuffle into
+    * the join carries ~fpp of the non-matching grams instead of all of
+    * them (at 100 TB, the join shuffle is the dominant cost and most
+    * train grams are clean).
+    *
+    * EAGER: building the filter runs a job. Size `numBits` for the
+    * expected distinct held-out grams (~10 bits/item ⇒ ~1% fpp).
+    */
+  def contaminationHitsBloom(docs: DataFrame, id: Column, text: Column,
+                             isHeldOut: Column, n: Int,
+                             expectedItems: Long, numBits: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val grams = docs.select(id.as("doc_id"), isHeldOut.as("held"),
+        explode(TextFns.shingles(text, n)).as("g"))
+      .select(col("doc_id"), col("held"), xxhash64(col("g")).as("gh"))
+      .persist()
+    val heldGrams = grams.filter(col("held")).select(col("gh")).distinct()
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("gh")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // might_contain requires a CONSTANT filter: materialize the bounded
+    // sketch and inline it as a literal (the classic broadcast-a-sketch
+    // pattern; this is a fixed-size aggregate, not a data collect)
+    val bf = heldGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bf, BinaryType), ColumnBridge.expression(col("gh"))))
+    val result = grams.filter(!col("held"))
+      .filter(mightContain)
+      .join(heldGrams, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    materializeAndRelease(result, grams)
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label id — at scale an LSH bucket, see Similarity.lshTopK).
     */

@@ -214,6 +214,20 @@ class ScaleOpsSpec extends GraftSuite {
       "an operator left a cached plan in the CacheManager after returning")
   }
 
+  test("contaminationHitsBloom equals exact contaminationHits (false positives removed)") {
+    import graft.operators.Dedup
+    val docs = Readers.table(spark, sf, "documents")
+    val held = pmod(pmod($"doc_id", lit(100003L)) * 2654435761L, lit(100L)) >= 95
+    val exact = Dedup.contaminationHits(docs, $"doc_id", $"text", held, 3)
+    // deliberately undersized filter (high fpp): the exact join must still
+    // remove every false positive the prefilter lets through
+    val bloom = Dedup.contaminationHitsBloom(docs, $"doc_id", $"text", held, 3,
+      expectedItems = 1000L, numBits = 8000L)
+    assert(bloom.count() == exact.count())
+    assert(bloom.exceptAll(exact).count() == 0,
+      "bloom-prefiltered result diverges from the exact decontamination")
+  }
+
   test("connectedComponents releases per-round checkpoint blocks at the RDD level") {
     import graft.operators.Dedup
     val docs = Readers.table(spark, sf, "documents")
