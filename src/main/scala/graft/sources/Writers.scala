@@ -115,6 +115,19 @@ object Writers {
       .parquet(path)
   }
 
+  /** Globally-sorted parquet export via range repartitioning: file i holds
+    * keys strictly below file i+1's, and rows are sorted within each file —
+    * the 100 TB way to produce ordered output (no single-task global sort;
+    * Spark samples the key distribution to build balanced ranges).
+    * Downstream consumers get merge-readable runs and effective min/max
+    * file pruning on the sort key.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Single-directory CSV/JSON exports (the reference's to_csv / json.dumps
     * outputs — README.md:660, notebooks/CitiBike-1.ipynb nearby_stations).
     */

@@ -129,6 +129,27 @@ class SinksSpec extends GraftSuite {
     assert(got.filter($"event_type" === "purchase").select("event_id").as[Long].head() == 4L)
   }
 
+  test("writeSorted produces disjoint, internally-sorted files covering all rows") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    val ev = Readers.table(spark, sf, "events").select("event_id", "user_id")
+    Writers.writeSorted(ev, out, Seq("event_id"), 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == ev.count())
+    // per-file: sorted within, and file ranges must not overlap
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "expected multiple range files")
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getPath).select("event_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted within file")
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, "file key ranges overlap")
+      case _ =>
+    }
+  }
+
   test("csv and json round-trip") {
     val out1 = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val out2 = java.nio.file.Files.createTempDirectory("graft-json").toString
