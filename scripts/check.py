@@ -52,6 +52,22 @@ for name in sorted(oracle):
             if n_bad:
                 i = (~eq).idxmax()
                 diffs.append(f"values[{c}]: {n_bad} mismatches, first idx {i}: got {gv[i]!r} want {wv[i]!r}")
+        if not diffs:
+            # strict pass in DuckDB itself: pandas folds SQL NULL and float
+            # NaN both to NaN, so the per-column check above cannot see a
+            # NULL-vs-NaN divergence; EXCEPT ALL distinguishes them (NULL
+            # and NaN are distinct values under DuckDB set semantics)
+            cols = ", ".join(f'"{c}"' for c in sorted(w.columns))
+            n_diff = con.execute(
+                f"WITH want_v AS ({oracle[name]}), "
+                f"got_v AS (SELECT * FROM read_parquet('{OUT_DIR}/{name}/*.parquet')) "
+                f"SELECT count(*) FROM ("
+                f" (SELECT {cols} FROM want_v EXCEPT ALL SELECT {cols} FROM got_v)"
+                f" UNION ALL "
+                f" (SELECT {cols} FROM got_v EXCEPT ALL SELECT {cols} FROM want_v))"
+            ).fetchone()[0]
+            if n_diff:
+                diffs.append(f"strict NULL/NaN-aware compare: {n_diff} differing rows")
         if diffs:
             bad.append((name, "; ".join(diffs)))
         else:

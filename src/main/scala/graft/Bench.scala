@@ -34,20 +34,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val selectedEarly =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.view.filterKeys(args.toSet).toSeq.sortBy(_._1)
     // JVM/codegen warmup outside the timed loop (first query otherwise
-    // carries multi-second JIT cost)
-    try SparkEntry.queries("q02_group_agg")(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
+    // carries multi-second JIT cost). Uses the first SELECTED query — a
+    // hardcoded name could be silently swallowed by the catch if renamed.
+    selectedEarly.headOption.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup ($name) failed: ${e.getMessage}")
+      }
+    }
     def resetSessionState(): Unit = {
       // drop caches AND checkpoint blocks left by eager operators, so the
       // next timed run starts from a cold, honest session
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    val selected =
-      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
-      else SparkEntry.queries.view.filterKeys(args.toSet).toSeq.sortBy(_._1)
+    val selected = selectedEarly
     val results = selected.map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
       var failed = false
@@ -73,8 +78,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    // total over SUCCEEDED queries only: summing the -1 sentinels would make
+    // a broken query LOWER the total — a regression reading as a speedup.
+    // Failures are surfaced both per-query (-1) and in an explicit list.
+    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":${failedNames.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

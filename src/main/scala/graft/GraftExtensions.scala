@@ -8,19 +8,33 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 /** Session extensions: expose the native expressions to SQL users
   * (`SELECT graft_cosine(a.embedding, b.embedding) ...`). Registered via
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * Builders validate arity up front: a wrong argument count must produce
+  * the function's usage string, not a raw IndexOutOfBoundsException from
+  * `args(i)` deep in analysis.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def arity(name: String, usage: String, args: Seq[Expression],
+                    min: Int, max: Int): Unit =
+    if (args.size < min || args.size > max)
+      throw new IllegalArgumentException(
+        s"$name expects $usage, got ${args.size} argument(s)")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("graft_cosine", "(vecA, vecB)", args, 2, 2)
+        CosineSimilarity(args(0), args(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (args: Seq[Expression]) => {
+        arity("graft_minhash", "(shingles, numPerms)", args, 2, 2)
         val k = args(1) match {
           case Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
@@ -31,18 +45,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => {
+        arity("graft_simhash", "(tokens)", args, 1, 1)
+        SimHash64(args.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_key"),
       new ExpressionInfo(classOf[LshBucketKey].getName, "graft_lsh_key"),
       (args: Seq[Expression]) => {
+        arity("graft_lsh_key", "(vec, numPlanes[, seed])", args, 2, 3)
         def intLit(e: Expression, what: String): Long = e match {
           case Literal(v: Int, _) => v.toLong
           case Literal(v: Long, _) => v
           case other => throw new IllegalArgumentException(
             s"graft_lsh_key: $what must be an integer literal, got $other")
         }
-        LshBucketKey(args.head, intLit(args(1), "numPlanes").toInt,
+        val planes = intLit(args(1), "numPlanes")
+        // range-check on the Long BEFORE .toInt — 2^32+16 would silently
+        // wrap to 16 planes (LshBucketKey's own require then re-validates)
+        if (planes < 1 || planes > 64) throw new IllegalArgumentException(
+          s"graft_lsh_key supports 1..64 planes, got $planes")
+        LshBucketKey(args.head, planes.toInt,
           if (args.size > 2) intLit(args(2), "seed") else 42L)
       }))
   }

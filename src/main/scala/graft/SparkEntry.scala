@@ -778,10 +778,10 @@ object SparkEntry {
         | FROM customer)
         |SELECT * FROM (
         | SELECT a.id AS id_a, b.id AS id_b,
-        |  floor(2 * 6371.0088 * asin(sqrt(
+        |  floor(2 * 6371.0088 * asin(sqrt(least(1.0,
         |   pow(sin(radians(b.lat - a.lat) / 2), 2) +
         |   cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2)
-        |  )) * 1000000.0 + 0.5) / 1000000.0 AS dist_km
+        |  ))) * 1000000.0 + 0.5) / 1000000.0 AS dist_km
         | FROM p a JOIN p b ON a.id < b.id)
         |WHERE dist_km < 0.5 ORDER BY id_a, id_b""".stripMargin,
 

@@ -18,10 +18,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1): coalesce collapses the whole final
+      // stage into one task; repartition adds one cheap shuffle but keeps
+      // the query's own parallelism
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a PREVIOUS run's dump behind —
+        // the downstream compare would silently pass against stale results
+        graft.sources.Writers.deleteRecursively(Paths.get(s"$outDir/$name"))
       }
       // session hygiene between queries: drop caches and checkpoint blocks
       // so 50+ queries in one session never accumulate storage pressure

@@ -53,8 +53,11 @@ object Typed {
         n += 1
         if (e.event_type == "error") nErr += 1
         total += e.value
-        if (first == null || e.ts.before(first)) first = e.ts
-        if (last == null || e.ts.after(last)) last = e.ts
+        // a NULL ts must not NPE the task once a non-null one set `first`
+        if (e.ts != null) {
+          if (first == null || e.ts.before(first)) first = e.ts
+          if (last == null || e.ts.after(last)) last = e.ts
+        }
       }
       UserActivity(uid, n, nErr, first, last, total)
     }

@@ -16,7 +16,10 @@ object GeoFns {
     val dLon = radians(lon2 - lon1) / 2
     val a = pow(sin(dLat), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
-    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+    // clamp to 1: float error on near-antipodal points can push `a` a few
+    // ULP past 1, and asin(sqrt(>1)) = NaN, which sorts ABOVE every real
+    // distance in Spark orderings (the q09 oracle applies the same least())
+    lit(2 * EarthRadiusKm) * asin(sqrt(least(lit(1.0), a)))
   }
 
   /** Deterministic synthetic station coordinates derived from an integer key

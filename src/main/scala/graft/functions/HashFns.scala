@@ -9,13 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object HashFns {
 
-  /** MinHash signature: array of `numPerms` minima of seeded xxhash64 over
-    * the shingle set.
-    */
-  def minhashSignature(shingleArr: Column, numPerms: Int): Column =
-    array((0 until numPerms).map { s =>
-      array_min(transform(shingleArr, x => xxhash64(x, lit(s))))
-    }: _*)
+  // NOTE: a composed `minhashSignature` twin used to live here, but its
+  // hash derivation (per-perm xxhash64 seeds) could never reproduce the
+  // native MinHashSignature's Kirsch–Mitzenmacher signatures — joining the
+  // two silently finds zero duplicates. The native expression
+  // (NativeFns.minhashSig) is the only signature producer; removed rather
+  // than kept as a misleading "reference impl" (same call as VecFns' LSH).
 
   /** LSH band keys: split the signature into bands of `rowsPerBand` and hash
     * each band. Docs sharing any band key are candidate pairs.

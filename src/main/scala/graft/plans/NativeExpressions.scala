@@ -98,6 +98,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class MinHashSignature(child: Expression, numPerms: Int)
     extends UnaryExpression {
 
+  // a non-positive perm count would surface as a per-row
+  // NegativeArraySizeException at execution time
+  require(numPerms >= 1, s"graft_minhash needs numPerms >= 1, got $numPerms")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

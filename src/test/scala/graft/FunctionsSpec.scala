@@ -68,9 +68,10 @@ class FunctionsSpec extends GraftSuite {
     assert(math.abs(got(1)) < 1e-12)
   }
 
-  test("HashFns minhash signature agreement is 1 for identical sets") {
+  test("native minhash signature agreement is 1 for identical sets") {
     val df = Seq(("x", "a b c d e f g h")).toDF("id", "text")
-    val sig = df.select(HashFns.minhashSignature(TextFns.shingles($"text", 3), 16).as("s"))
+    val sig = df.select(
+      graft.plans.NativeFns.minhashSig(TextFns.shingles($"text", 3), 16).as("s"))
     val agree = sig.select(HashFns.signatureAgreement($"s", $"s")).as[Double].head()
     assert(agree == 1.0)
   }
