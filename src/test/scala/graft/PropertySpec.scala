@@ -94,13 +94,7 @@ class PropertySpec extends GraftSuite {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       val flagged = Dedup.firstOccurrenceFlags(df, $"text", Seq($"doc_id"))
       assert(flagged.count() == texts.size)
-      val perContent = flagged.groupBy($"text")
-        .agg(sum($"is_first".cast("long")).as("n_first"),
-          min($"doc_id").as("min_id"),
-          min(when($"is_first", $"doc_id")).as("first_id"))
-        .collect()
-      assert(perContent.forall(_.getAs[Long]("n_first") == 1L))
-      assert(perContent.forall(r => r.getAs[Long]("min_id") == r.getAs[Long]("first_id")))
+      assertOneKeeperPerContent(flagged, "text", "doc_id")
     }
   }
 

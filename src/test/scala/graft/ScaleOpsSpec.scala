@@ -48,14 +48,24 @@ class ScaleOpsSpec extends GraftSuite {
 
   test("prefixSum intra-bucket window partitions are bounded by bucketWidth") {
     // the point of the scan: no window partition ever exceeds the bucket
-    // width, regardless of how skewed the group sizes are
+    // width, regardless of how skewed the group sizes are — here ALL rows
+    // share one group, the case a plain window serializes on one task
     val skewed = Readers.table(spark, sf, "documents")
       .select($"doc_id", lit("one_source").as("source"), $"n_chars")
     val got = Relational.prefixSum(skewed, $"source", $"doc_id", $"n_chars", 32L)
     val expected = skewed.withColumn("cum",
       sum($"n_chars").over(org.apache.spark.sql.expressions.Window
         .partitionBy($"source").orderBy($"doc_id")))
+    // count + one-sided exceptAll = multiset equality (exceptAll alone
+    // would pass for any SUBSET — it could not detect row loss)
+    assert(got.count() == skewed.count(), "skewed prefixSum lost rows")
     assert(got.exceptAll(expected.select(got.columns.map(col).toIndexedSeq: _*)).count() == 0)
+    // and the bound is real: the running-sum window in the plan partitions
+    // on (group, bucket), not on the group alone
+    val windowNodes = got.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Window ")).mkString("\n")
+    assert(windowNodes.contains("_bkt"),
+      s"running-sum window is not bucket-partitioned:\n$windowNodes")
   }
 
   test("firstOccurrenceFlags marks exactly one keeper per distinct content") {
@@ -63,13 +73,7 @@ class ScaleOpsSpec extends GraftSuite {
     val flagged = graft.operators.Dedup.firstOccurrenceFlags(
       docs, $"text", Seq($"doc_id"))
     assert(flagged.count() == docs.count())
-    // exactly one is_first per distinct text, and it is the min doc_id
-    val perContent = flagged.groupBy($"text")
-      .agg(sum($"is_first".cast("long")).as("n_first"),
-        min($"doc_id").as("min_id"),
-        min(when($"is_first", $"doc_id")).as("first_id"))
-    assert(perContent.filter($"n_first" =!= 1L).count() == 0)
-    assert(perContent.filter($"min_id" =!= $"first_id").count() == 0)
+    assertOneKeeperPerContent(flagged, "text", "doc_id")
   }
 
   test("groupedJson emits the nearby_stations.json shape") {

@@ -136,8 +136,11 @@ class StreamingSpec extends GraftSuite {
     val staged = java.nio.file.Files.createTempDirectory("graft-enrich").toString
     val ev = graft.sources.Readers.table(spark, sf, "events")
     ev.write.mode("overwrite").parquet(staged)
-    // static dim: per-user event count (stands in for the geocode lookup)
+    // static dim with a COVERAGE GAP (even user_ids only): events of odd
+    // users must survive with NULL user_n — a regression to an inner join
+    // would drop them and a full-coverage dim could never tell
     val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_n"))
+      .filter(pmod(col("user_id"), lit(2)) === 0)
 
     val stream = spark.readStream.schema(EventsStream.eventSchema).parquet(staged)
     val q = EventsStream.enrichStreamStatic(stream, dim, "user_id")
@@ -147,7 +150,9 @@ class StreamingSpec extends GraftSuite {
       q.processAllAvailable()
       val streamed = spark.table("enrich_out")
       val batch = ev.join(dim, Seq("user_id"), "left").select(col("event_id"), col("user_n"))
-      assert(streamed.count() == batch.count())
+      assert(streamed.count() == ev.count(), "left join dropped unmatched events")
+      assert(streamed.filter(col("user_n").isNull).count() > 0,
+        "expected some uncovered users carrying NULL enrichment")
       assert(streamed.exceptAll(batch).count() == 0, "stream/batch enrichment mismatch")
     } finally q.stop()
   }
