@@ -131,6 +131,33 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup state persists across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup2").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("event_id", "s", "props")
+        .selectExpr("event_id", "CAST(s AS TIMESTAMP) AS ts", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    write(Seq((1L, "2024-01-01 10:00:00", "payload-a")))
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, props STRING").parquet(dir)
+    val q = EventsStream.dedupStream(stream, "props", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup2_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a DUPLICATE of batch 1's content (within the watermark)
+      // plus genuinely new content — state must drop the former only
+      write(Seq((2L, "2024-01-01 10:10:00", "payload-a"),
+        (3L, "2024-01-01 10:15:00", "payload-b")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup2_out").select($"event_id").as[Long].collect().toSet
+      assert(ids.contains(1L), "first occurrence missing")
+      assert(ids.contains(3L), "new content in batch 2 missing")
+      assert(!ids.contains(2L), "cross-batch duplicate was re-admitted")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches the batch join, stateless") {
     import org.apache.spark.sql.functions._
     val staged = java.nio.file.Files.createTempDirectory("graft-enrich").toString
