@@ -201,16 +201,18 @@ object Dedup {
         bandedAll.groupBy(col("bk")).agg(count(lit(1)).as("bkn"))
           .filter(col("bkn") <= maxBucketSize).select(col("bk")),
         "bk")
-    val cand = banded.as("a")
+    // score BEFORE the pair dedup: a pair sharing several band buckets has
+    // the identical estimate in each, so results are unchanged, and the
+    // dropDuplicates exchange then carries three scalars per candidate
+    // instead of two full numPerms-long signature arrays — at 100 TB the
+    // dedup exchange payload is the dominant per-candidate cost
+    val result = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val result = cand
-      .select(col("doc_a"), col("doc_b"),
-        round(HashFns.signatureAgreement(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+        round(HashFns.signatureAgreement(col("a.sig"), col("b.sig")), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .dropDuplicates("doc_a", "doc_b")
     if (doPersist) materializeAndRelease(result, bandedAll) else result
   }
 
@@ -227,13 +229,16 @@ object Dedup {
         struct(lit(b).as("band"), HashFns.simhashBand(col("sim"), b).as("key"))): _*))
         .as("bk"))
     val banded = if (persistIndex) bandedRaw.persist() else bandedRaw
+    // hamming is computed and filtered BEFORE the pair dedup: identical in
+    // every shared band, so results are unchanged and the dedup exchange
+    // carries only the passing pairs (three scalars each)
     val result = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         HashFns.hamming(col("a.sim"), col("b.sim")).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHam)
+      .dropDuplicates("doc_a", "doc_b")
     if (persistIndex) materializeAndRelease(result, banded) else result
   }
 
