@@ -551,12 +551,8 @@ object SparkEntry {
     "q45_bpe_pair_counts" -> ((s, dir) => {
       // first BPE iteration: adjacent-token pair counts over the corpus
       // (multiset — NOT the distinct shingle set), top 50
-      val toks = TextFns.tokens(col("text"))
-      val m = size(toks) - 1
-      val bigrams = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
-        (x, y) => concat(x, lit(" "), y))
       T(s, dir, "documents")
-        .select(explode(bigrams).as("pair"))
+        .select(explode(TextFns.bigrams(col("text"))).as("pair"))
         .groupBy(col("pair"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pair"))
@@ -681,6 +677,55 @@ object SparkEntry {
           pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95, 3,
           expectedItems = 100000L, numBits = 1000000L)
         .orderBy("doc_id")
+    }),
+
+    "q57_incremental_dedup" -> ((s, dir) => {
+      // incremental ingest: docs with doc_id % 10 == 7 arrive as the new
+      // batch; score each against the existing corpus (everything else) and
+      // surface cross-set near-dup pairs — the nightly-ingest hygiene pass
+      val docs = T(s, dir, "documents")
+      Dedup.ngramJaccardAgainst(
+          docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7), col("doc_id"), col("text"),
+          docs.filter(pmod(col("doc_id"), lit(10L)) === 7), col("doc_id"), col("text"),
+          3, 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    "q58_repetition_profile" -> ((s, dir) => {
+      // Gopher-style repetition signal: fraction of a document's adjacent
+      // bigrams taken by its single most repeated bigram. Two-level
+      // aggregation — (doc, bigram) partial counts collapse map-side before
+      // the shuffle, so a degenerate "a a a a ..." doc never concentrates
+      // on one reducer. Docs under 2 tokens have no bigrams and drop out.
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.bigrams(col("text"))).as("pair"))
+        .groupBy(col("doc_id"), col("pair"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_bigrams"),
+          max(col("c")).cast("long").as("top_bigram_n"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+          NumFns.roundHalfUp(
+            col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"), 4)
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q59_weighted_sample" -> ((s, dir) => {
+      // quality-weighted subsampling: keep 5 docs per source, favoring long
+      // documents via a deterministic hash-priority (h / n_chars — a bigger
+      // doc gets a smaller priority, ranking earlier; no RNG, so reruns and
+      // engines agree). The window partitions on source — bounded groups.
+      // doc_id is reduced mod a prime before the Knuth multiplier (overflow
+      // headroom, see q43).
+      val h = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L), lit(1000003L))
+      Relational.topNPerGroup(
+          T(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              (h.cast("double") / col("n_chars").cast("double")).as("priority")),
+          Seq(col("source")), Seq(col("priority"), col("doc_id")), 5)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
+        .orderBy("source", "rn")
     })
   )
 
@@ -1166,6 +1211,41 @@ object SparkEntry {
         |hg AS (SELECT DISTINCT g FROM sh WHERE held)
         |SELECT doc_id, count(*) AS n_hits
         |FROM sh JOIN hg USING (g) WHERE NOT held
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q57_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pr AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS n_common
+        | FROM sh b JOIN sh c ON b.shingle = c.shingle
+        | WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+        | GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        | SELECT batch_id, corpus_id,
+        |  floor(CAST(n_common AS DOUBLE) / (sb.n_sh + sc.n_sh - n_common) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        | FROM pr JOIN sz sb ON pr.batch_id = sb.doc_id JOIN sz sc ON pr.corpus_id = sc.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin,
+
+    "q58_repetition_profile" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS pair
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words))) AS i) t),
+        |pc AS (SELECT doc_id, pair, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        | CAST(max(c) AS BIGINT) AS top_bigram_n,
+        | floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000.0 + 0.5) / 10000.0 AS rep_ratio
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q59_weighted_sample" ->
+      """WITH p AS (SELECT source, doc_id, n_chars,
+        |  CAST(((doc_id % 100003) * 2654435761) % 1000003 AS DOUBLE) / n_chars AS priority
+        | FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS BIGINT) AS rn
+        | FROM p)
+        |SELECT source, doc_id, n_chars, rn FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin
   )
 }

@@ -35,6 +35,18 @@ object TextFns {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Adjacent-token bigram MULTISET ("a b" strings, one per position —
+    * repeats kept, unlike the distinct [[shingles]]): the unit of BPE pair
+    * counting and of repetition scoring. Empty array below 2 tokens.
+    * Same shifted-slice zip as [[shingles]] (codegen-friendly, O(tokens)).
+    */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    val m = size(toks) - 1
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (x, y) => concat(x, lit(" "), y))
+  }
+
   /** Ratio of non [a-z0-9 space] characters to total length. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

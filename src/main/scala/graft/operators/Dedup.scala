@@ -165,6 +165,41 @@ object Dedup {
     if (persistIndex) materializeAndRelease(result, sh) else result
   }
 
+  /** Incremental near-dup check — the production ingest shape: every NEW
+    * (batch) document is scored against every EXISTING (corpus) document
+    * sharing at least one word n-gram shingle, and pairs with
+    * jaccard >= minJaccard surface as (batch_id, corpus_id, jaccard).
+    * Only CROSS-set pairs are generated: batch-internal duplicates are
+    * [[ngramJaccardPairs]]' job on the batch alone, and the corpus is
+    * already deduplicated by construction. At 100 TB the asymmetry is the
+    * point — the inverted index of the (small) incoming batch joins the
+    * corpus index on the 8-byte shingle hash, so the shuffle is driven by
+    * batch-side fan-out, not corpus size, and the corpus index is the kind
+    * of artifact a real pipeline keeps materialized between ingests.
+    */
+  def ngramJaccardAgainst(corpus: DataFrame, corpusId: Column, corpusText: Column,
+                          batch: DataFrame, batchId: Column, batchText: Column,
+                          n: Int, minJaccard: Double): DataFrame = {
+    def index(df: DataFrame, id: Column, text: Column, idName: String): DataFrame =
+      df.select(id.as(idName), explode(TextFns.shingles(text, n)).as("shingle"))
+        .select(col(idName), xxhash64(col("shingle")).as("sh_h"))
+    val ci = index(corpus, corpusId, corpusText, "corpus_id")
+    val bi = index(batch, batchId, batchText, "batch_id")
+    val cSizes = ci.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_c"))
+    val bSizes = bi.groupBy(col("batch_id")).agg(count(lit(1)).as("n_b"))
+    val common = bi.join(ci, "sh_h")
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(bSizes, "batch_id")
+      .join(cSizes, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.NumFns.roundHalfUp(col("n_common").cast("double") /
+          (col("n_b") + col("n_c") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** MinHash+LSH candidate pairs: signature → bands → join docs sharing a
     * band bucket → estimate Jaccard as signature agreement. The band bucket
     * is the blocking key; numPerms/rowsPerBand tune recall vs fan-out.

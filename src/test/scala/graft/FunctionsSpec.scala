@@ -40,6 +40,13 @@ class FunctionsSpec extends GraftSuite {
     assert(got(1).isEmpty)
   }
 
+  test("TextFns.bigrams keeps repeats and is empty below 2 tokens") {
+    val df = Seq("a b a b", "solo").toDF("text")
+    val got = df.select(TextFns.bigrams($"text")).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b", "b a", "a b")) // multiset: the repeat survives
+    assert(got(1).isEmpty)
+  }
+
   test("TextFns ratios and langId") {
     val df = Seq("the the data!").toDF("text")
     val row = df.select(

@@ -86,6 +86,37 @@ class OperatorsSpec extends GraftSuite {
     assert(got.toSeq == Seq((1L, 2L, 0.5)))
   }
 
+  test("Dedup.ngramJaccardAgainst scores only cross-set pairs") {
+    // corpus 1/2 are near-dups of each other; batch 10 is a near-dup of 1;
+    // batch 11 matches nothing. Only (10, 1)-family pairs may surface —
+    // corpus-internal (1,2) and batch-internal pairs must not.
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c d x"), (11L, "m n o p q")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardAgainst(corpus, $"doc_id", $"text",
+        batch, $"doc_id", $"text", 3, 0.4)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got == Seq((10L, 1L, 0.5), (10L, 2L, 0.5)))
+  }
+
+  test("Dedup.ngramJaccardAgainst agrees with ngramJaccardPairs on the cross-set slice") {
+    val docs = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) s"a b c d e f ${i % 5}" else s"w$i x$i y$i z$i q$i r$i s$i"))
+      .toDF("doc_id", "text")
+    val inBatch = (id: Long) => id % 10 == 7
+    val all = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", 3, 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val crossExpected = all.collect {
+      case (a, b, j) if inBatch(a) ^ inBatch(b) =>
+        (if (inBatch(a)) (a, b) else (b, a), j)
+    }.map { case ((b, c), j) => (b, c, j) }
+    val got = Dedup.ngramJaccardAgainst(
+        docs.filter($"doc_id" % 10 =!= 7), $"doc_id", $"text",
+        docs.filter($"doc_id" % 10 === 7), $"doc_id", $"text", 3, 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == crossExpected)
+  }
+
   test("Dedup.minhashLshPairs surfaces identical docs with est 1.0") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
       .toDF("doc_id", "text")
