@@ -74,16 +74,23 @@ object Bench {
       }
       // -1 marks failure in the JSON — a broken query must not look like a
       // fast pass to anything consuming only the metric line
-      name -> (if (failed) -1.0 else median(times.result()))
+      val ts = times.result()
+      (name, if (failed) -1.0 else median(ts), if (failed) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     // total over SUCCEEDED queries only: summing the -1 sentinels would make
     // a broken query LOWER the total — a regression reading as a speedup.
     // Failures are surfaced both per-query (-1) and in an explicit list.
-    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":${failedNames.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    val failedNames = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // min is reported alongside the median headline: on a contended box the
+    // median absorbs external load, while min-of-reps is the best evidence
+    // of what the engine itself costs (the two agree on a quiet box)
+    val totalMin = results.collect { case (_, v, m) if v >= 0 => m }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_min":$totalMin,"failed":${failedNames.mkString("[", ",", "]")},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

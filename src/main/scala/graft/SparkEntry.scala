@@ -687,7 +687,7 @@ object SparkEntry {
       Dedup.ngramJaccardAgainst(
           docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7), col("doc_id"), col("text"),
           docs.filter(pmod(col("doc_id"), lit(10L)) === 7), col("doc_id"), col("text"),
-          3, 0.5)
+          3, 0.5, persistIndex = true)
         .orderBy("batch_id", "corpus_id")
     }),
 

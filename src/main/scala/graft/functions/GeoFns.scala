@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
   * `getDistance` via geopy → output/nearby_stations.json). Haversine on the
   * mean-Earth radius; pure Column math so Catalyst codegens it and DuckDB can
   * reproduce it verbatim for the oracle.
+  *
+  * DOCUMENTED SUBSTITUTION for users porting from the reference: geopy's
+  * default is the geodesic (ellipsoidal WGS-84) distance, which differs from
+  * haversine by up to ~0.5% (~0.3% at NYC latitudes) — a few metres at the
+  * 0.5 km nearby-stations threshold, so borderline pairs within ±0.5% of a
+  * cutoff may classify differently than the reference's output.
   */
 object GeoFns {
   private val EarthRadiusKm = 6371.0088

@@ -179,10 +179,17 @@ object Dedup {
     */
   def ngramJaccardAgainst(corpus: DataFrame, corpusId: Column, corpusText: Column,
                           batch: DataFrame, batchId: Column, batchText: Column,
-                          n: Int, minJaccard: Double): DataFrame = {
-    def index(df: DataFrame, id: Column, text: Column, idName: String): DataFrame =
-      df.select(id.as(idName), explode(TextFns.shingles(text, n)).as("shingle"))
+                          n: Int, minJaccard: Double,
+                          persistIndex: Boolean = false): DataFrame = {
+    def index(df: DataFrame, id: Column, text: Column, idName: String): DataFrame = {
+      val raw = df.select(id.as(idName), explode(TextFns.shingles(text, n)).as("shingle"))
         .select(col(idName), xxhash64(col("shingle")).as("sh_h"))
+      // each index feeds two branches (its size table and the cross join);
+      // persisting avoids shingling both inputs twice — same gate as the
+      // sibling operators (in a standing pipeline the corpus index would be
+      // a pre-materialized table, not recomputed per ingest at all)
+      if (persistIndex) raw.persist() else raw
+    }
     val ci = index(corpus, corpusId, corpusText, "corpus_id")
     val bi = index(batch, batchId, batchText, "batch_id")
     val cSizes = ci.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_c"))
@@ -190,7 +197,7 @@ object Dedup {
     val common = bi.join(ci, "sh_h")
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val result = common
       .join(bSizes, "batch_id")
       .join(cSizes, "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
@@ -198,6 +205,7 @@ object Dedup {
           (col("n_b") + col("n_c") - col("n_common")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    if (persistIndex) materializeAndRelease(result, ci, bi) else result
   }
 
   /** MinHash+LSH candidate pairs: signature → bands → join docs sharing a
