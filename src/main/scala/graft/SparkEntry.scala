@@ -715,15 +715,19 @@ object SparkEntry {
       // quality-weighted subsampling: keep 5 docs per source, favoring long
       // documents via a deterministic hash-priority (h / n_chars — a bigger
       // doc gets a smaller priority, ranking earlier; no RNG, so reruns and
-      // engines agree). The window partitions on source — bounded groups.
+      // engines agree). `source` has a handful of values, so the SALTED
+      // top-N runs here: a plain per-source window would sort corpus/6 rows
+      // in one partition at 100 TB; the salted prune bounds the final sort
+      // to 64·5 rows per source with an identical result (spec-asserted).
       // doc_id is reduced mod a prime before the Knuth multiplier (overflow
       // headroom, see q43).
       val h = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L), lit(1000003L))
-      Relational.topNPerGroup(
+      Relational.topNPerGroupSalted(
           T(s, dir, "documents")
             .select(col("doc_id"), col("source"), col("n_chars"),
               (h.cast("double") / col("n_chars").cast("double")).as("priority")),
-          Seq(col("source")), Seq(col("priority"), col("doc_id")), 5)
+          Seq(col("source")), Seq(col("priority"), col("doc_id")), 5,
+          saltBy = col("doc_id"))
         .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
         .orderBy("source", "rn")
     })

@@ -87,6 +87,25 @@ object Relational {
     df.withColumn("rn", row_number().over(Window.partitionBy(group: _*).orderBy(order: _*)).cast("long"))
       .filter(col("rn") <= n)
 
+  /** [[topNPerGroup]] for LOW-CARDINALITY groups — the 100 TB variant.
+    * With a handful of groups (sources, languages, splits), a single window
+    * sorts corpus/|groups| rows per partition: group count, not data size,
+    * bounds the parallelism. Pre-pruning per (group, salt) first keeps only
+    * salt-bucket top-n survivors, so the final per-group sort sees at most
+    * `buckets`·n rows. Results are IDENTICAL to [[topNPerGroup]]
+    * (spec-asserted): a group-wide top-n row is top-n within its salt
+    * bucket, so the prune can never drop one. `saltBy` must be a
+    * deterministic per-row expression (e.g. a key column) so reruns agree.
+    */
+  def topNPerGroupSalted(df: DataFrame, group: Seq[Column], order: Seq[Column],
+                         n: Int, saltBy: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val pruned = topNPerGroup(df.withColumn("_salt", pmod(saltBy, lit(buckets.toLong))),
+        group :+ col("_salt"), order, n)
+      .drop("rn", "_salt")
+    topNPerGroup(pruned, group, order, n)
+  }
+
   /** Missing-data repair (reference "Fixing the missing weather issue",
     * README.md:440-905): split facts into clean/broken on a predicate, strip
     * the broken measure, left-join a fix table on the repair key, union back,

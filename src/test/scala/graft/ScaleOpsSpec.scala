@@ -16,6 +16,22 @@ class ScaleOpsSpec extends GraftSuite {
     assert(salted.exceptAll(plain.select(salted.columns.map(col).toIndexedSeq: _*)).count() == 0)
   }
 
+  test("topNPerGroupSalted equals the plain per-group top-N, at any bucket count") {
+    // skew-shaped input: one giant group plus small ones, order-key ties
+    val docs = Readers.table(spark, sf, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val grp = Seq($"source")
+    val ord = Seq($"n_chars", $"doc_id") // tie-break makes top-N unique
+    val plain = Relational.topNPerGroup(docs, grp, ord, 5)
+      .select($"source", $"doc_id", $"rn")
+    for (b <- Seq(1, 3, 64)) {
+      val salted = Relational.topNPerGroupSalted(docs, grp, ord, 5, $"doc_id", b)
+        .select($"source", $"doc_id", $"rn")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"salted top-N diverged from plain at buckets=$b")
+    }
+  }
+
   test("interestingKeysApprox selects rows above all thresholds, one per group") {
     val perKey = Readers.table(spark, sf, "orders")
       .join(Readers.table(spark, sf, "customer"), $"o_custkey" === $"c_custkey")
