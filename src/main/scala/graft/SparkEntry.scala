@@ -730,6 +730,101 @@ object SparkEntry {
           saltBy = col("doc_id"))
         .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
         .orderBy("source", "rn")
+    }),
+
+    "q60_corpus_shuffle" -> ((s, dir) => {
+      // deterministic training-order shuffle: every doc gets a global
+      // 0-based sequence number ordered by hash-priority — reproducible
+      // pseudo-random epoch order with no RNG. The distributed two-level
+      // scheme (globalOrderIndex) replaces the single-task
+      // `row_number() OVER (ORDER BY …)` window: bucket counts → offsets
+      // (tiny table), intra-bucket ranks (bounded partitions).
+      val h = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L), lit(1000003L))
+      Relational.globalOrderIndex(
+          T(s, dir, "documents").select(col("doc_id"), col("source"), h.as("h")),
+          col("h"), Seq(col("doc_id")), bucketWidth = 16384L)
+        .select(col("doc_id"), col("source"), col("seq"))
+        .orderBy("doc_id")
+    }),
+
+    "q61_distinctive_terms" -> ((s, dir) => {
+      // distinctive vocabulary per source (TF-IDF shaped, integer-only so
+      // engines agree exactly): term counts per (source, token); the "IDF"
+      // cut keeps terms absent from at least one source (source_df below
+      // the total source count — a broadcast 1-row threshold, computed not
+      // hard-coded); top-5 per source. Per-source vocab is unbounded at
+      // corpus scale while source count is small ⇒ the SALTED top-N bounds
+      // the final sort.
+      val tf = T(s, dir, "documents")
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      // tf has one row per (source, token) ⇒ count per token = source df
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("source_df"))
+      val nSrc = tf.select(col("source")).distinct()
+        .agg(count(lit(1)).as("n_src"))
+      Relational.topNPerGroupSalted(
+          tf.join(df, Seq("token"))
+            .join(broadcast(nSrc), col("source_df") < col("n_src"))
+            .drop("n_src"),
+          Seq(col("source")), Seq(col("tf").desc, col("token")), 5,
+          saltBy = xxhash64(col("token")))
+        .select(col("source"), col("token"), col("tf"), col("source_df"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
+    "q62_source_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix: distinct shingles per source
+      // (map-side collapse before the shuffle), pair sources sharing a
+      // shingle via a self-join on the 8-byte shingle hash, count common
+      // shingles per source pair + containment vs the smaller side. Output
+      // is #sources² rows at most — the corpus never leaves the distinct.
+      val sh = T(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFns.shingles(col("text"), 3)).as("shingle"))
+        .select(col("source"), xxhash64(col("shingle")).as("h"))
+        .distinct()
+      val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sz.select(col("source").as("source_a"), col("n_sh").as("n_a")), Seq("source_a"))
+        .join(sz.select(col("source").as("source_b"), col("n_sh").as("n_b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          NumFns.roundHalfUp(
+            col("n_common").cast("double") / least(col("n_a"), col("n_b")).cast("double"),
+            4).as("containment"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    "q63_ann_pq" -> ((s, dir) => {
+      // product-quantization ANN with exact re-rank: corpus vectors live as
+      // 8 one-byte codes (32× smaller than 64 floats), queries scan codes
+      // via a broadcast lookup table, and only the top-50 approximate
+      // candidates per query are re-ranked against true vectors. With
+      // candidates ≥ corpus the result provably equals q26 (spec-asserted).
+      val embs = T(s, dir, "embeddings")
+      Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numSub = 8, numCentroids = 16, candidates = 50, kmeansIters = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q64_length_buckets" -> ((s, dir) => {
+      // batching-efficiency profile: bucket docs by token length (width 32);
+      // per bucket, the padding waste if batched to the bucket max — the
+      // length-bucketed batching planner's input. Integer-only math.
+      T(s, dir, "documents")
+        .select(size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bucket", (floor(col("n_tok") / lit(32L)) * 32L).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("sum_tok"),
+          max(col("n_tok")).cast("long").as("max_tok"))
+        .select(col("bucket"), col("n_docs"), col("sum_tok"), col("max_tok"),
+          (col("max_tok") * col("n_docs") - col("sum_tok")).as("pad_waste"))
+        .orderBy("bucket")
     })
   )
 
@@ -1250,6 +1345,47 @@ object SparkEntry {
         |r AS (SELECT source, doc_id, n_chars,
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS BIGINT) AS rn
         | FROM p)
-        |SELECT source, doc_id, n_chars, rn FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin
+        |SELECT source, doc_id, n_chars, rn FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+
+    "q60_corpus_shuffle" ->
+      """WITH p AS (SELECT doc_id, source,
+        |  ((doc_id % 100003) * 2654435761) % 1000003 AS h FROM documents)
+        |SELECT doc_id, source,
+        | CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS seq
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q61_distinctive_terms" ->
+      """WITH w AS (SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |tf AS (SELECT source, token, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS source_df FROM tf GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source) AS n_src FROM tf),
+        |r AS (SELECT source, token, tf, source_df,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY tf DESC, token) AS BIGINT) AS rn
+        | FROM tf JOIN df USING (token), ns WHERE source_df < n_src)
+        |SELECT source, token, tf, source_df, rn FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
+
+    "q62_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(trim(text), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT source, array_to_string(words[i:i+2], ' ') AS shingle
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common,
+        | floor(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) * 10000.0 + 0.5) / 10000.0 AS containment
+        |FROM pr JOIN sz sa ON pr.source_a = sa.source JOIN sz sb ON pr.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q64_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok FROM documents),
+        |b AS (SELECT (n_tok // 32) * 32 AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok, max(n_tok) AS max_tok
+        | FROM t GROUP BY 1)
+        |SELECT bucket, n_docs, sum_tok, max_tok,
+        | max_tok * n_docs - sum_tok AS pad_waste
+        |FROM b ORDER BY bucket""".stripMargin
   )
 }

@@ -227,6 +227,36 @@ object Relational {
       .drop("_bkt", "_p", "_obkt", "_off")
   }
 
+  /** Deterministic global order index — the distributed form of
+    * `row_number() OVER (ORDER BY primary, tiebreak*) - 1`, the "shuffle the
+    * corpus into a reproducible training order" primitive. A plain
+    * unpartitioned window moves the whole corpus to ONE sorted task; this
+    * runs the two-level scheme instead: (1) bucket rows on
+    * `floor(primary / bucketWidth)` — bucket ranges partition the order
+    * space monotonically; (2) per-bucket row counts → exclusive offsets, a
+    * window over the tiny #buckets table; (3) intra-bucket row_number
+    * (partitions bounded by the rows per `bucketWidth` of primary-key
+    * space) plus the bucket offset. `primary` must be a non-negative
+    * numeric expression (e.g. a hash — hashing gives the pseudo-random
+    * training order); (primary, tiebreak*) must be unique per row for a
+    * well-defined order. Result column `name` is 0-based.
+    */
+  def globalOrderIndex(df: DataFrame, primary: Column, tiebreak: Seq[Column],
+                       bucketWidth: Long, name: String = "seq"): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val b = df.withColumn("_bkt", floor(primary / lit(bucketWidth)).cast("long"))
+    val counts = b.groupBy(col("_bkt").as("_obkt")).agg(count(lit(1)).as("_c"))
+    val offsets = counts
+      .withColumn("_off", sum(col("_c")).over(Window.orderBy(col("_obkt"))) - col("_c"))
+      .select(col("_obkt"), col("_off"))
+    b.join(offsets, col("_bkt") === col("_obkt"))
+      .withColumn(name,
+        col("_off") - 1L + row_number()
+          .over(Window.partitionBy(col("_bkt")).orderBy(primary +: tiebreak: _*))
+          .cast("long"))
+      .drop("_bkt", "_obkt", "_off")
+  }
+
   /** Null-rate / distinct profile per column (reference df.info() checks).
     * One pass over the data: all per-column aggregates in a single projection,
     * then unpivoted via stack — never one job per column.

@@ -138,6 +138,137 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** dot(a, b) as a Column over two float/double arrays (codebook-sized
+    * relations only — the corpus-side hot path stays in the native
+    * [[NativeFns.cosineSim]] expression).
+    */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF-PQ-style product quantization ANN with exact re-rank — the
+    * memory-bound 100 TB path: the corpus is represented by `numSub` one-byte
+    * codes per vector (64-dim float → 8 bytes at numSub=8, a 32× shrink), a
+    * query scans CODES (sum of `numSub` table lookups per vector, no float
+    * vectors read), keeps the `candidates` best per query by approximate
+    * score, and re-ranks only those few against the true vectors.
+    *
+    * Shape: (1) train per-subspace codebooks — deterministic first-N seeds +
+    * `kmeansIters` Lloyd rounds, ALL subspaces in one joint pass per round
+    * (group key (sub, cid), never one job per subspace); (2) encode the
+    * corpus: per (vector, subspace) nearest centroid by L2, collected to an
+    * ordered code array; (3) per query, a lookup table dot(q_sub, centroid)
+    * nested to array[sub][cid] and BROADCAST — scoring is one map-side
+    * `aggregate` over the code array, the corpus is never shuffled; (4)
+    * exact-cosine re-rank of the surviving candidates.
+    *
+    * `candidates >= corpus size` keeps every vector through the prescreen,
+    * so the result provably equals [[bruteForceTopK]] (spec-asserted) — the
+    * PQ approximation can only affect WHICH candidates survive, never their
+    * final exact scores or ranking.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             numSub: Int, numCentroids: Int, candidates: Int,
+             kmeansIters: Int = 1): DataFrame = {
+    require(numSub >= 1, s"numSub must be >= 1, got $numSub")
+    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    // split into numSub contiguous subvectors; dims need not divide evenly —
+    // the last subspace is shorter (slice clamps past the end)
+    def subs(df: DataFrame, dim: Column): DataFrame = {
+      val w = ceil(dim.cast("double") / numSub).cast("int")
+      df.select(col(idCol), posexplode(
+          transform(sequence(lit(0), lit(numSub - 1)),
+            s => slice(col(vecCol), s * w + 1, w))).as(Seq("sub", "svec")))
+        .filter(size(col("svec")) > 0)
+    }
+    val dim = size(col(vecCol))
+    val corpusSubs = subs(corpus, dim)
+    // codebook seeds: subvectors of the first numCentroids vectors by id
+    var (codebook, cbBlocks) = Checkpoints.tracked(
+      subs(corpus.orderBy(col(idCol)).limit(numCentroids), dim)
+        .select(col("sub"), col(idCol).cast("long").as("cid"),
+          col("svec").cast("array<float>").as("cvec")))
+    // joint Lloyd rounds over every subspace at once: assign by min L2
+    // (argmin |x-c|² = argmax (dot - |c|²/2)), then per-(sub, cid, pos) mean
+    for (_ <- 0 until kmeansIters) {
+      val assigned = corpusSubs.as("x")
+        .join(broadcast(codebook), col("x.sub") === codebook("sub"))
+        .groupBy(col(s"x.$idCol").as("nid"), col("x.sub").as("sub"))
+        .agg(max_by(struct(col("cid"), col("x.svec").as("v")),
+          struct((dotCol(col("x.svec"), col("cvec"))
+            - dotCol(col("cvec"), col("cvec")) / 2).as("score"),
+            (-col("cid")).as("tb"))).as("best"))
+      val (next, nextBlocks) = Checkpoints.tracked(
+        assigned
+          .select(col("sub"), col("best.cid").as("cid"),
+            posexplode(col("best.v")).as(Seq("pos", "x")))
+          .groupBy(col("sub"), col("cid"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            e => e("m").cast("float")).as("cvec")))
+      codebook = next
+      Checkpoints.release(cbBlocks)
+      cbBlocks = nextBlocks
+    }
+    // re-key cids densely 0..n-1 per subspace so codes index the LUT arrays
+    val denseCb = codebook
+      .withColumn("code", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("cid"))) - 1)
+      .drop("cid")
+    // encode: nearest centroid per (vector, subspace), codes as ordered array
+    val codes = corpusSubs.as("x")
+      .join(broadcast(denseCb), col("x.sub") === denseCb("sub"))
+      .groupBy(col(s"x.$idCol").as("neighbor_id"), col("x.sub").as("sub"))
+      .agg(max_by(col("code"),
+        struct((dotCol(col("x.svec"), col("cvec"))
+          - dotCol(col("cvec"), col("cvec")) / 2).as("score"),
+          (-col("code")).as("tb"))).as("code"))
+      .groupBy(col("neighbor_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e("code")).as("codes"))
+    // per-query LUT: dot(q_sub, centroid) nested to lut[sub][code]
+    val lut = subs(queries, dim).as("q")
+      .join(broadcast(denseCb), col("q.sub") === denseCb("sub"))
+      .select(col(s"q.$idCol").as("query_id"), col("q.sub").as("sub"),
+        col("code"), dotCol(col("q.svec"), col("cvec")).as("pdot"))
+      .groupBy(col("query_id"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("pdot")))),
+        e => e("pdot")).as("subLut"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("subLut")))),
+        e => e("subLut")).as("lut"))
+    // prescreen: approximate score = Σ_s lut[s][codes[s]], map-side over the
+    // broadcast LUT; keep `candidates` best per query (ties → lower id)
+    val approx = codes.join(broadcast(lut),
+        col("query_id") =!= col("neighbor_id"))
+      // iterate over the code array's ACTUAL length: when numSub doesn't
+      // divide the dimension the trailing empty subspace is absent from both
+      // codes and lut (same subs() filter), and a literal numSub bound would
+      // index past the arrays — element_at would yield NULL, not an error
+      .withColumn("approx",
+        aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0),
+          (acc, s) => acc
+            + element_at(element_at(col("lut"), s.cast("int") + 1),
+              element_at(col("codes"), s.cast("int") + 1) + 1)))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("crnk") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of survivors only
+    val scored = approx
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(NativeFns.cosineSim(col("qv"), col("nv")), 4).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN: hash corpus and queries into random-hyperplane
     * buckets; score only within the query's bucket. Probing multiple band
     * tables (numTables) trades recall for fan-out. Returns top-k per query

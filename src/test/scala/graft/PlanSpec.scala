@@ -45,8 +45,13 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join found:\n$plan")
   }
 
-  test("no query plans a cartesian product (q26/q48 excepted: corpus × broadcast queries/centroids by design)") {
-    val exceptions = Set("q26_ann_bruteforce", "q48_ann_ivf")
+  test("no query plans a cartesian product (q26/q48/q63 excepted: corpus × broadcast queries/centroids/LUT by design)") {
+    // q61: the only nested loop is (source,token) counts × a BROADCAST
+    // 1-row source-count threshold — the same shape as
+    // interestingKeysApprox's percentile thresholds; O(n) map-side compare,
+    // never a data×data cartesian.
+    val exceptions = Set("q26_ann_bruteforce", "q48_ann_ivf", "q63_ann_pq",
+      "q61_distinctive_terms")
     val offenders = allPlans.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .collect { case (name, plan)
@@ -60,9 +65,11 @@ class PlanSpec extends GraftSuite {
     // the q44 round-1 failure mode: Window with an empty partition spec
     // moves ALL data to one task. Allowed only where the windowed relation
     // is an already-aggregated small table: q04's global ntile percentiles
-    // (per-key aggregate, documented in SURVEY §5) and q50's max-share
-    // lookup (#groups rows).
-    val exceptions = Set("q04_interesting_keys", "q50_mix_epochs")
+    // (per-key aggregate, documented in SURVEY §5), q50's max-share
+    // lookup (#groups rows), and q60's bucket-offset scan (#buckets rows —
+    // the whole point of globalOrderIndex is that the corpus-sized window
+    // is replaced by this tiny one).
+    val exceptions = Set("q04_interesting_keys", "q50_mix_epochs", "q60_corpus_shuffle")
     // WindowExec prints as: Window [funcs], [partitionSpec], [orderSpec].
     // Unpartitioned+ordered: the partition bracket vanishes, so the bracket
     // after the funcs holds the ORDER spec (contains ASC/DESC).

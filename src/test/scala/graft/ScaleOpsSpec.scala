@@ -32,6 +32,51 @@ class ScaleOpsSpec extends GraftSuite {
     }
   }
 
+  test("globalOrderIndex equals the single-task row_number window, at any bucket width") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Readers.table(spark, sf, "documents")
+      .select($"doc_id",
+        pmod(pmod($"doc_id", lit(100003L)) * 2654435761L, lit(1000003L)).as("h"))
+    val plain = docs.withColumn("seq",
+      row_number().over(Window.orderBy($"h", $"doc_id")).cast("long") - 1)
+      .select($"doc_id", $"seq")
+    // width 1 = one bucket per distinct key; huge width = one bucket total
+    for (w <- Seq(1L, 1000L, 100000000L)) {
+      val got = Relational.globalOrderIndex(docs, $"h", Seq($"doc_id"), w)
+        .select($"doc_id", $"seq")
+      assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty,
+        s"globalOrderIndex diverged from the plain window at width=$w")
+    }
+  }
+
+  test("PQ ANN: prescreen keeping everything reproduces brute force exactly") {
+    import graft.operators.Similarity
+    val embs = Readers.table(spark, sf, "embeddings")
+    val queries = embs.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+    // candidates >= corpus: the approximate prescreen drops nothing, and the
+    // exact re-rank then IS brute force — PQ error cannot touch the result
+    val full = Similarity.pqTopK(embs, queries, "vec_id", "embedding", 5,
+        numSub = 8, numCentroids = 16, candidates = 1000000, kmeansIters = 1)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+    assert(full.exceptAll(truth).isEmpty && truth.exceptAll(full).isEmpty,
+      "PQ with an uncapped prescreen must reproduce the exact result")
+  }
+
+  test("PQ ANN: top-50 prescreen keeps usable recall@5") {
+    import graft.operators.Similarity
+    val embs = Readers.table(spark, sf, "embeddings")
+    val queries = embs.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.pqTopK(embs, queries, "vec_id", "embedding", 5,
+        numSub = 8, numCentroids = 16, candidates = 50, kmeansIters = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall > 0.3, s"PQ recall@5 with 50 candidates unreasonably low: $recall")
+  }
+
   test("interestingKeysApprox selects rows above all thresholds, one per group") {
     val perKey = Readers.table(spark, sf, "orders")
       .join(Readers.table(spark, sf, "customer"), $"o_custkey" === $"c_custkey")
