@@ -804,9 +804,41 @@ object SparkEntry {
       // via a broadcast lookup table, and only the top-50 approximate
       // candidates per query are re-ranked against true vectors. With
       // candidates ≥ corpus the result provably equals q26 (spec-asserted).
+      // codebooks train on a deterministic 2048-vector hash sample — the
+      // quantizer needs a representative draw, not the corpus (the corpus is
+      // still encoded, one pass); at 100 TB training cost is O(sample), flat
       val embs = T(s, dir, "embeddings")
       Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, numSub = 8, numCentroids = 16, candidates = 50, kmeansIters = 1)
+          k = 5, numSub = 8, numCentroids = 16, candidates = 50, kmeansIters = 1,
+          trainSample = 2048)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q65_ann_ivfpq" -> ((s, dir) => {
+      // composed FAISS-style IVFPQ: the PQ code scan runs only inside the
+      // query's 4 probed coarse cells (of 16), so a query reads
+      // ~nProbe/numCells of the one-byte codes — the two 100 TB levers
+      // (probe pruning × 32-byte-to-1-byte compression) stacked. Probe-all +
+      // uncapped candidates provably equals q26 (spec-asserted).
+      val embs = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numCells = 16, nProbe = 4, numSub = 8, numCentroids = 16,
+          candidates = 50, kmeansIters = 1, trainSample = 2048)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q66_ann_pq_exact" -> ((s, dir) => {
+      // q63's PQ path in its provably-exact configuration: an uncapped
+      // prescreen keeps every vector, so the exact re-rank IS brute force
+      // and the driver hash-checks the whole train/encode/LUT/re-rank
+      // pipeline against q26's oracle (the PQ approximation only ever
+      // decides WHICH candidates survive — never their final exact scores).
+      val embs = T(s, dir, "embeddings")
+      Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numSub = 8, numCentroids = 16, candidates = Int.MaxValue,
+          kmeansIters = 1, trainSample = 2048)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
         .orderBy("query_id", "rnk")
     }),
@@ -1386,6 +1418,25 @@ object SparkEntry {
         | FROM t GROUP BY 1)
         |SELECT bucket, n_docs, sum_tok, max_tok,
         | max_tok * n_docs - sum_tok AS pad_waste
-        |FROM b ORDER BY bucket""".stripMargin
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    // q66 is q26's computation by construction (uncapped PQ prescreen ⇒
+    // exact re-rank over the full corpus), so it shares q26's oracle —
+    // making the PQ train/encode/LUT/re-rank pipeline hash-checked, not
+    // just spec-checked
+    "q66_ann_pq_exact" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  q.embedding AS qe, c.embedding AS ce
+        | FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |ex AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS x,
+        |  CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+        |s AS (SELECT query_id, neighbor_id,
+        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+        | FROM ex GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        | FROM s)
+        |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
   )
 }

@@ -16,14 +16,21 @@ object Similarity {
     * the exact baseline and every ANN variant rank identically (and match
     * the DuckDB oracle). This contract lives in exactly one place — the
     * recall specs compare these operators against each other.
+    *
+    * The query set is SMALL by construction (a per-query window is fine for
+    * ranking), but its *input* is corpus-sized for the brute-force/probe-all
+    * paths — a plain `row_number` window would sort one corpus-sized
+    * partition per query on a single task. Routed through the salted
+    * two-phase top-N instead: per-(query, salt-bucket) prune first, so the
+    * final per-query sort sees at most buckets·k rows (result identical —
+    * spec-asserted in Relational's salted-top-N equality spec and every
+    * ANN-vs-brute-force comparison here).
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored
-      .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("neighbor_id")))
-          .cast("long"))
-      .filter(col("rnk") <= k)
+    Relational.topNPerGroupSalted(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k,
+        saltBy = xxhash64(col("neighbor_id")))
+      .withColumnRenamed("rn", "rnk")
 
   /** Nearest-centroid cell per corpus vector: broadcast the (small) centroid
     * table, score, keep the arg-max cell with the lower cell_id winning
@@ -68,23 +75,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Deterministic fixed-size training sample: the `n` vectors with the
+    * smallest xxhash64(id) — a pseudo-random draw with no RNG, independent
+    * of partition layout, so specs and reruns agree. Plans as
+    * TakeOrderedAndProject: each input partition keeps an ≤n heap, only the
+    * pruned survivors reach the merge — the corpus is never shuffled.
+    * `Int.MaxValue` (or any n ≥ corpus) degenerates to the full corpus,
+    * merely re-ordered — and Lloyd assignment/means are order-independent,
+    * so results are then IDENTICAL to full-corpus training.
+    */
+  private def trainSampleOf(corpus: DataFrame, idCol: String, n: Int): DataFrame =
+    if (n == Int.MaxValue) corpus
+    else corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
+
   /** Coarse quantizer for [[ivfTopK]]: Lloyd k-means with deterministic
     * seeding (first `k` corpus vectors by id — no RNG, so specs and reruns
     * are stable). Each iteration is one broadcast assignment pass over the
-    * corpus plus one element-wise mean (posexplode → groupBy (cell, dim) —
-    * a corpus×dim shuffle, but of scalars, and at 100 TB the quantizer is
-    * trained on a fixed-size sample, not the full corpus). Cells that end an
-    * iteration empty simply drop out (standard Lloyd behavior); intermediate
-    * centroid tables are checkpointed per iteration and released.
+    * TRAINING SAMPLE (`trainSample` hash-selected vectors — quantizer
+    * quality needs a representative draw, not the corpus; FAISS trains on
+    * O(100k) points regardless of index size) plus one element-wise mean
+    * (posexplode → groupBy (cell, dim) — a sample×dim shuffle of scalars).
+    * Cells that end an iteration empty simply drop out (standard Lloyd
+    * behavior); intermediate centroid tables are checkpointed per iteration
+    * and released.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int): DataFrame = {
+                      k: Int, iters: Int, trainSample: Int = 65536): DataFrame = {
+    val trainDf = trainSampleOf(corpus, idCol, trainSample)
     var (cent, centBlocks) = Checkpoints.tracked(
       corpus.orderBy(col(idCol)).limit(k)
         .select(col(idCol).cast("long").as("cell_id"),
           col(vecCol).cast("array<float>").as("cvec")))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(corpus, cent, idCol, vecCol, carryVec = true)
+      val assigned = assignCells(trainDf, cent, idCol, vecCol, carryVec = true)
       val (next, nextBlocks) = Checkpoints.tracked(
         assigned
           .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -115,13 +138,30 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numCells: Int, nProbe: Int, kmeansIters: Int = 0): DataFrame = {
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCells, kmeansIters)
+              numCells: Int, nProbe: Int, kmeansIters: Int = 0,
+              trainSample: Int = 65536): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCells, kmeansIters,
+      trainSample)
     val cells = assignCells(corpus, centroids, idCol, vecCol, carryVec = false)
     val inverted = corpus.join(cells, col(idCol) === col("nid"))
       .select(col("cell_id"), col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
-    // probe list: nProbe nearest cells per query (queries are small)
-    val probes = queries.as("q")
+    val probes = probeCells(queries, centroids, idCol, vecCol, nProbe)
+    val scored = probes.join(inverted, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(NativeFns.cosineSim(col("qv"), col("nvec")), 4).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Probe list: the `nProbe` nearest coarse cells per query, emitted as
+    * (query_id, qv, cell_id). The window input is #queries × #cells rows —
+    * both small by construction (queries are broadcast-sized, the centroid
+    * table is the quantizer's output) — so the per-query window here is NOT
+    * the corpus-sized-sort shape that [[topKPerQuery]] routes around.
+    */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+                         idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    queries.as("q")
       .join(broadcast(centroids))
       .select(col(s"q.$idCol").as("query_id"), col(s"q.$vecCol").as("qv"),
         col("cell_id"),
@@ -131,12 +171,6 @@ object Similarity {
           .orderBy(col("csim").desc, col("cell_id"))))
       .filter(col("crnk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell_id"))
-    val scored = probes.join(inverted, Seq("cell_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(NativeFns.cosineSim(col("qv"), col("nvec")), 4).as("cos"))
-    topKPerQuery(scored, k)
-  }
 
   /** dot(a, b) as a Column over two float/double arrays (codebook-sized
     * relations only — the corpus-side hot path stays in the native
@@ -170,7 +204,48 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              numSub: Int, numCentroids: Int, candidates: Int,
-             kmeansIters: Int = 1): DataFrame = {
+             kmeansIters: Int = 1, trainSample: Int = 65536): DataFrame =
+    pqCore(corpus, queries, idCol, vecCol, k, numSub, numCentroids, candidates,
+      kmeansIters, trainSample, restrict = None)
+
+  /** True IVFPQ (FAISS's composed index): the PQ code scan of [[pqTopK]]
+    * restricted to the query's `nProbe` probed coarse cells, so a query
+    * touches ~nProbe/numCells of the CODES instead of all of them — on top
+    * of the codes already being a ~32× shrink of the vectors. Coarse
+    * quantizer and cell assignment are shared with [[ivfTopK]] (one code
+    * path decides membership); codebook training, encoding, LUT scoring and
+    * the exact re-rank are shared with [[pqTopK]].
+    *
+    * `nProbe >= numCells` together with `candidates >=` corpus size keeps
+    * every vector through both filters, so the result provably equals
+    * [[bruteForceTopK]] (spec-asserted).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                numCells: Int, nProbe: Int,
+                numSub: Int, numCentroids: Int, candidates: Int,
+                kmeansIters: Int = 1, trainSample: Int = 65536): DataFrame = {
+    require(numCells >= 1, s"numCells must be >= 1, got $numCells")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCells, kmeansIters,
+      trainSample)
+    val cells = assignCells(corpus, centroids, idCol, vecCol, carryVec = false)
+    // candidate pairs: members of the query's probed cells. The join keys
+    // are 8-byte ids — the vectors never move; the PQ prescreen below reads
+    // only the one-byte-per-subspace codes of these survivors.
+    val pairs = probeCells(queries, centroids, idCol, vecCol, nProbe)
+      .select(col("query_id"), col("cell_id"))
+      .join(cells, Seq("cell_id"))
+      .select(col("query_id"), col("nid").as("neighbor_id"))
+    pqCore(corpus, queries, idCol, vecCol, k, numSub, numCentroids, candidates,
+      kmeansIters, trainSample, restrict = Some(pairs))
+  }
+
+  private def pqCore(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     numSub: Int, numCentroids: Int, candidates: Int,
+                     kmeansIters: Int, trainSample: Int,
+                     restrict: Option[DataFrame]): DataFrame = {
     require(numSub >= 1, s"numSub must be >= 1, got $numSub")
     require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
@@ -185,6 +260,11 @@ object Similarity {
     }
     val dim = size(col(vecCol))
     val corpusSubs = subs(corpus, dim)
+    // Lloyd rounds see only the deterministic training sample — codebook
+    // quality needs a representative draw, not all 100 TB (the full corpus
+    // is still ENCODED below, one pass). n ≥ corpus ⇒ identical to
+    // full-corpus training (see trainSampleOf).
+    val trainSubs = subs(trainSampleOf(corpus, idCol, trainSample), dim)
     // codebook seeds: subvectors of the first numCentroids vectors by id
     var (codebook, cbBlocks) = Checkpoints.tracked(
       subs(corpus.orderBy(col(idCol)).limit(numCentroids), dim)
@@ -193,7 +273,7 @@ object Similarity {
     // joint Lloyd rounds over every subspace at once: assign by min L2
     // (argmin |x-c|² = argmax (dot - |c|²/2)), then per-(sub, cid, pos) mean
     for (_ <- 0 until kmeansIters) {
-      val assigned = corpusSubs.as("x")
+      val assigned = trainSubs.as("x")
         .join(broadcast(codebook), col("x.sub") === codebook("sub"))
         .groupBy(col(s"x.$idCol").as("nid"), col("x.sub").as("sub"))
         .agg(max_by(struct(col("cid"), col("x.svec").as("v")),
@@ -241,9 +321,18 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("subLut")))),
         e => e("subLut")).as("lut"))
     // prescreen: approximate score = Σ_s lut[s][codes[s]], map-side over the
-    // broadcast LUT; keep `candidates` best per query (ties → lower id)
-    val approx = codes.join(broadcast(lut),
+    // broadcast LUT; keep `candidates` best per query (ties → lower id).
+    // With a `restrict` pair set (IVFPQ), only the probed cells' codes are
+    // scored; otherwise every (query, code) combination is (plain PQ).
+    val pairCodes = restrict match {
+      case None => codes.join(broadcast(lut),
         col("query_id") =!= col("neighbor_id"))
+      case Some(pairs) => pairs
+        .join(codes, Seq("neighbor_id"))
+        .join(broadcast(lut), Seq("query_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+    }
+    val approx = pairCodes
       // iterate over the code array's ACTUAL length: when numSub doesn't
       // divide the dimension the trailing empty subspace is absent from both
       // codes and lut (same subs() filter), and a literal numSub bound would
@@ -253,10 +342,13 @@ object Similarity {
           (acc, s) => acc
             + element_at(element_at(col("lut"), s.cast("int") + 1),
               element_at(col("codes"), s.cast("int") + 1) + 1)))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("approx").desc, col("neighbor_id"))))
-      .filter(col("crnk") <= candidates)
+      .transform(scoredCodes =>
+        // salted two-phase keep-best-`candidates`: the scored-code frame is
+        // corpus-sized per query, so a plain per-query row_number window
+        // would serialize a corpus-sized sort on one task (the q59 shape)
+        Relational.topNPerGroupSalted(scoredCodes, Seq(col("query_id")),
+          Seq(col("approx").desc, col("neighbor_id")), candidates,
+          saltBy = xxhash64(col("neighbor_id"))))
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank of survivors only
     val scored = approx

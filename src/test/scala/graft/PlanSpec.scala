@@ -51,7 +51,7 @@ class PlanSpec extends GraftSuite {
     // interestingKeysApprox's percentile thresholds; O(n) map-side compare,
     // never a data×data cartesian.
     val exceptions = Set("q26_ann_bruteforce", "q48_ann_ivf", "q63_ann_pq",
-      "q61_distinctive_terms")
+      "q65_ann_ivfpq", "q66_ann_pq_exact", "q61_distinctive_terms")
     val offenders = allPlans.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .collect { case (name, plan)
@@ -86,6 +86,24 @@ class PlanSpec extends GraftSuite {
         name
       }
     assert(offenders.isEmpty, s"unpartitioned window in: $offenders")
+  }
+
+  test("ANN rankings are salted: every per-query ranking window is guarded by a per-(query, salt) prune") {
+    // the round-3 weak spot: `row_number() OVER (PARTITION BY query_id)`
+    // whose input is the scored corpus serializes one corpus-sized sort per
+    // query. Every ANN query must carry the salted two-phase shape instead:
+    // a Window partitioned by (query_id, _salt) — the bounded prune — must
+    // appear in the plan. (The IVF probe window stays partitioned by
+    // query_id alone: its input is #queries × #cells, bounded by
+    // construction, and the salted prune for the actual ranking coexists
+    // with it in the same plan.)
+    val saltedPrune = raw"Window \[[^\]]*\], \[query_id#\d+L?, _salt#\d+L?\]".r
+    val annQueries = Seq("q26_ann_bruteforce", "q27_ann_lsh", "q48_ann_ivf",
+      "q63_ann_pq", "q65_ann_ivfpq", "q66_ann_pq_exact")
+    val offenders = annQueries.filter(name =>
+      saltedPrune.findFirstIn(allPlans(name)).isEmpty)
+    assert(offenders.isEmpty,
+      s"no salted per-query prune window in: $offenders\n${offenders.headOption.map(allPlans).getOrElse("")}")
   }
 
   test("q47 range join plans as a hash equi-join on buckets, not a nested loop") {

@@ -77,6 +77,62 @@ class ScaleOpsSpec extends GraftSuite {
     assert(recall > 0.3, s"PQ recall@5 with 50 candidates unreasonably low: $recall")
   }
 
+  test("IVFPQ: probe-all + uncapped candidates reproduces brute force exactly") {
+    import graft.operators.Similarity
+    val embs = Readers.table(spark, sf, "embeddings")
+    val queries = embs.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+    // nProbe = numCells keeps every cell, uncapped candidates keep every
+    // code: both filters pass everything, so the exact re-rank IS brute
+    // force — neither quantizer can touch the result
+    val full = Similarity.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
+        numCells = 16, nProbe = 16, numSub = 8, numCentroids = 16,
+        candidates = Int.MaxValue, kmeansIters = 1)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+    assert(full.exceptAll(truth).isEmpty && truth.exceptAll(full).isEmpty,
+      "IVFPQ with probe-all + uncapped prescreen must reproduce the exact result")
+  }
+
+  test("IVFPQ recall@5 never drops as probes widen (uncapped prescreen)") {
+    import graft.operators.Similarity
+    val embs = Readers.table(spark, sf, "embeddings")
+    val queries = embs.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // uncapped candidates so widening probes grows the candidate set
+    // monotonically (a capped prescreen could swap survivors either way)
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
+          numCells = 16, nProbe = nProbe, numSub = 8, numCentroids = 16,
+          candidates = Int.MaxValue, kmeansIters = 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r2 = recall(2)
+    val r8 = recall(8)
+    assert(r8 >= r2, s"IVFPQ recall with 8 probes ($r8) below 2 probes ($r2)")
+  }
+
+  test("ANN sample-trained quantizers: a sample >= corpus equals full-corpus training") {
+    import graft.operators.Similarity
+    val embs = Readers.table(spark, sf, "embeddings")
+    val queries = embs.filter($"vec_id" < 10)
+    // Lloyd assignment and means are order-independent, so the hash-ordered
+    // "sample" that covers the whole corpus must give identical centroids —
+    // this pins the sampling refactor to bit-identical behavior at test scale
+    val full = Similarity.pqTopK(embs, queries, "vec_id", "embedding", 5,
+        numSub = 8, numCentroids = 16, candidates = 50, kmeansIters = 1,
+        trainSample = Int.MaxValue)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+    val sampled = Similarity.pqTopK(embs, queries, "vec_id", "embedding", 5,
+        numSub = 8, numCentroids = 16, candidates = 50, kmeansIters = 1,
+        trainSample = 1000000)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+    assert(sampled.exceptAll(full).isEmpty && full.exceptAll(sampled).isEmpty,
+      "covering train sample diverged from full-corpus training")
+  }
+
   test("interestingKeysApprox selects rows above all thresholds, one per group") {
     val perKey = Readers.table(spark, sf, "orders")
       .join(Readers.table(spark, sf, "customer"), $"o_custkey" === $"c_custkey")
