@@ -181,17 +181,48 @@ object Dedup {
                           batch: DataFrame, batchId: Column, batchText: Column,
                           n: Int, minJaccard: Double,
                           persistIndex: Boolean = false): DataFrame = {
-    def index(df: DataFrame, id: Column, text: Column, idName: String): DataFrame = {
-      val raw = df.select(id.as(idName), explode(TextFns.shingles(text, n)).as("shingle"))
-        .select(col(idName), xxhash64(col("shingle")).as("sh_h"))
-      // each index feeds two branches (its size table and the cross join);
-      // persisting avoids shingling both inputs twice — same gate as the
-      // sibling operators (in a standing pipeline the corpus index would be
-      // a pre-materialized table, not recomputed per ingest at all)
-      if (persistIndex) raw.persist() else raw
-    }
-    val ci = index(corpus, corpusId, corpusText, "corpus_id")
-    val bi = index(batch, batchId, batchText, "batch_id")
+    // the corpus index feeds two branches (its size table and the cross
+    // join); persisting avoids shingling the corpus twice — same gate as
+    // the sibling operators (a standing pipeline would instead hand
+    // [[ngramJaccardAgainstIndex]] a pre-materialized table)
+    val ciRaw = shingleIndex(corpus, corpusId, corpusText, n, "corpus_id")
+    val ci = if (persistIndex) ciRaw.persist() else ciRaw
+    val result = ngramJaccardAgainstIndex(ci, batch, batchId, batchText,
+      n, minJaccard, persistIndex)
+    if (persistIndex) materializeAndRelease(result, ci) else result
+  }
+
+  /** The standing inverted shingle index as a first-class artifact:
+    * (idName, sh_h) — one row per (document, distinct-position word n-gram),
+    * shingles stored as 8-byte xxhash64 values (the same keys every jaccard
+    * operator here joins on). This is the table a production ingest pipeline
+    * materializes once (e.g. [[graft.sources.Writers.writeSorted]] on sh_h
+    * for min/max file pruning) and reuses every night instead of
+    * re-shingling the corpus per batch — see [[ngramJaccardAgainstIndex]].
+    */
+  def shingleIndex(docs: DataFrame, id: Column, text: Column,
+                   n: Int, idName: String = "doc_id"): DataFrame =
+    docs.select(id.as(idName), explode(TextFns.shingles(text, n)).as("shingle"))
+      .select(col(idName), xxhash64(col("shingle")).as("sh_h"))
+
+  /** [[ngramJaccardAgainst]] against a PRE-MATERIALIZED corpus index (the
+    * output of [[shingleIndex]] with idName = "corpus_id", typically read
+    * back from parquet). The nightly-ingest fast path: only the incoming
+    * batch is shingled; the corpus contributes a columnar scan of its
+    * standing (corpus_id, sh_h) table, so per-ingest cost follows batch
+    * size + one corpus-index scan — the corpus documents themselves are
+    * never re-read. Results are identical to [[ngramJaccardAgainst]] on the
+    * same inputs (the index is the same relation, materialized).
+    */
+  def ngramJaccardAgainstIndex(corpusIndex: DataFrame,
+                               batch: DataFrame, batchId: Column, batchText: Column,
+                               n: Int, minJaccard: Double,
+                               persistIndex: Boolean = false): DataFrame = {
+    val ci = corpusIndex
+    // the batch index feeds two branches; the gate persists only the batch —
+    // the corpus side is the caller's artifact (already cached or on disk)
+    val biRaw = shingleIndex(batch, batchId, batchText, n, "batch_id")
+    val bi = if (persistIndex) biRaw.persist() else biRaw
     val cSizes = ci.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_c"))
     val bSizes = bi.groupBy(col("batch_id")).agg(count(lit(1)).as("n_b"))
     val common = bi.join(ci, "sh_h")
@@ -205,7 +236,7 @@ object Dedup {
           (col("n_b") + col("n_c") - col("n_common")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-    if (persistIndex) materializeAndRelease(result, ci, bi) else result
+    if (persistIndex) materializeAndRelease(result, bi) else result
   }
 
   /** MinHash+LSH candidate pairs: signature → bands → join docs sharing a

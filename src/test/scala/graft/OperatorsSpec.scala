@@ -117,6 +117,29 @@ class OperatorsSpec extends GraftSuite {
     assert(got == crossExpected)
   }
 
+  test("Dedup.ngramJaccardAgainstIndex on a round-tripped index equals ngramJaccardAgainst") {
+    val docs = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) s"a b c d e f ${i % 5}" else s"w$i x$i y$i z$i q$i r$i s$i"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 7)
+    val batch = docs.filter($"doc_id" % 10 === 7)
+    val direct = Dedup.ngramJaccardAgainst(corpus, $"doc_id", $"text",
+        batch, $"doc_id", $"text", 3, 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    // materialize the standing corpus index to parquet and read it back —
+    // the nightly-ingest artifact must give identical results to inline
+    // shingling (the index is the same relation, just persisted)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec")
+      .resolve("corpus_shingle_index").toString
+    graft.sources.Writers.writeSorted(
+      Dedup.shingleIndex(corpus, $"doc_id", $"text", 3, idName = "corpus_id"),
+      dir, Seq("sh_h"), numFiles = 2)
+    val viaIndex = Dedup.ngramJaccardAgainstIndex(spark.read.parquet(dir),
+        batch, $"doc_id", $"text", 3, 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == direct)
+  }
+
   test("Dedup.minhashLshPairs surfaces identical docs with est 1.0") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
       .toDF("doc_id", "text")
