@@ -843,14 +843,19 @@ object SparkEntry {
     }),
 
     "q66_ann_pq_exact" -> ((s, dir) => {
-      // q63's PQ path in its provably-exact configuration: an uncapped
-      // prescreen keeps every vector, so the exact re-rank IS brute force
-      // and the driver hash-checks the whole train/encode/LUT/re-rank
-      // pipeline against q26's oracle (the PQ approximation only ever
-      // decides WHICH candidates survive — never their final exact scores).
+      // q63's PQ path in its provably-exact configuration: a prescreen cap
+      // far above any test corpus keeps every vector, so the exact re-rank
+      // IS brute force and the driver hash-checks the whole
+      // train/encode/LUT/re-rank pipeline against q26's oracle (the PQ
+      // approximation only ever decides WHICH candidates survive — never
+      // their final exact scores). The cap is a FINITE literal on purpose:
+      // with Int.MaxValue the rank filter is provably always true
+      // (row_number is 32-bit), so Catalyst folds it away and prunes the
+      // entire PQ scoring pipeline — the query would "pass" while
+      // exercising none of the code path it exists to check.
       val embs = T(s, dir, "embeddings")
       Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, numSub = 8, numCentroids = 16, candidates = Int.MaxValue,
+          k = 5, numSub = 8, numCentroids = 16, candidates = 1000000,
           kmeansIters = 1, trainSample = 2048)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
         .orderBy("query_id", "rnk")

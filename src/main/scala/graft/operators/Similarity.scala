@@ -102,10 +102,13 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int, trainSample: Int = 65536): DataFrame = {
     val trainDf = trainSampleOf(corpus, idCol, trainSample)
-    var (cent, centBlocks) = Checkpoints.tracked(
-      corpus.orderBy(col(idCol)).limit(k)
-        .select(col(idCol).cast("long").as("cell_id"),
-          col(vecCol).cast("array<float>").as("cvec")))
+    // seeds are NOT checkpointed: a k-row TakeOrdered is cheaper to recompute
+    // than the extra materialization job a checkpoint costs; per-ROUND
+    // results below are checkpointed (that's where lineage would compound)
+    var cent = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cell_id"),
+        col(vecCol).cast("array<float>").as("cvec"))
+    var centBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     for (_ <- 0 until iters) {
       val assigned = assignCells(trainDf, cent, idCol, vecCol, carryVec = true)
       val (next, nextBlocks) = Checkpoints.tracked(
@@ -142,9 +145,11 @@ object Similarity {
               trainSample: Int = 65536): DataFrame = {
     val centroids = kmeansCentroids(corpus, idCol, vecCol, numCells, kmeansIters,
       trainSample)
-    val cells = assignCells(corpus, centroids, idCol, vecCol, carryVec = false)
-    val inverted = corpus.join(cells, col(idCol) === col("nid"))
-      .select(col("cell_id"), col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    // carryVec: the assignment's one shuffle carries the vectors, so the
+    // inverted list comes straight out of it — a join back to the corpus
+    // would shuffle the full vector payload a second time for nothing
+    val inverted = assignCells(corpus, centroids, idCol, vecCol, carryVec = true)
+      .select(col("cell_id"), col("nid").as("neighbor_id"), col("v").as("nvec"))
     val probes = probeCells(queries, centroids, idCol, vecCol, nProbe)
     val scored = probes.join(inverted, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -265,11 +270,14 @@ object Similarity {
     // is still ENCODED below, one pass). n ≥ corpus ⇒ identical to
     // full-corpus training (see trainSampleOf).
     val trainSubs = subs(trainSampleOf(corpus, idCol, trainSample), dim)
-    // codebook seeds: subvectors of the first numCentroids vectors by id
-    var (codebook, cbBlocks) = Checkpoints.tracked(
+    // codebook seeds: subvectors of the first numCentroids vectors by id.
+    // NOT checkpointed — recomputing a numCentroids-row TakeOrdered is
+    // cheaper than a materialization job; per-ROUND results are checkpointed
+    var codebook =
       subs(corpus.orderBy(col(idCol)).limit(numCentroids), dim)
         .select(col("sub"), col(idCol).cast("long").as("cid"),
-          col("svec").cast("array<float>").as("cvec")))
+          col("svec").cast("array<float>").as("cvec"))
+    var cbBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     // joint Lloyd rounds over every subspace at once: assign by min L2
     // (argmin |x-c|² = argmax (dot - |c|²/2)), then per-(sub, cid, pos) mean
     for (_ <- 0 until kmeansIters) {

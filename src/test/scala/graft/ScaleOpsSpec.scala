@@ -83,12 +83,15 @@ class ScaleOpsSpec extends GraftSuite {
     val queries = embs.filter($"vec_id" < 10)
     val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
       .select($"query_id", $"neighbor_id", $"cos", $"rnk")
-    // nProbe = numCells keeps every cell, uncapped candidates keep every
-    // code: both filters pass everything, so the exact re-rank IS brute
-    // force — neither quantizer can touch the result
+    // nProbe = numCells keeps every cell, a cap far above the corpus keeps
+    // every code: both filters pass everything, so the exact re-rank IS
+    // brute force — neither quantizer can touch the result. (Finite cap on
+    // purpose: Int.MaxValue folds the rank filter to true and Catalyst
+    // prunes the whole PQ scoring path out of the plan — the test would
+    // then not exercise it.)
     val full = Similarity.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
         numCells = 16, nProbe = 16, numSub = 8, numCentroids = 16,
-        candidates = Int.MaxValue, kmeansIters = 1)
+        candidates = 1000000, kmeansIters = 1)
       .select($"query_id", $"neighbor_id", $"cos", $"rnk")
     assert(full.exceptAll(truth).isEmpty && truth.exceptAll(full).isEmpty,
       "IVFPQ with probe-all + uncapped prescreen must reproduce the exact result")
@@ -100,12 +103,12 @@ class ScaleOpsSpec extends GraftSuite {
     val queries = embs.filter($"vec_id" < 10)
     val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    // uncapped candidates so widening probes grows the candidate set
-    // monotonically (a capped prescreen could swap survivors either way)
+    // effectively-uncapped candidates so widening probes grows the candidate
+    // set monotonically (a binding prescreen could swap survivors either way)
     def recall(nProbe: Int): Double = {
       val got = Similarity.ivfPqTopK(embs, queries, "vec_id", "embedding", 5,
           numCells = 16, nProbe = nProbe, numSub = 8, numCentroids = 16,
-          candidates = Int.MaxValue, kmeansIters = 1)
+          candidates = 1000000, kmeansIters = 1)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       (got & truth).size.toDouble / truth.size
     }
