@@ -82,12 +82,25 @@ object Bench {
       val ts = times.result()
       (name, if (failed) -1.0 else median(ts), if (failed) -1.0 else ts.min)
     }
-    // locale-stable fixed 3-decimal rendering: the final stdout line must fit
+    // locale-stable fixed-decimal rendering: the final stdout line must fit
     // the consumer's bounded tail capture (observed 2000 chars) — at 64+
-    // queries the default 9-decimal Double rendering alone overflows it
-    def f3(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+    // queries the default 9-decimal Double rendering alone overflows it.
+    // Round 3 lost its official record to exactly this.
+    def fd(v: Double, scale: Int): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    def f3(v: Double): String = fd(v, 3)
+    // machine-read line uses the unique qNN prefix as the key ("q63" for
+    // "q63_ann_pq") so the line stays ~1 KB at any query count — full names
+    // at 66 queries leave <100 chars of tail headroom, one failed-query name
+    // away from a lost round record. Prefixes are asserted unique; the
+    // full-name 3-decimal detail lives on the stderr line.
+    val shortKey: String => String = { name =>
+      val p = name.takeWhile(_ != '_')
+      if (p.nonEmpty) p else name
+    }
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "query name prefixes must be unique for the bench metric line")
+    val qs = results.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fd(v, 2) }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, m) => s"\"" + k + "\":" + f3(m) }
       .mkString("{", ",", "}")
@@ -103,7 +116,10 @@ object Bench {
     // the LAST line and small enough for a bounded tail capture.
     val totalMin = results.collect { case (_, v, m) if v >= 0 => m }.sum
     System.err.println(s"""{"detail":"min_of_reps","total_min":${f3(totalMin)},"failed":${failedNames.mkString("[", ",", "]")},"queries_min":$qsMin}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"failed":${failedNames.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    // stop BEFORE the metric line: Spark's shutdown hooks log warnings, and
+    // anything printed after this line pushes it out of the bounded tail
     spark.stop()
+    val failedShort = results.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, SimHash64}
+import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -67,6 +67,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_lsh_key supports 1..64 planes, got $planes")
         LshBucketKey(args.head, planes.toInt,
           if (args.size > 2) intLit(args(2), "seed") else 42L)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest"),
+      new ExpressionInfo(classOf[NearestIndex].getName, "graft_nearest"),
+      (args: Seq[Expression]) => {
+        arity("graft_nearest", "(vec, candidates[, metric])", args, 2, 3)
+        val metric = if (args.size < 3) "cosine" else args(2) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_nearest: metric must be a string literal, got $other")
+        }
+        NearestIndex(args(0), args(1), metric)
       }))
   }
 }

@@ -861,6 +861,20 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "q67_ann_ivf_exact" -> ((s, dir) => {
+      // q48's IVF path in its provably-exact configuration: probing every
+      // coarse cell keeps the whole corpus in scope, so the result equals
+      // brute force REGARDLESS of quantizer quality and the driver
+      // hash-checks the entire assign/invert/probe/score pipeline against
+      // q26's oracle (the quantizer only ever decides WHICH cells a query
+      // skips — probe-all skips none)
+      val embs = T(s, dir, "embeddings")
+      Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          5, 16, 16, kmeansIters = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "q64_length_buckets" -> ((s, dir) => {
       // batching-efficiency profile: bucket docs by token length (width 32);
       // per bucket, the padding waste if batched to the bucket max — the
@@ -1443,6 +1457,24 @@ object SparkEntry {
     // making the PQ train/encode/LUT/re-rank pipeline hash-checked, not
     // just spec-checked
     "q66_ann_pq_exact" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  q.embedding AS qe, c.embedding AS ce
+        | FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |ex AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS x,
+        |  CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+        |s AS (SELECT query_id, neighbor_id,
+        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+        | FROM ex GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        | FROM s)
+        |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // q67 is q26's computation by construction (probe-ALL IVF scores every
+    // corpus vector), so it shares q26's oracle — making the IVF
+    // assign/invert/probe/score pipeline hash-checked, not just spec-checked
+    "q67_ann_ivf_exact" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  q.embedding AS qe, c.embedding AS ce

@@ -32,32 +32,36 @@ object Similarity {
         saltBy = xxhash64(col("neighbor_id")))
       .withColumnRenamed("rn", "rnk")
 
-  /** Nearest-centroid cell per corpus vector: broadcast the (small) centroid
-    * table, score, keep the arg-max cell with the lower cell_id winning
-    * ties. Shared by the k-means trainer and the IVF index build so the
-    * quantizer and the index can never disagree on cell membership.
-    * Emits (nid, cell_id[, v] — vector kept when `carryVec`).
+  /** Nearest-centroid cell per corpus vector. Shared by the k-means trainer
+    * and the IVF index build so the quantizer and the index can never
+    * disagree on cell membership. Emits (nid, cell_id[, v] — vector kept
+    * when `carryVec`).
+    *
+    * Shape: the (small) centroid table is packed into ONE broadcast row of
+    * parallel arrays ordered by cell_id, and assignment is a map-side native
+    * argmax per corpus row ([[NativeFns.nearestIndex]]) — a pure projection.
+    * The composed alternative (corpus × centroids join → `max_by` groupBy)
+    * expands the corpus numCells× AND re-shuffles it — full vector payload
+    * included when carryVec — exactly the exchange that dominates an index
+    * build at 100 TB. Parity with that formulation (spec-asserted via
+    * probe-all == brute-force): ties → lowest cell_id (the array ordering),
+    * undefined similarities (zero-norm, ragged dims) are skipped, a vector
+    * with no defined similarity keeps a NULL cell_id, an empty centroid
+    * table assigns nothing (the old inner join's behavior).
     */
   private def assignCells(corpus: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String,
                           carryVec: Boolean): DataFrame = {
-    val best =
-      if (carryVec)
-        max_by(struct(col("cell_id"), col(s"c.$vecCol").as("v")),
-          struct(NativeFns.cosineSim(col(s"c.$vecCol"), col("cvec")).as("sim"),
-            (-col("cell_id")).as("tb"))).as("best")
-      else
-        max_by(struct(col("cell_id")),
-          struct(NativeFns.cosineSim(col(s"c.$vecCol"), col("cvec")).as("sim"),
-            (-col("cell_id")).as("tb"))).as("best")
-    val assigned = corpus.as("c")
-      .join(broadcast(centroids))
-      .groupBy(col(s"c.$idCol").as("nid"))
-      .agg(best)
-    if (carryVec)
-      assigned.select(col("nid"), col("best.cell_id").as("cell_id"), col("best.v").as("v"))
-    else
-      assigned.select(col("nid"), col("best.cell_id").as("cell_id"))
+    val packed = centroids
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec")))).as("cs"))
+      .select(col("cs.cell_id").as("cids"), col("cs.cvec").as("cvecs"))
+    val cell = get(col("cids"),
+      NativeFns.nearestIndex(col(vecCol), col("cvecs"), "cosine"))
+    val cols = Seq(col(idCol).as("nid"), cell.as("cell_id")) ++
+      (if (carryVec) Seq(col(vecCol).as("v")) else Nil)
+    corpus.join(broadcast(packed))
+      .filter(size(col("cvecs")) > 0)
+      .select(cols: _*)
   }
 
   /** Brute-force cosine top-k: queries × corpus scored pairwise, then
@@ -145,13 +149,15 @@ object Similarity {
               trainSample: Int = 65536): DataFrame = {
     val centroids = kmeansCentroids(corpus, idCol, vecCol, numCells, kmeansIters,
       trainSample)
-    // carryVec: the assignment's one shuffle carries the vectors, so the
-    // inverted list comes straight out of it — a join back to the corpus
-    // would shuffle the full vector payload a second time for nothing
+    // carryVec: assignment is a zero-shuffle projection, so the inverted
+    // list IS the assigned corpus — a join back to the corpus would shuffle
+    // the full vector payload for nothing
     val inverted = assignCells(corpus, centroids, idCol, vecCol, carryVec = true)
       .select(col("cell_id"), col("nid").as("neighbor_id"), col("v").as("nvec"))
     val probes = probeCells(queries, centroids, idCol, vecCol, nProbe)
-    val scored = probes.join(inverted, Seq("cell_id"))
+    // broadcast the probe list (#queries × nProbe rows): the probe join then
+    // never shuffles the inverted corpus either
+    val scored = broadcast(probes).join(inverted, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(NativeFns.cosineSim(col("qv"), col("nvec")), 4).as("cos"))
@@ -235,11 +241,12 @@ object Similarity {
     val centroids = kmeansCentroids(corpus, idCol, vecCol, numCells, kmeansIters,
       trainSample)
     val cells = assignCells(corpus, centroids, idCol, vecCol, carryVec = false)
-    // candidate pairs: members of the query's probed cells. The join keys
-    // are 8-byte ids — the vectors never move; the PQ prescreen below reads
-    // only the one-byte-per-subspace codes of these survivors.
-    val pairs = probeCells(queries, centroids, idCol, vecCol, nProbe)
-      .select(col("query_id"), col("cell_id"))
+    // candidate pairs: members of the query's probed cells. The broadcast
+    // probe list joins the assigned corpus in place (no shuffle), the join
+    // keys are 8-byte ids — the vectors never move; the PQ prescreen below
+    // reads only the one-byte-per-subspace codes of these survivors.
+    val pairs = broadcast(probeCells(queries, centroids, idCol, vecCol, nProbe)
+        .select(col("query_id"), col("cell_id")))
       .join(cells, Seq("cell_id"))
       .select(col("query_id"), col("nid").as("neighbor_id"))
     pqCore(corpus, queries, idCol, vecCol, k, numSub, numCentroids, candidates,
@@ -263,8 +270,12 @@ object Similarity {
             s => slice(col(vecCol), s * w + 1, w))).as(Seq("sub", "svec")))
         .filter(size(col("svec")) > 0)
     }
+    // subvector s of a vector column — the same slicing arithmetic as subs()
+    def subVec(v: Column, s: Int): Column = {
+      val w = ceil(size(v).cast("double") / numSub).cast("int")
+      slice(v, lit(s) * w + 1, w)
+    }
     val dim = size(col(vecCol))
-    val corpusSubs = subs(corpus, dim)
     // Lloyd rounds see only the deterministic training sample — codebook
     // quality needs a representative draw, not all 100 TB (the full corpus
     // is still ENCODED below, one pass). n ≥ corpus ⇒ identical to
@@ -277,21 +288,36 @@ object Similarity {
       subs(corpus.orderBy(col(idCol)).limit(numCentroids), dim)
         .select(col("sub"), col(idCol).cast("long").as("cid"),
           col("svec").cast("array<float>").as("cvec"))
+    // every per-subspace codebook packed into ONE broadcast row of parallel
+    // arrays: cbCvecs[s][i] = centroid i of subspace s (cid-ordered),
+    // cbCids[s][i] its cid. Assignment/encode are then map-side native
+    // argmin-L2 lookups ([[NativeFns.nearestIndex]], dot−|c|²/2 form) — no
+    // ×numCentroids row expansion and no groupBy exchange. Positional
+    // s-indexing relies on subspaces being gap-free 0..m−1, which holds for
+    // uniform-dimension vectors (only the TRAILING subspace can be empty,
+    // and subs()/the seeds skip it on both sides).
+    def packBySub(cb: DataFrame): DataFrame = cb
+      .groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
+      .select(struct(col("sub"), col("cs.cid").as("cids"),
+        col("cs.cvec").as("cvecs")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("bs"))
+      .select(col("bs.cids").as("cbCids"), col("bs.cvecs").as("cbCvecs"))
     var cbBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     // joint Lloyd rounds over every subspace at once: assign by min L2
     // (argmin |x-c|² = argmax (dot - |c|²/2)), then per-(sub, cid, pos) mean
     for (_ <- 0 until kmeansIters) {
-      val assigned = trainSubs.as("x")
-        .join(broadcast(codebook), col("x.sub") === codebook("sub"))
-        .groupBy(col(s"x.$idCol").as("nid"), col("x.sub").as("sub"))
-        .agg(max_by(struct(col("cid"), col("x.svec").as("v")),
-          struct((dotCol(col("x.svec"), col("cvec"))
-            - dotCol(col("cvec"), col("cvec")) / 2).as("score"),
-            (-col("cid")).as("tb"))).as("best"))
+      val assigned = trainSubs
+        .join(broadcast(packBySub(codebook)))
+        .select(col("sub"),
+          get(get(col("cbCids"), col("sub")),
+            NativeFns.nearestIndex(col("svec"), get(col("cbCvecs"), col("sub")),
+              "dot_adj")).as("cid"),
+          col("svec"))
       val (next, nextBlocks) = Checkpoints.tracked(
         assigned
-          .select(col("sub"), col("best.cid").as("cid"),
-            posexplode(col("best.v")).as(Seq("pos", "x")))
+          .select(col("sub"), col("cid"),
+            posexplode(col("svec")).as(Seq("pos", "x")))
           .groupBy(col("sub"), col("cid"), col("pos"))
           .agg(avg(col("x")).as("m"))
           .groupBy(col("sub"), col("cid"))
@@ -301,33 +327,29 @@ object Similarity {
       Checkpoints.release(cbBlocks)
       cbBlocks = nextBlocks
     }
-    // re-key cids densely 0..n-1 per subspace so codes index the LUT arrays
-    val denseCb = codebook
-      .withColumn("code", row_number().over(
-        Window.partitionBy(col("sub")).orderBy(col("cid"))) - 1)
-      .drop("cid")
-    // encode: nearest centroid per (vector, subspace), codes as ordered array
-    val codes = corpusSubs.as("x")
-      .join(broadcast(denseCb), col("x.sub") === denseCb("sub"))
-      .groupBy(col(s"x.$idCol").as("neighbor_id"), col("x.sub").as("sub"))
-      .agg(max_by(col("code"),
-        struct((dotCol(col("x.svec"), col("cvec"))
-          - dotCol(col("cvec"), col("cvec")) / 2).as("score"),
-          (-col("code")).as("tb"))).as("code"))
-      .groupBy(col("neighbor_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        e => e("code")).as("codes"))
-    // per-query LUT: dot(q_sub, centroid) nested to lut[sub][code]
-    val lut = subs(queries, dim).as("q")
-      .join(broadcast(denseCb), col("q.sub") === denseCb("sub"))
-      .select(col(s"q.$idCol").as("query_id"), col("q.sub").as("sub"),
-        col("code"), dotCol(col("q.svec"), col("cvec")).as("pdot"))
-      .groupBy(col("query_id"), col("sub"))
-      .agg(transform(array_sort(collect_list(struct(col("code"), col("pdot")))),
-        e => e("pdot")).as("subLut"))
-      .groupBy(col("query_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("subLut")))),
-        e => e("subLut")).as("lut"))
+    // the dense PQ code IS the position in the cid-ordered packed codebook —
+    // the packing subsumes the row_number re-keying a relational
+    // formulation needs
+    val packedCb = packBySub(codebook)
+    // encode: ONE zero-shuffle projection over the corpus — per subspace a
+    // native argmin-L2 against the broadcast codebook; the slice drops
+    // trailing missing subspaces so codes[i] stays paired with lut[i]
+    val codes = corpus
+      .join(broadcast(packedCb))
+      .select(col(idCol).as("neighbor_id"),
+        slice(array((0 until numSub).map(s =>
+            NativeFns.nearestIndex(subVec(col(vecCol), s),
+              get(col("cbCvecs"), lit(s)), "dot_adj")): _*),
+          lit(1), size(col("cbCvecs"))).as("codes"))
+    // per-query LUT: lut[s][code] = dot(q_sub, centroid) — one projection
+    // over the (broadcast-sized) query set
+    val lut = queries
+      .join(broadcast(packedCb))
+      .select(col(idCol).as("query_id"),
+        slice(array((0 until numSub).map(s =>
+            transform(get(col("cbCvecs"), lit(s)),
+              c => dotCol(subVec(col(vecCol), s), c))): _*),
+          lit(1), size(col("cbCvecs"))).as("lut"))
     // prescreen: approximate score = Σ_s lut[s][codes[s]], map-side over the
     // broadcast LUT; keep `candidates` best per query (ties → lower id).
     // With a `restrict` pair set (IVFPQ), only the probed cells' codes are

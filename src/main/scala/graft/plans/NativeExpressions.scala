@@ -297,6 +297,128 @@ case class LshBucketKey(child: Expression, numPlanes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 0-based index of the best-scoring candidate for `left` (an `array<float>`
+  * vector) among `right` (an `array<array<float>>` of candidates), in ONE
+  * codegen'd pass. This is the map-side argmax that lets nearest-centroid
+  * assignment (IVF cells, PQ codes) run as a pure projection over a
+  * broadcast codebook row — the composed formulation (explode × candidates →
+  * `max_by` groupBy) expands the corpus `numCandidates`× and re-shuffles it,
+  * incl. the full vector payload, once per assignment.
+  *
+  * Metrics: `cosine` (max cosine similarity) and `dot_adj`
+  * (max of dot(x,c) − |c|²/2, which is argmin squared-L2 — the k-means /
+  * PQ-encode scoring). Parity contract with the `max_by` formulations this
+  * replaces (spec-asserted via IVF probe-all / PQ uncapped == brute force):
+  *  - ties → LOWEST index (callers order candidates by cell_id/code, matching
+  *    max_by's `(score, -id)` ordering);
+  *  - a candidate is SKIPPED when its score is undefined — length mismatch
+  *    (zip_with's null padding nulls the composed score) or, for cosine,
+  *    zero-norm on either side;
+  *  - no candidate scores (or the candidate array is empty) → NULL;
+  *  - score comparison via Double.compare, matching Spark's double ordering
+  *    (NaN greatest) in max_by.
+  */
+case class NearestIndex(left: Expression, right: Expression, metric: String)
+    extends BinaryExpression {
+
+  require(metric == "cosine" || metric == "dot_adj",
+    s"graft_nearest metric must be 'cosine' or 'dot_adj', got '$metric'")
+  private def isCosine: Boolean = metric == "cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest expects (array<float>, array<array<float>>), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var best = -1
+    var bestScore = 0.0
+    var j = 0
+    while (j < cs.numElements()) {
+      if (!cs.isNullAt(j)) {
+        val c = cs.getArray(j)
+        if (c.numElements() == n) {
+          var dot = 0.0; var nx = 0.0; var nc = 0.0
+          var i = 0
+          while (i < n) {
+            val xi = x.getFloat(i).toDouble
+            val ci = c.getFloat(i).toDouble
+            dot += xi * ci; nx += xi * xi; nc += ci * ci
+            i += 1
+          }
+          if (!isCosine || (nx != 0.0 && nc != 0.0)) {
+            val s =
+              if (isCosine) dot / (math.sqrt(nx) * math.sqrt(nc))
+              else dot - nc / 2
+            if (best < 0 || java.lang.Double.compare(s, bestScore) > 0) {
+              best = j; bestScore = s
+            }
+          }
+        }
+      }
+      j += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val nc = ctx.freshName("nc")
+      val s = ctx.freshName("s")
+      val scoreOk =
+        if (isCosine) s"$nx != 0.0 && $nc != 0.0" else "true"
+      val score =
+        if (isCosine) s"$dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nc))"
+        else s"$dot - $nc / 2"
+      s"""
+         |int $n = $a.numElements();
+         |int $best = -1;
+         |double $bestScore = 0.0;
+         |for (int $j = 0; $j < $b.numElements(); $j++) {
+         |  if (!$b.isNullAt($j)) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $c = $b.getArray($j);
+         |    if ($c.numElements() == $n) {
+         |      double $dot = 0.0, $nx = 0.0, $nc = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        double xi = (double) $a.getFloat($i);
+         |        double ci = (double) $c.getFloat($i);
+         |        $dot += xi * ci; $nx += xi * xi; $nc += ci * ci;
+         |      }
+         |      if ($scoreOk) {
+         |        double $s = $score;
+         |        if ($best < 0 || java.lang.Double.compare($s, $bestScore) > 0) {
+         |          $best = $j; $bestScore = $s;
+         |        }
+         |      }
+         |    }
+         |  }
+         |}
+         |if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API front door for the native expressions. */
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -308,4 +430,6 @@ object NativeFns {
     ColumnBridge.column(SimHash64(ex(tokens)))
   def lshKey(vec: Column, numPlanes: Int, seed: Long): Column =
     ColumnBridge.column(LshBucketKey(ex(vec), numPlanes, seed))
+  def nearestIndex(vec: Column, candidates: Column, metric: String): Column =
+    ColumnBridge.column(NearestIndex(ex(vec), ex(candidates), metric))
 }

@@ -97,5 +97,62 @@ class NativeExprSpec extends GraftSuite {
     val sig = spark.sql("SELECT graft_minhash(array('a','b','c'), 8) AS s")
       .as[Seq[Long]].head()
     assert(sig.length == 8)
+    val nearest = spark.sql(
+      """SELECT graft_nearest(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |        array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT)))) AS n""".stripMargin)
+      .as[Int].head()
+    assert(nearest == 1)
+  }
+
+  test("native nearestIndex matches the max_by-over-cosine formulation on real embeddings") {
+    val embs = graft.sources.Readers.table(spark, sf, "embeddings").limit(80)
+    val cands = embs.limit(7)
+      .agg(array_sort(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
+      .select($"cs.vec_id".as("cids"), $"cs.embedding".as("cvecs"))
+    val native = embs.join(broadcast(cands))
+      .select($"vec_id",
+        get($"cids", NativeFns.nearestIndex($"embedding", $"cvecs", "cosine"))
+          .as("cell_id"))
+    val composed = embs.as("c").join(broadcast(embs.limit(7)
+        .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))))
+      .groupBy($"c.vec_id".as("vec_id"))
+      .agg(max_by(struct($"cell_id"),
+        struct(NativeFns.cosineSim($"c.embedding", $"cvec").as("sim"),
+          (-$"cell_id").as("tb"))).as("best"))
+      .select($"vec_id", $"best.cell_id".as("cell_id"))
+    assert(native.except(composed).count() == 0 &&
+      composed.except(native).count() == 0)
+  }
+
+  test("nearestIndex: ties → lowest index, undefined candidates skipped, none defined → NULL") {
+    val df = Seq(
+      // duplicate best candidate: index 0 must win the tie
+      (Seq(1.0f, 0.0f), Seq(Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))),
+      // zero-norm + length-mismatch candidates skipped; only index 2 scores
+      (Seq(1.0f, 0.0f), Seq(Seq(0.0f, 0.0f), Seq(1.0f), Seq(0.5f, 0.5f))),
+      // nothing scores → NULL
+      (Seq(1.0f, 0.0f), Seq(Seq(0.0f, 0.0f), Seq(1.0f)))).toDF("v", "cs")
+    val got = df.select(NativeFns.nearestIndex($"v", $"cs", "cosine"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(got.toSeq == Seq(Some(0), Some(1 + 1), None))
+  }
+
+  test("nearestIndex dot_adj is argmin L2 (dot − |c|²/2 ordering)") {
+    // v = (1,1): L2-nearest of (3,3), (1,0), (0,2) is (1,0)
+    val df = Seq((Seq(1.0f, 1.0f),
+      Seq(Seq(3.0f, 3.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))).toDF("v", "cs")
+    val got = df.select(NativeFns.nearestIndex($"v", $"cs", "dot_adj")).as[Int].head()
+    assert(got == 1)
+    // interpreted eval agrees with codegen (HOF contexts eval this path)
+    val e = graft.plans.NearestIndex(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 1.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(Seq(3.0f, 3.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))), "dot_adj")
+    assert(e.eval(null) == 1)
   }
 }
