@@ -875,6 +875,21 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "q68_ann_ivfpq_exact" -> ((s, dir) => {
+      // q65's composed IVFPQ path in its provably-exact configuration:
+      // probe-all keeps every cell in scope AND the (finite — see q66 on
+      // why not Int.MaxValue) prescreen cap far above any test corpus keeps
+      // every code, so BOTH filters pass everything and the exact re-rank
+      // IS brute force — the driver hash-checks the composed
+      // quantizer+cells+codes+LUT+re-rank pipeline against q26's oracle
+      val embs = T(s, dir, "embeddings")
+      Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numCells = 16, nProbe = 16, numSub = 8, numCentroids = 16,
+          candidates = 1000000, kmeansIters = 1, trainSample = 2048)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "q64_length_buckets" -> ((s, dir) => {
       // batching-efficiency profile: bucket docs by token length (width 32);
       // per bucket, the padding waste if batched to the bucket max — the
@@ -1475,6 +1490,24 @@ object SparkEntry {
     // corpus vector), so it shares q26's oracle — making the IVF
     // assign/invert/probe/score pipeline hash-checked, not just spec-checked
     "q67_ann_ivf_exact" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  q.embedding AS qe, c.embedding AS ce
+        | FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |ex AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS x,
+        |  CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+        |s AS (SELECT query_id, neighbor_id,
+        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+        | FROM ex GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        | FROM s)
+        |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // q68 is q26's computation by construction (probe-all IVFPQ + uncapped
+    // prescreen pass every vector to the exact re-rank), so it shares q26's
+    // oracle — the COMPOSED index's plumbing hash-checked end to end
+    "q68_ann_ivfpq_exact" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  q.embedding AS qe, c.embedding AS ce

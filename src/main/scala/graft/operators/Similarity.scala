@@ -334,7 +334,10 @@ object Similarity {
     // encode: ONE zero-shuffle projection over the corpus — per subspace a
     // native argmin-L2 against the broadcast codebook; the slice drops
     // trailing missing subspaces so codes[i] stays paired with lut[i]
+    // NULL vectors carry no codes: the exploding formulation dropped them
+    // (posexplode of NULL emits no rows), so the projection must too
     val codes = corpus
+      .filter(col(vecCol).isNotNull)
       .join(broadcast(packedCb))
       .select(col(idCol).as("neighbor_id"),
         slice(array((0 until numSub).map(s =>
@@ -344,6 +347,7 @@ object Similarity {
     // per-query LUT: lut[s][code] = dot(q_sub, centroid) — one projection
     // over the (broadcast-sized) query set
     val lut = queries
+      .filter(col(vecCol).isNotNull)
       .join(broadcast(packedCb))
       .select(col(idCol).as("query_id"),
         slice(array((0 until numSub).map(s =>

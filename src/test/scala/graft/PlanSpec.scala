@@ -52,7 +52,7 @@ class PlanSpec extends GraftSuite {
     // never a data×data cartesian.
     val exceptions = Set("q26_ann_bruteforce", "q48_ann_ivf", "q63_ann_pq",
       "q65_ann_ivfpq", "q66_ann_pq_exact", "q67_ann_ivf_exact",
-      "q61_distinctive_terms")
+      "q68_ann_ivfpq_exact", "q61_distinctive_terms")
     val offenders = allPlans.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .collect { case (name, plan)
@@ -100,7 +100,8 @@ class PlanSpec extends GraftSuite {
     // with it in the same plan.)
     val saltedPrune = raw"Window \[[^\]]*\], \[query_id#\d+L?, _salt#\d+L?\]".r
     val annQueries = Seq("q26_ann_bruteforce", "q27_ann_lsh", "q48_ann_ivf",
-      "q63_ann_pq", "q65_ann_ivfpq", "q66_ann_pq_exact", "q67_ann_ivf_exact")
+      "q63_ann_pq", "q65_ann_ivfpq", "q66_ann_pq_exact", "q67_ann_ivf_exact",
+      "q68_ann_ivfpq_exact")
     val offenders = annQueries.filter(name =>
       saltedPrune.findFirstIn(allPlans(name)).isEmpty)
     assert(offenders.isEmpty,
