@@ -37,6 +37,14 @@ object Bench {
     val selectedEarly =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.view.filterKeys(args.toSet).toSeq.sortBy(_._1)
+    // the metric line keys queries by their unique qNN prefix; a collision
+    // must fail NOW, not after the full multi-minute benchmark has run
+    val shortKey: String => String = { name =>
+      val p = name.takeWhile(_ != '_')
+      if (p.nonEmpty) p else name
+    }
+    require(selectedEarly.map(q => shortKey(q._1)).distinct.size == selectedEarly.size,
+      "query name prefixes must be unique for the bench metric line")
     // JVM/codegen warmup outside the timed loop (first query otherwise
     // carries multi-second JIT cost). Uses the first SELECTED query — a
     // hardcoded name could be silently swallowed by the catch if renamed.
@@ -92,14 +100,8 @@ object Bench {
     // machine-read line uses the unique qNN prefix as the key ("q63" for
     // "q63_ann_pq") so the line stays ~1 KB at any query count — full names
     // at 66 queries leave <100 chars of tail headroom, one failed-query name
-    // away from a lost round record. Prefixes are asserted unique; the
-    // full-name 3-decimal detail lives on the stderr line.
-    val shortKey: String => String = { name =>
-      val p = name.takeWhile(_ != '_')
-      if (p.nonEmpty) p else name
-    }
-    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
-      "query name prefixes must be unique for the bench metric line")
+    // away from a lost round record. Prefixes were asserted unique up
+    // front; the full-name 3-decimal detail lives on the stderr line.
     val qs = results.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fd(v, 2) }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, m) => s"\"" + k + "\":" + f3(m) }
@@ -117,8 +119,10 @@ object Bench {
     val totalMin = results.collect { case (_, v, m) if v >= 0 => m }.sum
     System.err.println(s"""{"detail":"min_of_reps","total_min":${f3(totalMin)},"failed":${failedNames.mkString("[", ",", "]")},"queries_min":$qsMin}""")
     // stop BEFORE the metric line: Spark's shutdown hooks log warnings, and
-    // anything printed after this line pushes it out of the bounded tail
-    spark.stop()
+    // anything printed after this line pushes it out of the bounded tail.
+    // A failing stop() must not cost the run its record — the timings exist.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop failed: ${e.getMessage}") }
     val failedShort = results.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
   }

@@ -907,6 +907,27 @@ object SparkEntry {
     })
   )
 
+  /** Exact top-5 cosine ANN oracle, shared by q26 and its exact twins
+    * (q66 uncapped PQ, q67 probe-all IVF, q68 probe-all+uncapped IVFPQ) —
+    * each of those configurations computes exactly q26's result by
+    * construction, and ONE definition keeps the four oracle entries from
+    * drifting apart.
+    */
+  private val exactAnnTop5Oracle: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  q.embedding AS qe, c.embedding AS ce
+      | FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      |ex AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS x,
+      |  CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+      |s AS (SELECT query_id, neighbor_id,
+      |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+      | FROM ex GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+      | FROM s)
+      |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_interval_agg" ->
       """SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
@@ -1123,20 +1144,7 @@ object SparkEntry {
         | FROM ex GROUP BY 1, 2)
         |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
-    "q26_ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  q.embedding AS qe, c.embedding AS ce
-        | FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
-        |ex AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS x,
-        |  CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
-        |s AS (SELECT query_id, neighbor_id,
-        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
-        | FROM ex GROUP BY 1, 2),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-        | FROM s)
-        |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+    "q26_ann_bruteforce" -> exactAnnTop5Oracle,
 
     "q28_langid" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
@@ -1467,59 +1475,13 @@ object SparkEntry {
         | max_tok * n_docs - sum_tok AS pad_waste
         |FROM b ORDER BY bucket""".stripMargin,
 
-    // q66 is q26's computation by construction (uncapped PQ prescreen ⇒
-    // exact re-rank over the full corpus), so it shares q26's oracle —
-    // making the PQ train/encode/LUT/re-rank pipeline hash-checked, not
-    // just spec-checked
-    "q66_ann_pq_exact" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  q.embedding AS qe, c.embedding AS ce
-        | FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
-        |ex AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS x,
-        |  CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
-        |s AS (SELECT query_id, neighbor_id,
-        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
-        | FROM ex GROUP BY 1, 2),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-        | FROM s)
-        |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
-
-    // q67 is q26's computation by construction (probe-ALL IVF scores every
-    // corpus vector), so it shares q26's oracle — making the IVF
-    // assign/invert/probe/score pipeline hash-checked, not just spec-checked
-    "q67_ann_ivf_exact" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  q.embedding AS qe, c.embedding AS ce
-        | FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
-        |ex AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS x,
-        |  CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
-        |s AS (SELECT query_id, neighbor_id,
-        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
-        | FROM ex GROUP BY 1, 2),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-        | FROM s)
-        |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
-
-    // q68 is q26's computation by construction (probe-all IVFPQ + uncapped
-    // prescreen pass every vector to the exact re-rank), so it shares q26's
-    // oracle — the COMPOSED index's plumbing hash-checked end to end
-    "q68_ann_ivfpq_exact" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  q.embedding AS qe, c.embedding AS ce
-        | FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
-        |ex AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS x,
-        |  CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
-        |s AS (SELECT query_id, neighbor_id,
-        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
-        | FROM ex GROUP BY 1, 2),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-        | FROM s)
-        |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin
+    // q66/q67/q68 are q26's computation by construction (uncapped PQ
+    // prescreen / probe-ALL IVF / probe-all+uncapped IVFPQ each pass every
+    // vector to the exact scoring), so they share q26's oracle — the PQ,
+    // IVF, and composed-IVFPQ pipelines are hash-checked, not just
+    // spec-checked
+    "q66_ann_pq_exact" -> exactAnnTop5Oracle,
+    "q67_ann_ivf_exact" -> exactAnnTop5Oracle,
+    "q68_ann_ivfpq_exact" -> exactAnnTop5Oracle
   )
 }

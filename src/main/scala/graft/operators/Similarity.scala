@@ -117,6 +117,10 @@ object Similarity {
       val assigned = assignCells(trainDf, cent, idCol, vecCol, carryVec = true)
       val (next, nextBlocks) = Checkpoints.tracked(
         assigned
+          // unassignable vectors (NULL cell — zero-norm/ragged, see
+          // assignCells) must not coalesce into a phantom NULL-keyed
+          // centroid that later scores against real corpus vectors
+          .filter(col("cell_id").isNotNull)
           .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cell_id"), col("pos"))
           .agg(avg(col("x")).as("m"))
@@ -316,6 +320,8 @@ object Similarity {
           col("svec"))
       val (next, nextBlocks) = Checkpoints.tracked(
         assigned
+          // see kmeansCentroids: no phantom NULL-keyed codebook entries
+          .filter(col("cid").isNotNull)
           .select(col("sub"), col("cid"),
             posexplode(col("svec")).as(Seq("pos", "x")))
           .groupBy(col("sub"), col("cid"), col("pos"))

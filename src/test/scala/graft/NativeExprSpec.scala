@@ -106,15 +106,19 @@ class NativeExprSpec extends GraftSuite {
   }
 
   test("native nearestIndex matches the max_by-over-cosine formulation on real embeddings") {
-    val embs = graft.sources.Readers.table(spark, sf, "embeddings").limit(80)
-    val cands = embs.limit(7)
+    val embs = graft.sources.Readers.table(spark, sf, "embeddings")
+      .filter($"vec_id" < 80)
+    // ONE deterministic centroid selection for both formulations — two
+    // independent unordered limit(7) calls need not return the same rows
+    val cents = embs.orderBy($"vec_id").limit(7)
+    val cands = cents
       .agg(array_sort(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
       .select($"cs.vec_id".as("cids"), $"cs.embedding".as("cvecs"))
     val native = embs.join(broadcast(cands))
       .select($"vec_id",
         get($"cids", NativeFns.nearestIndex($"embedding", $"cvecs", "cosine"))
           .as("cell_id"))
-    val composed = embs.as("c").join(broadcast(embs.limit(7)
+    val composed = embs.as("c").join(broadcast(cents
         .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))))
       .groupBy($"c.vec_id".as("vec_id"))
       .agg(max_by(struct($"cell_id"),
