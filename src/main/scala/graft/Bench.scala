@@ -61,34 +61,44 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     val selected = selectedEarly
-    val results = selected.map { case (name, fn) =>
-      val times = Seq.newBuilder[Double]
-      var failed = false
-      var r = 0
-      // one UNTIMED warmup per query: whole-stage codegen compiles and the
-      // JIT warms on the warmup run, so the timed reps measure the engine,
-      // not first-run compilation (a large share of observed ±40% noise)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () /* the timed loop reports the failure */ }
-      while (r < reps && !failed) {
-        resetSessionState()
-        val t0 = System.nanoTime()
-        // noop sink: forces full evaluation of every output column (count()
-        // would let Catalyst prune the computed projections being measured)
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          times += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            failed = true
-        }
-        r += 1
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      // noop sink: forces full evaluation of every output column (count()
+      // would let Catalyst prune the computed projections being measured)
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // pass 0 — one UNTIMED warmup per query: whole-stage codegen compiles
+    // and the JIT warms here, so the timed reps measure the engine, not
+    // first-run compilation (a large share of observed ±40% noise)
+    selected.foreach { case (_, fn) =>
+      try runOnce(fn)
+      catch { case _: Throwable => () /* the timed passes report the failure */ }
+    }
+    // timed passes are INTERLEAVED (all queries once, then all again…), not
+    // per-query back-to-back: this box shows multi-minute external noise
+    // windows, and consecutive reps let one window poison every rep of the
+    // same query (observed: a query's 3 back-to-back reps at ~40× its
+    // quiet-box time). Spread ~minutes apart, a window inflates at most one
+    // sample per query and the median survives.
+    val failedSet = scala.collection.mutable.Set[String]()
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+    for (_ <- 0 until reps; (name, fn) <- selected if !failedSet(name)) {
+      resetSessionState()
+      val t0 = System.nanoTime()
+      try {
+        runOnce(fn)
+        samples(name) = samples.getOrElse(name, Vector.empty) :+
+          (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failedSet += name
       }
+    }
+    val results = selected.map { case (name, _) =>
       // -1 marks failure in the JSON — a broken query must not look like a
       // fast pass to anything consuming only the metric line
-      val ts = times.result()
-      (name, if (failed) -1.0 else median(ts), if (failed) -1.0 else ts.min)
+      val ts = samples.getOrElse(name, Vector.empty)
+      if (failedSet(name) || ts.isEmpty) (name, -1.0, -1.0)
+      else (name, median(ts), ts.min)
     }
     // locale-stable fixed-decimal rendering: the final stdout line must fit
     // the consumer's bounded tail capture (observed 2000 chars) — at 64+
