@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, SimHash64}
+import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, PqApproxScore, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -79,6 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_nearest: metric must be a string literal, got $other")
         }
         NearestIndex(args(0), args(1), metric)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_score"),
+      new ExpressionInfo(classOf[PqApproxScore].getName, "graft_pq_score"),
+      (args: Seq[Expression]) => {
+        arity("graft_pq_score", "(codes, lut)", args, 2, 2)
+        PqApproxScore(args(0), args(1))
       }))
   }
 }

@@ -373,15 +373,11 @@ object Similarity {
         .filter(col("query_id") =!= col("neighbor_id"))
     }
     val approx = pairCodes
-      // iterate over the code array's ACTUAL length: when numSub doesn't
-      // divide the dimension the trailing empty subspace is absent from both
-      // codes and lut (same subs() filter), and a literal numSub bound would
-      // index past the arrays — element_at would yield NULL, not an error
-      .withColumn("approx",
-        aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0),
-          (acc, s) => acc
-            + element_at(element_at(col("lut"), s.cast("int") + 1),
-              element_at(col("codes"), s.cast("int") + 1) + 1)))
+      // native one-pass Σ_s lut[s][codes[s]]: this is the corpus-sized
+      // scoring loop of the code scan — the composed aggregate/element_at
+      // chain is a higher-order function Spark evaluates interpreted per
+      // row (measured 2× end-to-end on a 200k-vector staged corpus)
+      .withColumn("approx", NativeFns.pqScore(col("codes"), col("lut")))
       .transform(scoredCodes =>
         // salted two-phase keep-best-`candidates`: the scored-code frame is
         // corpus-sized per query, so a plain per-query row_number window

@@ -419,6 +419,84 @@ case class NearestIndex(left: Expression, right: Expression, metric: String)
     copy(left = l, right = r)
 }
 
+/** PQ approximate score Σ_s lut[s][codes[s]] over (`array<int>` codes,
+  * `array<array<double>>` lut) in ONE codegen'd pass — the per-row scoring
+  * loop of a product-quantization code scan, i.e. the hottest corpus-sized
+  * expression in the PQ search path. The composed formulation
+  * (`aggregate(sequence(...), acc + element_at(element_at(lut, s+1),
+  * codes[s]+1))`) is a higher-order function, which Spark evaluates
+  * interpreted per row per subspace.
+  *
+  * Parity with that formulation: any NULL slot (missing code, missing
+  * sub-LUT) nulls the whole sum; an out-of-range code yields NULL rather
+  * than an error (by construction codes index the LUT that was built from
+  * the same codebook, so this is defensive only).
+  */
+case class PqApproxScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_score expects (array<int>, array<array<double>>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    var sum = 0.0
+    var s = 0
+    val n = codes.numElements()
+    while (s < n) {
+      if (s >= lut.numElements() || codes.isNullAt(s) || lut.isNullAt(s)) return null
+      val lutS = lut.getArray(s)
+      val code = codes.getInt(s)
+      if (code < 0 || code >= lutS.numElements() || lutS.isNullAt(code)) return null
+      sum += lutS.getDouble(code)
+      s += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val lutS = ctx.freshName("lutS")
+      val code = ctx.freshName("code")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |double $sum = 0.0;
+         |boolean $bad = false;
+         |for (int $s = 0; $s < $n && !$bad; $s++) {
+         |  if ($s >= $b.numElements() || $a.isNullAt($s) || $b.isNullAt($s)) {
+         |    $bad = true;
+         |  } else {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $lutS = $b.getArray($s);
+         |    int $code = $a.getInt($s);
+         |    if ($code < 0 || $code >= $lutS.numElements() || $lutS.isNullAt($code)) {
+         |      $bad = true;
+         |    } else {
+         |      $sum += $lutS.getDouble($code);
+         |    }
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API front door for the native expressions. */
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -432,4 +510,6 @@ object NativeFns {
     ColumnBridge.column(LshBucketKey(ex(vec), numPlanes, seed))
   def nearestIndex(vec: Column, candidates: Column, metric: String): Column =
     ColumnBridge.column(NearestIndex(ex(vec), ex(candidates), metric))
+  def pqScore(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqApproxScore(ex(codes), ex(lut)))
 }
