@@ -108,6 +108,21 @@ class PlanSpec extends GraftSuite {
       s"no salted per-query prune window in: $offenders\n${offenders.headOption.map(allPlans).getOrElse("")}")
   }
 
+  test("ANN plans use the native hot-path expressions, not composed fallbacks") {
+    // the zero-shuffle index build hinges on these staying IN the plan: a
+    // refactor that silently reverts to a max_by groupBy (assignment) or an
+    // aggregate/element_at HOF chain (code-scan scoring) would still be
+    // correct but reintroduce the corpus shuffle / interpreted inner loop
+    val nearestQueries = Seq("q48_ann_ivf", "q65_ann_ivfpq",
+      "q67_ann_ivf_exact", "q68_ann_ivfpq_exact")
+    val pqScoreQueries = Seq("q63_ann_pq", "q65_ann_ivfpq",
+      "q66_ann_pq_exact", "q68_ann_ivfpq_exact")
+    val missingNearest = nearestQueries.filterNot(allPlans(_).contains("graft_nearest"))
+    val missingPq = pqScoreQueries.filterNot(allPlans(_).contains("graft_pq_score"))
+    assert(missingNearest.isEmpty, s"no graft_nearest in: $missingNearest")
+    assert(missingPq.isEmpty, s"no graft_pq_score in: $missingPq")
+  }
+
   test("q47 range join plans as a hash equi-join on buckets, not a nested loop") {
     val plan = explained(SparkEntry.queries("q47_range_join")(spark, sf))
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), s"nested loop:\n$plan")
