@@ -183,4 +183,37 @@ class StreamingSpec extends GraftSuite {
       assert(streamed.exceptAll(batch).count() == 0, "stream/batch enrichment mismatch")
     } finally q.stop()
   }
+
+  test("streaming decontamination drops exactly the docs sharing a held-out gram") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // held-out set: q43/q49's split rule (hash-derived, deterministic)
+    val held = pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95
+    val heldOut = docs.filter(held)
+    val train = docs.filter(!held)
+    train.write.mode("overwrite").parquet(staged)
+
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(staged)
+    val q = graft.streaming.DocsStream
+      .decontaminateStream(stream, col("text"), heldOut, col("text"), 3,
+        expectedItems = 200000L, numBits = 4000000L)
+      .select(col("doc_id"))
+      .writeStream.outputMode("append").format("memory").queryName("decon_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("decon_out").as[Long].collect().toSet
+      // batch truth: docs with at least one exact shared gram are dropped.
+      // The Bloom sketch is generous enough here that no false positive
+      // fires on this corpus (deterministic — no RNG — so not flaky).
+      val contaminated = graft.operators.Dedup
+        .contaminationHits(docs, col("doc_id"), col("text"), held, 3)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val expected = train.select(col("doc_id")).as[Long].collect().toSet -- contaminated
+      assert(streamed == expected,
+        s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+    } finally q.stop()
+  }
 }
