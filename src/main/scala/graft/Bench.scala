@@ -32,6 +32,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; 68 queries × many
+      // codegen stages per pass evict every query's classes between its
+      // interleaved reps, so each timed sample would re-pay janino
+      // compilation + cold JIT — the exact cost the untimed warmup pass
+      // exists to exclude. Static conf: must be set before session creation.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selectedEarly =
@@ -45,15 +51,6 @@ object Bench {
     }
     require(selectedEarly.map(q => shortKey(q._1)).distinct.size == selectedEarly.size,
       "query name prefixes must be unique for the bench metric line")
-    // JVM/codegen warmup outside the timed loop (first query otherwise
-    // carries multi-second JIT cost). Uses the first SELECTED query — a
-    // hardcoded name could be silently swallowed by the catch if renamed.
-    selectedEarly.headOption.foreach { case (name, fn) =>
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup ($name) failed: ${e.getMessage}")
-      }
-    }
     def resetSessionState(): Unit = {
       // drop caches AND checkpoint blocks left by eager operators, so the
       // next timed run starts from a cold, honest session

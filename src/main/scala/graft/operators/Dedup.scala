@@ -460,29 +460,52 @@ object Dedup {
     * EAGER: building the filter runs a job. Size `numBits` for the
     * expected distinct held-out grams (~10 bits/item ⇒ ~1% fpp).
     */
-  def contaminationHitsBloom(docs: DataFrame, id: Column, text: Column,
-                             isHeldOut: Column, n: Int,
-                             expectedItems: Long, numBits: Long): DataFrame = {
+  /** Distributed Bloom sketch of `hashCol`: Catalyst's own
+    * `BloomFilterAggregate` (distributed build, fixed-size sketch — only
+    * ~numBits/8 bytes reach the driver, like any sketch aggregate).
+    * EAGER: runs a job. Returns NULL when the input is EMPTY
+    * (`BloomFilterAggregate` yields null at cardinality 0) — callers must
+    * decide what an empty filter means for their polarity (keep-on-hit
+    * paths degrade safely to "no hits"; drop-on-hit paths MUST special-case
+    * it, see `DocsStream.decontaminateStream`).
+    */
+  private[graft] def bloomSketch(hashes: DataFrame, hashCol: String,
+                                 expectedItems: Long, numBits: Long): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col(hashCol)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    hashes.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Membership probe against an inlined [[bloomSketch]] literal
+    * (might_contain requires a CONSTANT filter — the classic
+    * broadcast-a-sketch pattern). A NULL `bf` yields NULL for every probe;
+    * see [[bloomSketch]] on handling that per call-site polarity.
+    */
+  private[graft] def bloomMightContain(bf: Array[Byte], h: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftshim.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
+    ColumnBridge.column(BloomFilterMightContain(Literal(bf, BinaryType),
+      ColumnBridge.expression(h)))
+  }
+
+  def contaminationHitsBloom(docs: DataFrame, id: Column, text: Column,
+                             isHeldOut: Column, n: Int,
+                             expectedItems: Long, numBits: Long): DataFrame = {
     val grams = docs.select(id.as("doc_id"), isHeldOut.as("held"),
         explode(TextFns.shingles(text, n)).as("g"))
       .select(col("doc_id"), col("held"), xxhash64(col("g")).as("gh"))
       .persist()
     val heldGrams = grams.filter(col("held")).select(col("gh")).distinct()
-    val bloomAgg = ColumnBridge.column(
-      new BloomFilterAggregate(ColumnBridge.expression(col("gh")),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    // might_contain requires a CONSTANT filter: materialize the bounded
-    // sketch and inline it as a literal (the classic broadcast-a-sketch
-    // pattern; this is a fixed-size aggregate, not a data collect)
-    val bf = heldGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bf, BinaryType), ColumnBridge.expression(col("gh"))))
+    // a NULL sketch (zero held-out grams) keeps nothing through the
+    // prefilter — the correct degradation here: no held grams, no hits
+    val bf = bloomSketch(heldGrams, "gh", expectedItems, numBits)
     val result = grams.filter(!col("held"))
-      .filter(mightContain)
+      .filter(bloomMightContain(bf, col("gh")))
       .join(heldGrams, "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

@@ -145,16 +145,20 @@ class NativeExprSpec extends GraftSuite {
   test("native pqScore equals the composed aggregate/element_at formulation, incl. null slots") {
     val df = Seq(
       // clean: lut[0][1] + lut[1][0] = 2.5 + 10.0
-      (Seq(1, 0), Seq(Seq(1.5, 2.5), Seq(10.0, 20.0))),
+      (Seq(Option(1), Option(0)), Seq(Option(Seq(1.5, 2.5)), Option(Seq(10.0, 20.0)))),
       // out-of-range code → NULL (composed: element_at past end)
-      (Seq(5, 0), Seq(Seq(1.5, 2.5), Seq(10.0, 20.0)))).toDF("codes", "lut")
+      (Seq(Option(5), Option(0)), Seq(Option(Seq(1.5, 2.5)), Option(Seq(10.0, 20.0)))),
+      // NULL code slot → NULL sum (a partial sum would silently mis-rank)
+      (Seq(Option(1), None), Seq(Option(Seq(1.5, 2.5)), Option(Seq(10.0, 20.0)))),
+      // NULL sub-LUT slot → NULL sum
+      (Seq(Option(1), Option(0)), Seq(Option(Seq(1.5, 2.5)), None))).toDF("codes", "lut")
     val composed = df.select(
       aggregate(sequence(lit(0), size($"codes") - 1), lit(0.0),
         (acc, s) => acc + get(get($"lut", s.cast("int")), get($"codes", s.cast("int")))))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     val native = df.select(NativeFns.pqScore($"codes", $"lut"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(native.toSeq == Seq(Some(12.5), None))
+    assert(native.toSeq == Seq(Some(12.5), None, None, None))
     assert(composed.toSeq == native.toSeq)
     val sql = spark.sql(
       "SELECT graft_pq_score(array(1, 0), array(array(1.5D, 2.5D), array(10.0D, 20.0D))) AS v")

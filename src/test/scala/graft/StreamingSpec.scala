@@ -216,4 +216,25 @@ class StreamingSpec extends GraftSuite {
         s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming decontamination with an empty held-out set keeps every document") {
+    import org.apache.spark.sql.functions._
+    // an empty held-out set sketches to a NULL Bloom filter; the naive
+    // !might_contain filter would then be NULL for every doc and drop the
+    // ENTIRE stream — the exact inversion of "nothing held out"
+    val staged = java.nio.file.Files.createTempDirectory("graft-decon-empty").toString
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(staged)
+    val q = graft.streaming.DocsStream
+      .decontaminateStream(stream, col("text"), docs.filter(lit(false)), col("text"), 3,
+        expectedItems = 1000L, numBits = 8000L)
+      .writeStream.outputMode("append").format("memory").queryName("decon_empty_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("decon_empty_out").count() == docs.count(),
+        "empty held-out set must pass every document")
+    } finally q.stop()
+  }
 }
