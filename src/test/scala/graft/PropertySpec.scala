@@ -113,4 +113,61 @@ class PropertySpec extends GraftSuite {
     assert(agree((1L, 3L)) < 0.3)            // disjoint sets ≈ 0
     assert(agree((2L, 3L)) < 0.3)
   }
+
+  test("nearestIndex equals a reference argmax for any vectors (ties, zero-norm, ragged)") {
+    // small integer components force EXACT score ties (the tiebreak path),
+    // zero vectors exercise the undefined-cosine skip, dim-3 candidates the
+    // ragged-skip; both metrics share the loop so both are checked
+    val comp = Gen.chooseNum(-2, 2).map(_.toFloat)
+    val v4 = Gen.listOfN(4, comp)
+    val cand = Gen.oneOf(3, 4).flatMap(d => Gen.listOfN(d, comp))
+    val genRow = for {
+      v <- v4
+      k <- Gen.chooseNum(0, 6)
+      cs <- Gen.listOfN(k, cand)
+    } yield (v, cs)
+    def ref(v: Seq[Float], cs: Seq[Seq[Float]], cosine: Boolean): Option[Int] = {
+      var best = -1; var bs = 0.0
+      for ((c, j) <- cs.zipWithIndex if c.length == v.length) {
+        var dot = 0.0; var nx = 0.0; var nc = 0.0
+        for (i <- v.indices) {
+          val xi = v(i).toDouble; val ci = c(i).toDouble
+          dot += xi * ci; nx += xi * xi; nc += ci * ci
+        }
+        if (!cosine || (nx != 0.0 && nc != 0.0)) {
+          val s = if (cosine) dot / (math.sqrt(nx) * math.sqrt(nc)) else dot - nc / 2
+          if (best < 0 || java.lang.Double.compare(s, bs) > 0) { best = j; bs = s }
+        }
+      }
+      if (best < 0) None else Some(best)
+    }
+    forAll(Gen.listOfN(20, genRow), runs = 3) { rows =>
+      val df = rows.toDF("v", "cs")
+      for (metric <- Seq("cosine", "dot_adj")) {
+        val got = df.select(graft.plans.NativeFns.nearestIndex($"v", $"cs", metric))
+          .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+        val want = rows.map { case (v, cs) => ref(v, cs, metric == "cosine") }
+        assert(got.toSeq == want, s"metric=$metric rows=$rows")
+      }
+    }
+  }
+
+  test("pqScore equals the reference lookup sum for any in-range codes") {
+    // integer-valued doubles sum exactly, so equality is bitwise
+    val lutVal = Gen.chooseNum(-5, 5).map(_.toDouble)
+    val genRow = for {
+      m <- Gen.chooseNum(1, 4)
+      luts <- Gen.listOfN(m, Gen.chooseNum(1, 4).flatMap(k => Gen.listOfN(k, lutVal)))
+      codes <- Gen.sequence[List[Int], Int](luts.map(l => Gen.chooseNum(0, l.size - 1)))
+    } yield (codes.toSeq, luts)
+    forAll(Gen.listOfN(25, genRow), runs = 3) { rows =>
+      val df = rows.toDF("codes", "lut")
+      val got = df.select(graft.plans.NativeFns.pqScore($"codes", $"lut"))
+        .collect().map(_.getDouble(0))
+      val want = rows.map { case (codes, luts) =>
+        codes.zip(luts).map { case (c, l) => l(c) }.sum
+      }
+      assert(got.toSeq == want, s"rows=$rows")
+    }
+  }
 }
