@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, PqApproxScore, SimHash64}
+import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, PqApproxScore, RollingFingerprint, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -86,6 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("graft_pq_score", "(codes, lut)", args, 2, 2)
         PqApproxScore(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => {
+        arity("graft_fingerprint", "(text)", args, 1, 1)
+        RollingFingerprint(args.head)
       }))
   }
 }

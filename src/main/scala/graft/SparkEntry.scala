@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{NumFns, TimeFns, TextFns, GeoFns}
 import graft.operators._
+import graft.plans.NativeFns
 import graft.sources.{Readers, Writers}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -380,8 +381,12 @@ object SparkEntry {
     }),
 
     "q31_fingerprint" -> ((s, dir) => {
+      // native one-pass rolling hash: the composed TextFns.fingerprint
+      // builds a one-string-per-character array and folds it with an
+      // interpreted lambda — per character, on a corpus-sized linear pass.
+      // Bit-identical results (spec-asserted, incl. unicode + empty docs).
       T(s, dir, "documents")
-        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), NativeFns.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
 

@@ -80,8 +80,11 @@ object TextFns {
   }
 
   /** Rolling polynomial hash fingerprint over characters:
-    * fp = fold(acc * 31 + ascii(c)) mod 1e9+7. Uses `aggregate` over the
-    * char array — distributed, codegen'd, no driver loop.
+    * fp = fold(acc * 31 + ascii(c)) mod 1e9+7. Composed REFERENCE
+    * implementation (like `VecFns.cosine`): `aggregate` is a higher-order
+    * function, interpreted per character over a one-string-per-character
+    * array — the hot path is the bit-identical native
+    * [[graft.plans.NativeFns.fingerprint]].
     */
   def fingerprint(text: Column): Column =
     aggregate(

@@ -497,6 +497,81 @@ case class PqApproxScore(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Rolling polynomial fingerprint fp = fold(acc·31 + codepoint) mod 1e9+7
+  * over a string's Unicode codepoints, in ONE pass over the UTF-8 bytes.
+  * Matches the composed `aggregate(split(text, ''), ...)` formulation
+  * bit-for-bit (spec-asserted: `ascii()` yields the full codepoint,
+  * surrogate pairs included, and the empty string folds to 0) — without
+  * materializing a one-string-per-character array and evaluating an
+  * interpreted lambda per character on the corpus-sized linear pass.
+  */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint expects string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) { len = 2; cp = b0 & 0x1F }
+      else if ((b0 & 0xF0) == 0xE0) { len = 3; cp = b0 & 0x0F }
+      else { len = 4; cp = b0 & 0x07 }
+      var j = 1
+      while (j < len && i + j < bytes.length) {
+        cp = (cp << 6) | (bytes(i + j) & 0x3F)
+        j += 1
+      }
+      acc = (acc * 31 + cp) % 1000000007L
+      i += len
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bytes = ctx.freshName("bytes")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val b0 = ctx.freshName("b0")
+      val cp = ctx.freshName("cp")
+      val len = ctx.freshName("len")
+      s"""
+         |byte[] $bytes = $a.getBytes();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $bytes.length) {
+         |  int $b0 = $bytes[$i] & 0xFF;
+         |  int $cp; int $len;
+         |  if ($b0 < 0x80) { $cp = $b0; $len = 1; }
+         |  else if (($b0 & 0xE0) == 0xC0) { $cp = $b0 & 0x1F; $len = 2; }
+         |  else if (($b0 & 0xF0) == 0xE0) { $cp = $b0 & 0x0F; $len = 3; }
+         |  else { $cp = $b0 & 0x07; $len = 4; }
+         |  for (int $j = 1; $j < $len && $i + $j < $bytes.length; $j++) {
+         |    $cp = ($cp << 6) | ($bytes[$i + $j] & 0x3F);
+         |  }
+         |  $acc = ($acc * 31 + $cp) % 1000000007L;
+         |  $i += $len;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API front door for the native expressions. */
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -512,4 +587,6 @@ object NativeFns {
     ColumnBridge.column(NearestIndex(ex(vec), ex(candidates), metric))
   def pqScore(codes: Column, lut: Column): Column =
     ColumnBridge.column(PqApproxScore(ex(codes), ex(lut)))
+  def fingerprint(text: Column): Column =
+    ColumnBridge.column(RollingFingerprint(ex(text)))
 }

@@ -166,6 +166,29 @@ class NativeExprSpec extends GraftSuite {
     assert(sql == 12.5)
   }
 
+  test("native fingerprint is bit-identical to the composed rolling hash (unicode, empty, null)") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+    val diff = docs.select(
+        NativeFns.fingerprint($"text").as("native"),
+        TextFns.fingerprint($"text").as("composed"))
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(diff == 0L)
+    // edge cases pinned by value: empty folds to 0 (split('') → one empty
+    // element, ascii('') = 0), ascii() yields full codepoints (é = 233,
+    // U+1D54F = 120143 via surrogate pair), null stays null
+    val edge = Seq(Some(""), Some("a"), Some("héllo"), Some("a𝕏b"), None).toDF("t")
+    val rows = edge.select(NativeFns.fingerprint($"t").as("n"), TextFns.fingerprint($"t").as("c"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.forall { case (n, c) => n == c }, s"native != composed: ${rows.toSeq}")
+    assert(rows.map(_._1).toSeq == Seq(Some(0L), Some(97L), Some(103094734L),
+      Some(3817748L), None))
+    val sql = spark.sql("SELECT graft_fingerprint('ab') AS v").as[Long].head()
+    assert(sql == 97L * 31 + 98)
+  }
+
   test("nearestIndex dot_adj is argmin L2 (dot − |c|²/2 ordering)") {
     // v = (1,1): L2-nearest of (3,3), (1,0), (0,2) is (1,0)
     val df = Seq((Seq(1.0f, 1.0f),
