@@ -6,12 +6,34 @@ import org.apache.spark.sql.SparkSession
   * occasional 4× single-query spikes, so a single reading is not a
   * measurement). Caches and lingering checkpoint blocks are cleared between
   * runs so no query is timed against another query's session state.
+  *
+  * The machine-read metric line is printed after EVERY completed interleaved
+  * pass (cumulative medians over the passes completed so far), not only at
+  * the end: the consumer records a bounded tail of the run's output and
+  * kills runs at a wall-clock budget, so an end-only line means a timeout
+  * loses the whole record (it did, three rounds running). With per-pass
+  * lines — and the run's logging held at ERROR so no warning spray lands
+  * after them — a kill at any point still leaves the latest complete pass's
+  * record as the last ~1 KB line in the tail.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  /** Queries whose FIRST run pays heavy one-time whole-stage-codegen + JIT
+    * (the minhash/shingle and ANN pipelines — observed up to ~20 s cold vs
+    * ~3 s warm for q23). Only these get an untimed warmup execution: warming
+    * all 68 queries costs a full extra pass (~100+ s) of the consumer's
+    * wall-clock budget, while for the cheap majority one cold sample among
+    * 3–4 reps is absorbed by the median.
+    */
+  private val warmupPrefixes = Set(
+    "q21", "q22", "q23", "q24", "q25", // dedup family (shingle/minhash/simhash)
+    "q26", "q27", "q48", "q63", "q65", "q66", "q67", "q68", // ANN family
+    "q39", "q45", "q49", "q52", "q54", "q56", "q57", "q62" // shingle/CC/bloom
+  )
 
   def main(args: Array[String]): Unit = {
     // a typo'd query name must fail loudly, not silently bench nothing
@@ -39,7 +61,12 @@ object Bench {
       // exists to exclude. Static conf: must be set before session creation.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the consumer's bounded tail captures stderr too, and
+    // benign WARN spray (WindowExec, checkpoint unpersist) printed after a
+    // metric line evicts it from the tail — round 4's official record died
+    // with a tail full of WindowExec warnings. Bench output must be ONLY
+    // the per-pass metric lines plus real errors.
+    spark.sparkContext.setLogLevel("ERROR")
     val selectedEarly =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.view.filterKeys(args.toSet).toSeq.sortBy(_._1)
@@ -62,41 +89,17 @@ object Bench {
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the computed projections being measured)
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-    // pass 0 — one UNTIMED warmup per query: whole-stage codegen compiles
-    // and the JIT warms here, so the timed reps measure the engine, not
-    // first-run compilation (a large share of observed ±40% noise)
-    selected.foreach { case (_, fn) =>
+    // pass 0 — untimed warmup, HEAVY-CODEGEN QUERIES ONLY (see
+    // warmupPrefixes): their one-time compilation would otherwise dominate a
+    // timed sample; for everything else the median over interleaved reps
+    // absorbs the one cold run, and skipping ~50 cheap warmups keeps the
+    // whole run inside the consumer's wall-clock budget at reps=4.
+    selected.withFilter(q => warmupPrefixes(shortKey(q._1))).foreach { case (_, fn) =>
       try runOnce(fn)
       catch { case _: Throwable => () /* the timed passes report the failure */ }
     }
-    // timed passes are INTERLEAVED (all queries once, then all again…), not
-    // per-query back-to-back: this box shows multi-minute external noise
-    // windows, and consecutive reps let one window poison every rep of the
-    // same query (observed: a query's 3 back-to-back reps at ~40× its
-    // quiet-box time). Spread ~minutes apart, a window inflates at most one
-    // sample per query and the median survives.
     val failedSet = scala.collection.mutable.Set[String]()
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
-    for (_ <- 0 until reps; (name, fn) <- selected if !failedSet(name)) {
-      resetSessionState()
-      val t0 = System.nanoTime()
-      try {
-        runOnce(fn)
-        samples(name) = samples.getOrElse(name, Vector.empty) :+
-          (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failedSet += name
-      }
-    }
-    val results = selected.map { case (name, _) =>
-      // -1 marks failure in the JSON — a broken query must not look like a
-      // fast pass to anything consuming only the metric line
-      val ts = samples.getOrElse(name, Vector.empty)
-      if (failedSet(name) || ts.isEmpty) (name, -1.0, -1.0)
-      else (name, median(ts), ts.min)
-    }
     // locale-stable fixed-decimal rendering: the final stdout line must fit
     // the consumer's bounded tail capture (observed 2000 chars) — at 64+
     // queries the default 9-decimal Double rendering alone overflows it.
@@ -104,33 +107,69 @@ object Bench {
     def fd(v: Double, scale: Int): String =
       BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     def f3(v: Double): String = fd(v, 3)
-    // machine-read line uses the unique qNN prefix as the key ("q63" for
-    // "q63_ann_pq") so the line stays ~1 KB at any query count — full names
-    // at 66 queries leave <100 chars of tail headroom, one failed-query name
-    // away from a lost round record. Prefixes were asserted unique up
-    // front; the full-name 3-decimal detail lives on the stderr line.
-    val qs = results.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fd(v, 2) }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, m) => s"\"" + k + "\":" + f3(m) }
-      .mkString("{", ",", "}")
-    // total over SUCCEEDED queries only: summing the -1 sentinels would make
-    // a broken query LOWER the total — a regression reading as a speedup.
-    // Failures are surfaced both per-query (-1) and in an explicit list.
-    val failedNames = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    def results: Seq[(String, Double, Double)] = selected.map { case (name, _) =>
+      // -1 marks failure in the JSON — a broken query must not look like a
+      // fast pass to anything consuming only the metric line
+      val ts = samples.getOrElse(name, Vector.empty)
+      if (failedSet(name) || ts.isEmpty) (name, -1.0, -1.0)
+      else (name, median(ts), ts.min)
+    }
+    // The cumulative machine-read line: medians over the passes completed so
+    // far. Keys are the unique qNN prefix ("q63" for "q63_ann_pq") so the
+    // line stays ~1 KB at any query count — full names at 66 queries leave
+    // <100 chars of tail headroom. The LAST printed line always wins with
+    // the consumer's tail capture, so re-printing after each pass is safe
+    // and makes the record kill-proof.
+    def printMetricLine(passesDone: Int): Unit = {
+      val rs = results
+      val qs = rs.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + fd(v, 2) }
+        .mkString("{", ",", "}")
+      // total over SUCCEEDED queries only: summing the -1 sentinels would
+      // make a broken query LOWER the total — a regression reading as a
+      // speedup. Failures are surfaced per-query (-1) and as a list.
+      val total = rs.collect { case (_, v, _) if v >= 0 => v }.sum
+      val failedShort = rs.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    // timed passes are INTERLEAVED (all queries once, then all again…), not
+    // per-query back-to-back: this box shows multi-minute external noise
+    // windows, and consecutive reps let one window poison every rep of the
+    // same query (observed: a query's 3 back-to-back reps at ~40× its
+    // quiet-box time). Spread ~minutes apart, a window inflates at most one
+    // sample per query and the median survives.
+    for (pass <- 1 to reps) {
+      for ((name, fn) <- selected if !failedSet(name)) {
+        resetSessionState()
+        val t0 = System.nanoTime()
+        try {
+          runOnce(fn)
+          samples(name) = samples.getOrElse(name, Vector.empty) :+
+            (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failedSet += name
+        }
+      }
+      printMetricLine(pass)
+    }
+    val finalResults = results
     // min-of-reps is reported on STDERR alongside the median headline: on a
     // contended box the median absorbs external load while the min is the
     // best evidence of what the engine itself costs (they agree on a quiet
-    // box). It lives on stderr so the machine-read stdout metric line stays
-    // the LAST line and small enough for a bounded tail capture.
-    val totalMin = results.collect { case (_, v, m) if v >= 0 => m }.sum
+    // box). It prints BEFORE the final metric line so the machine-read
+    // stdout line stays LAST.
+    val qsMin = finalResults.map { case (k, _, m) => "\"" + k + "\":" + f3(m) }
+      .mkString("{", ",", "}")
+    val failedNames = finalResults.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val totalMin = finalResults.collect { case (_, v, m) if v >= 0 => m }.sum
     System.err.println(s"""{"detail":"min_of_reps","total_min":${f3(totalMin)},"failed":${failedNames.mkString("[", ",", "]")},"queries_min":$qsMin}""")
-    // stop BEFORE the metric line: Spark's shutdown hooks log warnings, and
-    // anything printed after this line pushes it out of the bounded tail.
-    // A failing stop() must not cost the run its record — the timings exist.
+    // stop BEFORE the final metric line: Spark's shutdown hooks log
+    // warnings, and anything printed after this line pushes it out of the
+    // bounded tail. A failing stop() must not cost the run its record.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] stop failed: ${e.getMessage}") }
-    val failedShort = results.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    printMetricLine(reps)
   }
 }

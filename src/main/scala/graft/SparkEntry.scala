@@ -886,7 +886,13 @@ object SparkEntry {
       // why not Int.MaxValue) prescreen cap far above any test corpus keeps
       // every code, so BOTH filters pass everything and the exact re-rank
       // IS brute force — the driver hash-checks the composed
-      // quantizer+cells+codes+LUT+re-rank pipeline against q26's oracle
+      // quantizer+cells+codes+LUT+re-rank pipeline against q26's oracle.
+      // PRECONDITION: exactness (and the shared q26 oracle) holds only
+      // while the corpus stays under candidates = 1,000,000 vectors —
+      // beyond that the prescreen truncates and a driver hash mismatch
+      // here would be this config's staleness, not an engine bug. Largest
+      // driver SF (sf0.1) has 2,000 vectors; ~500× headroom. Same bound
+      // applies to q66.
       val embs = T(s, dir, "embeddings")
       Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, numCells = 16, nProbe = 16, numSub = 8, numCentroids = 16,
@@ -1185,6 +1191,19 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the rolling-hash fold fp = fold(acc*31 + codepoint) mod 1e9+7, spelled
+    // as a list_reduce over the string's codepoints ('(?s).' matches every
+    // codepoint incl. newlines; the prepended 0 is the fold seed, so the
+    // empty string folds to 0 — matching RollingFingerprint exactly)
+    "q31_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(regexp_extract_all(text, '(?s).'),
+        |       c -> CAST(unicode(c) AS BIGINT))),
+        |   (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q33_distinct_counts" ->

@@ -444,22 +444,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
-  /** [[contaminationHits]] with a Bloom-filter prefilter — the 100 TB
-    * two-phase shape. Phase 1 builds a Bloom filter over the distinct
-    * held-out gram hashes with Catalyst's own `BloomFilterAggregate`
-    * (distributed build, fixed-size sketch — the only thing that reaches
-    * the driver is the ~numBits/8-byte filter, like any sketch aggregate)
-    * and prefilters train grams with codegen'd `BloomFilterMightContain`.
-    * Phase 2 exact-joins only the survivors. False positives pass the
-    * prefilter but are removed by the exact join, so the result is
-    * EXACTLY [[contaminationHits]] — same oracle — while the shuffle into
-    * the join carries ~fpp of the non-matching grams instead of all of
-    * them (at 100 TB, the join shuffle is the dominant cost and most
-    * train grams are clean).
-    *
-    * EAGER: building the filter runs a job. Size `numBits` for the
-    * expected distinct held-out grams (~10 bits/item ⇒ ~1% fpp).
-    */
   /** Distributed Bloom sketch of `hashCol`: Catalyst's own
     * `BloomFilterAggregate` (distributed build, fixed-size sketch — only
     * ~numBits/8 bytes reach the driver, like any sketch aggregate).
@@ -493,6 +477,20 @@ object Dedup {
       ColumnBridge.expression(h)))
   }
 
+  /** [[contaminationHits]] with a Bloom-filter prefilter — the 100 TB
+    * two-phase shape. Phase 1 builds a Bloom filter over the distinct
+    * held-out gram hashes via [[bloomSketch]] and prefilters train grams
+    * with codegen'd `BloomFilterMightContain` ([[bloomMightContain]]).
+    * Phase 2 exact-joins only the survivors. False positives pass the
+    * prefilter but are removed by the exact join, so the result is
+    * EXACTLY [[contaminationHits]] — same oracle — while the shuffle into
+    * the join carries ~fpp of the non-matching grams instead of all of
+    * them (at 100 TB, the join shuffle is the dominant cost and most
+    * train grams are clean).
+    *
+    * EAGER: building the filter runs a job. Size `numBits` for the
+    * expected distinct held-out grams (~10 bits/item ⇒ ~1% fpp).
+    */
   def contaminationHitsBloom(docs: DataFrame, id: Column, text: Column,
                              isHeldOut: Column, n: Int,
                              expectedItems: Long, numBits: Long): DataFrame = {

@@ -7,9 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (SURVEY §2b): media as opaque `binary` columns
   * plus typed metadata, with the decode/feature-extract step batched per
   * partition (the shape a Pandas-UDF / mapInPandas pipeline has in
-  * production). The actual codec is STUBBED — image/audio libs are not in
-  * this container — with a deterministic fake so the Spark-side schema,
-  * partitioning and batch plumbing are real and testable.
+  * production). Image CONTAINER parsing is real — PNG and JPEG dimensions
+  * are read from the actual header bytes ([[parseImageHeader]], no external
+  * libs needed: both formats carry dimensions in fixed-layout segments).
+  * Full pixel/audio decoding stays STUBBED — codec libs are not in this
+  * container — with a deterministic fake so the Spark-side schema,
+  * partitioning and batch plumbing are real and testable end-to-end.
   */
 object Multimodal {
 
@@ -30,16 +33,75 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** STUB decoder: deterministic fake of an image-decode. A real pipeline
-    * swaps `decodeStub` for the codec call; everything around it (partition
+  /** Real image-container parser: width/height/format read from the actual
+    * header bytes. PNG stores dimensions at fixed offsets in the IHDR chunk
+    * (always the first chunk after the 8-byte signature: width big-endian at
+    * byte 16, height at 20). JPEG stores them in the start-of-frame (SOFn)
+    * segment, found by walking the marker stream — each non-standalone
+    * marker is FF xx followed by a 2-byte big-endian length that includes
+    * itself; SOFn is FF C0–CF excluding C4 (DHT), C8 (JPG ext) and CC (DAC),
+    * with payload [precision:1][height:2][width:2]. Returns None for
+    * anything that is not a well-formed PNG/JPEG prefix — the caller falls
+    * back to the deterministic stub, so corrupt bytes degrade, not throw.
+    */
+  private[operators] def parseImageHeader(p: Array[Byte]): Option[(Long, Long, String)] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+        ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+    if (p.length >= 24 &&
+        u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      Some((u32(16), u32(20), "png"))
+    } else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u8(i) != 0xFF) return None // expected a marker: corrupt stream
+        val m = u8(i + 1)
+        if (m == 0xFF) i += 1 // fill byte before a marker
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
+        else {
+          val len = u16(i + 2)
+          if (len < 2) return None
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof) {
+            if (i + 8 >= p.length) return None
+            return Some((u16(i + 7).toLong, u16(i + 5).toLong, "jpeg"))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** STUB decoder: deterministic fake for payloads [[parseImageHeader]]
+    * cannot handle (audio, unknown containers, pixel-level features). A real
+    * pipeline swaps this for the codec call; everything around it (partition
     * batching, output schema, null passthrough) is production-shaped.
     */
   private def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    // ??? real codec goes here; deterministic fake derived from the bytes:
+    // deterministic fake derived from the bytes (a real codec goes here):
     val checksum = payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
     val w = 16 + (checksum % 1920)
     val h = 16 + ((checksum / 7) % 1080)
     (w, h, checksum)
+  }
+
+  /** Header parse first, stub fallback: (width, height, checksum, format).
+    * `format` is the parsed container ("png"/"jpeg") or null when the
+    * metadata came from the stub — downstream can filter on real decodes.
+    */
+  private def decodeOne(payload: Array[Byte]): (Long, Long, Long, String) = {
+    val checksum = payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
+    parseImageHeader(payload) match {
+      case Some((w, h, fmt)) => (w, h, checksum, fmt)
+      case None =>
+        val (w, h, cs) = decodeStub(payload)
+        (w, h, cs, null)
+    }
   }
 
   val decodedSchema: StructType = StructType(Seq(
@@ -48,7 +110,8 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("width", LongType),
     StructField("height", LongType),
-    StructField("checksum", LongType)))
+    StructField("checksum", LongType),
+    StructField("format", StringType)))
 
   /** Batched decode: one stub call per row, executed per partition — no
     * per-row task overhead, no driver involvement; the 100 TB path just
@@ -67,11 +130,11 @@ object Multimodal {
           if (payload == null) {
             // null passthrough: missing blobs keep their row, metadata null
             Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-              raw(r, "n_bytes"), null, null, null)
+              raw(r, "n_bytes"), null, null, null, null)
           } else {
-            val (w, h, cs) = decodeStub(payload)
+            val (w, h, cs, fmt) = decodeOne(payload)
             Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-              raw(r, "n_bytes"), w, h, cs)
+              raw(r, "n_bytes"), w, h, cs, fmt)
           }
         }
       }(enc)
@@ -90,15 +153,15 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // a real pipeline passes the whole batch to the codec in one call
           val decoded = batch.map { r =>
-            Option(r.getAs[Array[Byte]]("payload")).map(decodeStub)
+            Option(r.getAs[Array[Byte]]("payload")).map(decodeOne)
           }
           batch.iterator.zip(decoded.iterator).map {
-            case (r, Some((w, h, cs))) =>
+            case (r, Some((w, h, cs, fmt))) =>
               Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-                raw(r, "n_bytes"), w, h, cs)
+                raw(r, "n_bytes"), w, h, cs, fmt)
             case (r, None) =>
               Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-                raw(r, "n_bytes"), null, null, null)
+                raw(r, "n_bytes"), null, null, null, null)
           }
         }
       }(enc)

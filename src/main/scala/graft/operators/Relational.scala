@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** A single-partition window key for windows that are global BY DESIGN and
+    * run on aggregate-sized input (#groups / #buckets / #keys rows, never the
+    * corpus). Semantically identical to an empty partition spec — every row
+    * hashes to the one partition the empty spec would also use — but it keeps
+    * `partitionSpec` non-empty so WindowExec does not emit its
+    * "No Partition Defined" warning (162 of them per bench run drowned the
+    * round-4 output tail). A plain `lit(1)` would not survive: Spark 4's
+    * `EliminateWindowPartitions` strips foldable partition keys — and
+    * arithmetic zeros (`x * 0`, two-branch-equal CASE) get simplified to
+    * literals first and stripped too (verified against 4.1.2). This uses
+    * `pmod(xxhash64(c), 1)`: always 0 (pmod is non-negative), never null
+    * (xxhash64 hashes NULL to the seed), and opaque to the simplifier — one
+    * codegen'd hash per row of an already-tiny table.
+    */
+  private def globalWindowKey(c: Column): Column =
+    pmod(xxhash64(c), lit(1L))
+
   /** Corpus-mix rebalancing by repeat factor ("epochs"): under-represented
     * groups (source/domain/language) are repeated up to `maxRepeat` times so
     * the training mix approaches uniform. Emits one row per (doc, epoch) via
@@ -31,7 +48,8 @@ object Relational {
     require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
     val counts = docs.groupBy(grp.as("grp")).agg(count(lit(1)).as("n_grp"))
     val weights = counts
-      .withColumn("max_n", max(col("n_grp")).over(Window.partitionBy()))
+      .withColumn("max_n",
+        max(col("n_grp")).over(Window.partitionBy(globalWindowKey(col("n_grp")))))
       .select(col("grp"),
         least(lit(maxRepeat.toLong), floor(col("max_n") / col("n_grp"))).cast("long")
           .as("n_rep"))
@@ -53,9 +71,9 @@ object Relational {
       facts: DataFrame, factKey: Column,
       perKeyAggs: DataFrame, // must contain: key, grp, m1, m2, m3
       minPct1: Int, minPct2: Int, minPct3: Int): DataFrame = {
-    val byM1 = Window.orderBy(col("m1"), col("key"))
-    val byM2 = Window.orderBy(col("m2"), col("key"))
-    val byM3 = Window.orderBy(col("m3"), col("key"))
+    val byM1 = Window.partitionBy(globalWindowKey(col("key"))).orderBy(col("m1"), col("key"))
+    val byM2 = Window.partitionBy(globalWindowKey(col("key"))).orderBy(col("m2"), col("key"))
+    val byM3 = Window.partitionBy(globalWindowKey(col("key"))).orderBy(col("m3"), col("key"))
     val pct = perKeyAggs
       .withColumn("pct1", ntile(100).over(byM1).cast("long"))
       .withColumn("pct2", ntile(100).over(byM2).cast("long"))
@@ -247,7 +265,10 @@ object Relational {
     val b = df.withColumn("_bkt", floor(primary / lit(bucketWidth)).cast("long"))
     val counts = b.groupBy(col("_bkt").as("_obkt")).agg(count(lit(1)).as("_c"))
     val offsets = counts
-      .withColumn("_off", sum(col("_c")).over(Window.orderBy(col("_obkt"))) - col("_c"))
+      .withColumn("_off",
+        sum(col("_c")).over(
+          Window.partitionBy(globalWindowKey(col("_obkt"))).orderBy(col("_obkt")))
+          - col("_c"))
       .select(col("_obkt"), col("_off"))
     b.join(offsets, col("_bkt") === col("_obkt"))
       .withColumn(name,

@@ -215,6 +215,13 @@ object Similarity {
     * so the result provably equals [[bruteForceTopK]] (spec-asserted) — the
     * PQ approximation can only affect WHICH candidates survive, never their
     * final exact scores or ranking.
+    *
+    * REQUIRES uniform vector dimensions: the packed codebook is indexed
+    * positionally by subspace (gap-free 0..numSub−1), which holds only when
+    * every vector has the same length. A vector of a DIFFERENT length
+    * yields NULL codes → a NULL approximate score, and is silently absent
+    * from the prescreen (and therefore the result) — validate dimensions
+    * upstream if the corpus may be ragged.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
@@ -234,6 +241,9 @@ object Similarity {
     * `nProbe >= numCells` together with `candidates >=` corpus size keeps
     * every vector through both filters, so the result provably equals
     * [[bruteForceTopK]] (spec-asserted).
+    *
+    * REQUIRES uniform vector dimensions (see [[pqTopK]]): ragged vectors
+    * get NULL PQ codes and are silently excluded from the code scan.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int,

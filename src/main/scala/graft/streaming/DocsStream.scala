@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.functions.TextFns
 import graft.operators.Dedup
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming twins of the document-pipeline operators — the production
   * ingest shape: documents arrive as a stream and are filtered/scored
@@ -50,5 +51,56 @@ object DocsStream {
       // out; exists() short-circuits on the first hit
       docs.filter(!exists(TextFns.shingles(text, n),
         s => Dedup.bloomMightContain(bf, xxhash64(s))))
+  }
+
+  /** Incremental near-dup check at ingest — the streaming twin of q57:
+    * every micro-batch of arriving documents is scored against the
+    * MATERIALIZED corpus shingle index (`Dedup.shingleIndex` output, read
+    * back from its range-sorted parquet artifact), surfacing cross-set
+    * (batch_id, corpus_id, jaccard) pairs per micro-batch.
+    *
+    * Two-phase, completing the ingest story [[decontaminateStream]]
+    * started: (1) a STATELESS map-side Bloom prefilter — the index's
+    * distinct shingle hashes are sketched ONCE before the query starts and
+    * inlined as a literal, and a batch doc none of whose shingles might be
+    * in the index is dropped without touching the join (such a doc can
+    * never yield a pair row: no shared shingle ⇒ no `common` row in
+    * `ngramJaccardAgainstIndex` — so the prefilter is EXACT, false
+    * positives only forward extra docs to phase 2); (2) exact confirm —
+    * `Dedup.ngramJaccardAgainstIndex` on the survivors, the SAME batch
+    * operator q57 runs, executed per micro-batch via `foreachBatch`. The
+    * jaccard computation is a multi-aggregation chain (sizes + common
+    * counts + join-back), which streaming cannot express as one incremental
+    * plan — `foreachBatch` is the production idiom for exactly this
+    * "reuse the batch operator per micro-batch" shape, and each micro-batch
+    * is itself a distributed job driven by batch-side fan-out.
+    *
+    * A NULL sketch (EMPTY corpus index) passes no docs to phase 2 —
+    * correct, not the decontaminate inversion trap: keep-on-hit polarity
+    * degrades to "no hits", and an empty index genuinely has no near-dups.
+    *
+    * `onHits(hits, epochId)` receives each micro-batch's pair frame
+    * (batch_id, corpus_id, jaccard); start the returned writer to run.
+    * Union of `onHits` frames over all micro-batches ==
+    * `ngramJaccardAgainstIndex` of the whole stream as one batch
+    * (spec-asserted) — micro-batch boundaries cannot change cross-set
+    * pairs, since each pair needs exactly one batch doc and the index.
+    */
+  def incrementalDedupStream(docs: DataFrame, id: Column, text: Column,
+                             corpusIndex: DataFrame, n: Int, minJaccard: Double,
+                             expectedIndexShingles: Long, numBits: Long,
+                             onHits: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val bf = Dedup.bloomSketch(corpusIndex.select(col("sh_h")).distinct(), "sh_h",
+      expectedIndexShingles, numBits)
+    docs.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val candidates =
+        if (bf == null) batch.filter(lit(false))
+        else batch.filter(exists(TextFns.shingles(text, n),
+          s => Dedup.bloomMightContain(bf, xxhash64(s))))
+      onHits(
+        Dedup.ngramJaccardAgainstIndex(corpusIndex, candidates, id, text,
+          n, minJaccard, persistIndex = true),
+        epochId)
+    }
   }
 }

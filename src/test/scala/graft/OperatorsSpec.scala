@@ -179,7 +179,7 @@ class OperatorsSpec extends GraftSuite {
     val docs = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
     val got = Multimodal.decode(Multimodal.asMediaTable(docs, "doc_id", "text"))
     assert(got.schema.fieldNames.toSeq ==
-      Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum"))
+      Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum", "format"))
     val rows = got.orderBy("doc_id").collect()
     assert(rows.length == 2)
     assert(rows(0).getAs[String]("media_type") == "image") // even id
@@ -195,6 +195,39 @@ class OperatorsSpec extends GraftSuite {
       Multimodal.asMediaTable(docs, "doc_id", "text"), 1)
       .orderBy("doc_id").collect()
     assert(batched.toSeq == again.toSeq)
+  }
+
+  test("Multimodal: real PNG/JPEG header bytes yield true dimensions; others fall back to the stub") {
+    import org.apache.spark.sql.functions.{col, octet_length}
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // hand-built 640×480 PNG: signature + IHDR (len 13, w/h big-endian,
+    // bit-depth 8, color 6) + CRC bytes the parser does not verify
+    val png = b(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 13) ++
+      "IHDR".getBytes("US-ASCII") ++
+      b(0, 0, 2, 0x80, 0, 0, 1, 0xE0, 8, 6, 0, 0, 0, 0, 0, 0, 0)
+    // hand-built 1024×768 JPEG: SOI, APP0 (len 16, payload skipped by the
+    // marker walk), SOF0 (len 17, precision 8, height 0x0300, width 0x0400)
+    val jpeg = b(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10) ++ Array.fill[Byte](14)(0) ++
+      b(0xFF, 0xC0, 0x00, 0x11, 0x08, 0x03, 0x00, 0x04, 0x00, 0x01, 0x11, 0x00)
+    val junk = "not an image".getBytes("UTF-8")
+    val corrupt = b(0xFF, 0xD8, 0x00, 0x11, 0x22, 0x33) // SOI then a non-marker byte
+    val media = Seq((1L, "image", png), (2L, "image", jpeg),
+        (3L, "audio", junk), (4L, "image", corrupt))
+      .toDF("doc_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    for (decoded <- Seq(Multimodal.decode(media), Multimodal.decodeBatched(media, 2))) {
+      val rows = decoded.orderBy("doc_id").collect()
+      assert(rows(0).getAs[Long]("width") == 640L, "png width")
+      assert(rows(0).getAs[Long]("height") == 480L, "png height")
+      assert(rows(0).getAs[String]("format") == "png")
+      assert(rows(1).getAs[Long]("width") == 1024L, "jpeg width")
+      assert(rows(1).getAs[Long]("height") == 768L, "jpeg height")
+      assert(rows(1).getAs[String]("format") == "jpeg")
+      // non-image and corrupt payloads degrade to the stub, never throw
+      assert(rows(2).getAs[Any]("format") == null)
+      assert(rows(3).getAs[Any]("format") == null)
+      assert(rows.forall(_.getAs[Any]("checksum") != null))
+    }
   }
 
   test("Multimodal: null payloads pass through with null metadata (both variants)") {

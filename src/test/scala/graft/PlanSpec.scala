@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Plan-shape audits: the 100 TB posture is only real if the physical plans
   * show pushdown, pruning and broadcasts (SURVEY §5).
@@ -133,5 +134,23 @@ class PlanSpec extends GraftSuite {
   test("q21 exact dedup shuffles on an 8-byte hash, not the document text") {
     val plan = explained(SparkEntry.queries("q21_dedup_exact")(spark, sf))
     assert(plan.contains("xxhash64"), s"no hash grouping:\n$plan")
+  }
+
+  test("PLANS.md is fresh: one heading per contract query, no extras") {
+    // the explain-audit file went silently stale once (round 3); this pins
+    // its heading set to the live contract so adding/renaming a query
+    // without regenerating (sbt Test/console < scripts/plans_dump.scala)
+    // fails the build instead of shipping a stale audit
+    val plansFile = java.nio.file.Paths.get("PLANS.md")
+    assert(java.nio.file.Files.exists(plansFile), s"missing ${plansFile.toAbsolutePath}")
+    val headings = java.nio.file.Files.readAllLines(plansFile).asScala
+      .collect { case l if l.startsWith("## ") => l.stripPrefix("## ").trim }
+      .toSet
+    val contract = SparkEntry.queries.keySet
+    val missing = contract -- headings
+    val stale = headings -- contract
+    assert(missing.isEmpty && stale.isEmpty,
+      s"PLANS.md out of date — missing: ${missing.toSeq.sorted}, stale: ${stale.toSeq.sorted}; " +
+        "regenerate with `sbt Test/console < scripts/plans_dump.scala`")
   }
 }

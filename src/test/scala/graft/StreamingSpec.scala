@@ -217,6 +217,74 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup equals batch ngramJaccardAgainstIndex across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.sources.Writers
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // q57's split: % 10 == 7 arrives as the ingest stream, the rest is the
+    // standing corpus whose shingle index is MATERIALIZED and read back
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 7
+    val corpus = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incdedup")
+    val idxPath = tmp.resolve("index").toString
+    Writers.writeSorted(
+      Dedup.shingleIndex(corpus, col("doc_id"), col("text"), 3, idName = "corpus_id"),
+      idxPath, Seq("sh_h"), numFiles = 4)
+    val index = spark.read.parquet(idxPath)
+    val stagedBatch = tmp.resolve("arrivals").toString
+    // several files + maxFilesPerTrigger=1 ⇒ genuinely multiple micro-batches
+    batch.repartition(3).write.mode("overwrite").parquet(stagedBatch)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(stagedBatch)
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val epochs = scala.collection.mutable.Set[Long]()
+    val q = graft.streaming.DocsStream
+      .incrementalDedupStream(stream, col("doc_id"), col("text"), index,
+        n = 3, minJaccard = 0.2, expectedIndexShingles = 500000L,
+        numBits = 8000000L,
+        onHits = (df, epoch) => hits.synchronized {
+          epochs += epoch
+          hits ++= df.select(col("batch_id"), col("corpus_id"), col("jaccard"))
+            .as[(Long, Long, Double)].collect()
+        })
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(epochs.size > 1, s"expected multiple micro-batches, got ${epochs.size}")
+    val expected = Dedup.ngramJaccardAgainstIndex(index, batch,
+        col("doc_id"), col("text"), 3, 0.2)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "degenerate fixture: batch operator found no pairs")
+    assert(hits.toSet == expected,
+      s"missing=${(expected -- hits.toSet).take(5)} extra=${(hits.toSet -- expected).take(5)}")
+  }
+
+  test("streaming incremental dedup against an EMPTY index emits no hits and does not invert") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incdedup-empty")
+    val staged = tmp.resolve("arrivals").toString
+    docs.limit(20).write.mode("overwrite").parquet(staged)
+    // empty index ⇒ NULL Bloom sketch; keep-on-hit polarity must degrade to
+    // "no hits", never to the drop-everything/throw inversion
+    val emptyIndex = graft.operators.Dedup.shingleIndex(
+      docs.filter(lit(false)), col("doc_id"), col("text"), 3, idName = "corpus_id")
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(staged)
+    var total = 0L
+    val q = graft.streaming.DocsStream
+      .incrementalDedupStream(stream, col("doc_id"), col("text"), emptyIndex,
+        n = 3, minJaccard = 0.2, expectedIndexShingles = 100L, numBits = 800L,
+        onHits = (df, _) => total += df.count())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(total == 0L, s"empty index produced $total hits")
+  }
+
   test("streaming decontamination with an empty held-out set keeps every document") {
     import org.apache.spark.sql.functions._
     // an empty held-out set sketches to a NULL Bloom filter; the naive
