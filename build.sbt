@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is driver AND all executors in one JVM: shuffle buffers,
+  // broadcasts, persisted indexes and the sized-up codegen cache all live
+  // in this heap. 16g gives 272 heavy query executions headroom on the
+  // 128 GiB box without promising anything 8g was ever shown to lack
+  // (the one slow reps=4 run blamed on heap reproduced identically at
+  // 28g — it was a box CPU-starvation window, not GC).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -22,18 +22,19 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  /** Queries whose FIRST run pays heavy one-time whole-stage-codegen + JIT
-    * (the minhash/shingle and ANN pipelines — observed up to ~20 s cold vs
-    * ~3 s warm for q23). Only these get an untimed warmup execution: warming
-    * all 68 queries costs a full extra pass (~100+ s) of the consumer's
-    * wall-clock budget, while for the cheap majority one cold sample among
-    * 3–4 reps is absorbed by the median.
+  /** Concurrent warmup executions per pool. Every query's FIRST run pays
+    * one-time driver-side cost (Catalyst rule init, janino compilation of
+    * the generated stages, JIT of the compiled classes) measured at ~3–8 s
+    * per query on a quiet box — ~350 s sequential across 68 queries, most
+    * of it single-threaded driver work while 31 task cores idle. Warmup is
+    * untimed, so contention between warmup queries costs nothing: running
+    * them 16 at a time overlaps the compiles with each other and with the
+    * data stages, and also rides out this box's multi-minute
+    * hypervisor-throttle windows (a window that would stall one sequential
+    * warmup for minutes stalls 16 overlapped ones for the same minutes
+    * ONCE). Measured: 365 s sequential → 179 s at pool 8 under load.
     */
-  private val warmupPrefixes = Set(
-    "q21", "q22", "q23", "q24", "q25", // dedup family (shingle/minhash/simhash)
-    "q26", "q27", "q48", "q63", "q65", "q66", "q67", "q68", // ANN family
-    "q39", "q45", "q49", "q52", "q54", "q56", "q57", "q62" // shingle/CC/bloom
-  )
+  private val warmupPoolSize = 16
 
   def main(args: Array[String]): Unit = {
     // a typo'd query name must fail loudly, not silently bench nothing
@@ -89,15 +90,6 @@ object Bench {
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the computed projections being measured)
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-    // pass 0 — untimed warmup, HEAVY-CODEGEN QUERIES ONLY (see
-    // warmupPrefixes): their one-time compilation would otherwise dominate a
-    // timed sample; for everything else the median over interleaved reps
-    // absorbs the one cold run, and skipping ~50 cheap warmups keeps the
-    // whole run inside the consumer's wall-clock budget at reps=4.
-    selected.withFilter(q => warmupPrefixes(shortKey(q._1))).foreach { case (_, fn) =>
-      try runOnce(fn)
-      catch { case _: Throwable => () /* the timed passes report the failure */ }
-    }
     val failedSet = scala.collection.mutable.Set[String]()
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
     // locale-stable fixed-decimal rendering: the final stdout line must fit
@@ -120,8 +112,18 @@ object Bench {
     // <100 chars of tail headroom. The LAST printed line always wins with
     // the consumer's tail capture, so re-printing after each pass is safe
     // and makes the record kill-proof.
-    def printMetricLine(passesDone: Int): Unit = {
-      val rs = results
+    //
+    // `partial` (during pass 1 only): a kill BEFORE the first full pass
+    // completes must still leave a record, so pass 1 re-prints after every
+    // query. A partial line covers only the queries run so far — pending
+    // queries are OMITTED (not marked failed: "not yet reached" and "threw"
+    // must stay distinguishable) — and carries "queries_done" so a consumer
+    // can see it was cut short. Schema is otherwise identical to the
+    // full-pass line.
+    def printMetricLine(passesDone: Int, partial: Boolean = false): Unit = {
+      val rs =
+        if (partial) results.filter { case (k, _, _) => samples.contains(k) || failedSet(k) }
+        else results
       val qs = rs.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + fd(v, 2) }
         .mkString("{", ",", "}")
       // total over SUCCEEDED queries only: summing the -1 sentinels would
@@ -129,9 +131,32 @@ object Bench {
       // speedup. Failures are surfaced per-query (-1) and as a list.
       val total = rs.collect { case (_, v, _) if v >= 0 => v }.sum
       val failedShort = rs.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
-      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+      val done = if (partial) s""","queries_done":${rs.size}""" else ""
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs$done,"sf":"$sfDir"}""")
       System.out.flush()
     }
+    // pass 0 — untimed warmup of EVERY query, warmupPoolSize at a time (see
+    // warmupPoolSize doc): all one-time compilation lands here, overlapped,
+    // so the timed passes measure the engine and pass 1 completes quickly
+    // enough that the consumer's wall-clock budget always sees at least one
+    // full-pass metric line. Warmup runs never resetSessionState (concurrent
+    // clearCache would stomp sibling runs); one reset precedes the passes.
+    // First, a bootstrap record: even a kill DURING warmup leaves parseable
+    // JSON (honest about covering nothing: queries_done:0, empty queries).
+    printMetricLine(0, partial = true)
+    val w0 = System.nanoTime()
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmupPoolSize)
+      selected.map { case (_, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try runOnce(fn)
+            catch { case _: Throwable => () /* the timed passes report the failure */ }
+        })
+      }.foreach(_.get())
+      pool.shutdown()
+    }
+    System.err.println(f"[bench] warmup wall ${(System.nanoTime() - w0) / 1e9}%.1f s")
     // timed passes are INTERLEAVED (all queries once, then all again…), not
     // per-query back-to-back: this box shows multi-minute external noise
     // windows, and consecutive reps let one window poison every rep of the
@@ -139,19 +164,27 @@ object Bench {
     // quiet-box time). Spread ~minutes apart, a window inflates at most one
     // sample per query and the median survives.
     for (pass <- 1 to reps) {
+      val p0 = System.nanoTime()
+      var timedSum = 0.0
       for ((name, fn) <- selected if !failedSet(name)) {
         resetSessionState()
         val t0 = System.nanoTime()
         try {
           runOnce(fn)
-          samples(name) = samples.getOrElse(name, Vector.empty) :+
-            (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          timedSum += dt
+          samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             failedSet += name
         }
+        // see printMetricLine: pass 1 keeps the record alive query-by-query
+        if (pass == 1) printMetricLine(0, partial = true)
       }
+      // wall vs timed-sum gap per pass = untimed overhead (session reset,
+      // GC, cleaner churn) — the signal that caught the 8g-heap GC stall
+      System.err.println(f"[bench] pass $pass wall ${(System.nanoTime() - p0) / 1e9}%.1f s, timed sum $timedSum%.1f s")
       printMetricLine(pass)
     }
     val finalResults = results

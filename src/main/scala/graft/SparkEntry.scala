@@ -58,7 +58,12 @@ object SparkEntry {
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           NumFns.roundHalfUp(sum(col("l_quantity")), 2).as("sum_qty"),
-          NumFns.roundHalfUp(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          // exactSum: the price product is 4-decimal-grained; double-summing
+          // it is partition-order-dependent and the round-2 grain boundary
+          // is an exact-oracle hazard (see NumFns.exactSum)
+          NumFns.roundHalfUp(
+            NumFns.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2)
+            .as("revenue"),
           NumFns.roundHalfUp(avg(col("l_quantity")), 4).as("avg_qty"),
           sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).cast("long").as("n_disc"),
           count(lit(1)).as("n_rows"))
@@ -73,8 +78,9 @@ object SparkEntry {
         .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          NumFns.roundHalfUp(sum(col("o_totalprice")), 2).as("total_rev"),
-          NumFns.roundHalfUp(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2)
+          NumFns.roundHalfUp(NumFns.exactSum(col("o_totalprice"), 2), 2).as("total_rev"),
+          NumFns.roundHalfUp(
+            NumFns.exactSum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0), 2), 2)
             .as("open_rev"))
       agg.withColumn("pct_open", NumFns.roundHalfUp(col("open_rev") / col("total_rev"), 6))
         .orderBy("r_name", "n_name")
@@ -132,8 +138,12 @@ object SparkEntry {
     "q08_pivot_hour" -> ((s, dir) => {
       // pivot_table station × hour_of_day mean (notebooks/citibike_ck.ipynb)
       val ev = T(s, dir, "events")
+      // exactAvg, not avg: .01-grained values average EXACTLY onto 4-decimal
+      // round boundaries, so a partition-order ulp in a double sum flips the
+      // rounded digit vs the oracle (see NumFns.exactSum — q08 was the
+      // observed failure when the local fan-out multiplied scan partitions)
       def bucketAvg(lo: Int, hi: Int): org.apache.spark.sql.Column =
-        NumFns.roundHalfUp(avg(when(hour(col("ts")).between(lo, hi), col("value"))), 4)
+        NumFns.roundHalfUp(NumFns.exactAvg(when(hour(col("ts")).between(lo, hi), col("value")), 2), 4)
       ev.groupBy(col("user_id"))
         .agg(bucketAvg(0, 5).as("h00_05"), bucketAvg(6, 11).as("h06_11"),
           bucketAvg(12, 17).as("h12_17"), bucketAvg(18, 23).as("h18_23"))
@@ -245,7 +255,9 @@ object SparkEntry {
         .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(NumFns.roundHalfUp(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(NumFns.roundHalfUp(
+            NumFns.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2)
+            .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -411,12 +423,13 @@ object SparkEntry {
     "q35_eda_timeofday" -> ((s, dir) => {
       // the reference's core EDA lineplot: mean availability by time-of-day,
       // split weekday/weekend (README.md:1040-1100). Engine-independent
-      // rounding (NumFns.roundHalfUp) because averages of .01-grained values
-      // sit exactly on decimal round boundaries.
+      // rounding (NumFns.roundHalfUp) AND order-independent summation
+      // (NumFns.exactAvg) because averages of .01-grained values sit
+      // exactly on decimal round boundaries.
       T(s, dir, "events")
         .groupBy(TimeFns.hourOfDay(col("ts")).as("hour_of_day"),
           TimeFns.dayType(col("ts")).as("day_type"))
-        .agg(NumFns.roundHalfUp(avg(col("value")), 4).as("avg_value"),
+        .agg(NumFns.roundHalfUp(NumFns.exactAvg(col("value"), 2), 4).as("avg_value"),
           count(lit(1)).as("n"))
         .orderBy("hour_of_day", "day_type")
     }),
@@ -598,12 +611,15 @@ object SparkEntry {
       // columns=['hour_of_day']) → one column per hour, 24 of them. Pivot
       // values are PINNED (0..23) so Spark skips the extra distinct-values
       // job and plans a single-shuffle conditional aggregation.
-      val pivoted = T(s, dir, "events")
-        .groupBy(col("user_id"))
-        .pivot(hour(col("ts")), (0 to 23))
-        .agg(NumFns.roundHalfUp(avg(col("value")), 4))
-      (0 to 23).foldLeft(pivoted)((df, h) =>
-          df.withColumnRenamed(h.toString, f"h$h%02d"))
+      // exactAvg (see q08): compound sum/count aggregates are not accepted
+      // by pivot().agg(), so the pivot is written as what it compiles to
+      // with pinned values anyway — 24 conditional aggregates, one shuffle.
+      val ev = T(s, dir, "events").withColumn("_h", hour(col("ts")))
+      val hourCols = (0 to 23).map(h =>
+        NumFns.roundHalfUp(NumFns.exactAvg(when(col("_h") === h, col("value")), 2), 4)
+          .as(f"h$h%02d"))
+      ev.groupBy(col("user_id"))
+        .agg(hourCols.head, hourCols.tail: _*)
         .orderBy("user_id")
     }),
 
@@ -948,7 +964,7 @@ object SparkEntry {
     "q02_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
-        | floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+        | floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
         | floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
         | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
         | count(*) AS n_rows
@@ -959,8 +975,8 @@ object SparkEntry {
         | floor(open_rev / total_rev * 1000000.0 + 0.5) / 1000000.0 AS pct_open
         |FROM (
         | SELECT r_name, n_name, count(*) AS n_orders,
-        |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_rev,
-        |  floor(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END) * 100.0 + 0.5) / 100.0 AS open_rev
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total_rev,
+        |  floor(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END AS DECIMAL(28,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS open_rev
         | FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -1020,10 +1036,10 @@ object SparkEntry {
 
     "q08_pivot_hour" ->
       """SELECT user_id,
-        | floor(avg(CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h00_05,
-        | floor(avg(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h06_11,
-        | floor(avg(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h12_17,
-        | floor(avg(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h18_23
+        | floor(CAST(sum(CAST(CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN value END AS DECIMAL(28,2))) AS DOUBLE) / count(CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h00_05,
+        | floor(CAST(sum(CAST(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN value END AS DECIMAL(28,2))) AS DOUBLE) / count(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h06_11,
+        | floor(CAST(sum(CAST(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN value END AS DECIMAL(28,2))) AS DOUBLE) / count(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h12_17,
+        | floor(CAST(sum(CAST(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN value END AS DECIMAL(28,2))) AS DOUBLE) / count(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h18_23
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q09_nearby_selfjoin" ->
@@ -1108,7 +1124,7 @@ object SparkEntry {
 
     "q18_revenue_join" ->
       """SELECT n_name,
-        | floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+        | floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1218,7 +1234,7 @@ object SparkEntry {
     "q35_eda_timeofday" ->
       """SELECT hour(ts) AS hour_of_day,
         | CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS day_type,
-        | floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+        | floor(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
         | count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour_of_day, day_type""".stripMargin,
 
@@ -1357,7 +1373,8 @@ object SparkEntry {
 
     "q51_pivot_hours" -> {
       val hourCols = (0 to 23).map(h =>
-        f"floor(avg(CASE WHEN hour(ts) = $h THEN value END) * 10000.0 + 0.5) / 10000.0 AS h$h%02d")
+        f"floor(CAST(sum(CAST(CASE WHEN hour(ts) = $h THEN value END AS DECIMAL(28,2))) AS DOUBLE)" +
+          f" / count(CASE WHEN hour(ts) = $h THEN value END) * 10000.0 + 0.5) / 10000.0 AS h$h%02d")
         .mkString(",\n ")
       s"""SELECT user_id,
          | $hourCols

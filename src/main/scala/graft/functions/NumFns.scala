@@ -16,4 +16,31 @@ object NumFns {
     val p = math.pow(10.0, digits)
     floor(x * p + 0.5) / p
   }
+
+  /** Order-independent sum of a decimal-grained double column, as double.
+    *
+    * Double summation is order-dependent (±1 ulp per reorder), and shuffle
+    * partials merge in fetch-completion order — so `sum(double)` is not even
+    * deterministic run-to-run once a scan has >1 partition. That ulp is
+    * invisible under a tolerance compare but fatal under this project's
+    * EXACT oracle hash when a later `roundHalfUp` sits on a grain boundary
+    * (observed: q08/q51 flipped their 4th decimal when the local fan-out
+    * took the events scan from 1 partition to 32). Accumulating in decimal
+    * is exact, hence order- and partitioning-independent; the single final
+    * cast back to double is deterministic IEEE nearest. `scale` must cover
+    * the column's decimal grain (2 for the .01-grained testdata measures;
+    * products of two .01-grained values need 4+). Oracle twin:
+    * `CAST(sum(CAST(x AS DECIMAL(28,s)) ) AS DOUBLE)`.
+    */
+  def exactSum(x: Column, scale: Int): Column =
+    sum(x.cast(org.apache.spark.sql.types.DecimalType(28, scale))).cast("double")
+
+  /** Order-independent mean of a decimal-grained double column: exact
+    * decimal sum ÷ non-null count, both deterministic, so the division and
+    * any later rounding are too. Oracle twin: `CAST(sum(CAST(x AS
+    * DECIMAL(28,s))) AS DOUBLE) / count(x)`. NULL-group parity with `avg`:
+    * empty group → NULL sum ÷ 0 → NULL in both engines.
+    */
+  def exactAvg(x: Column, scale: Int): Column =
+    exactSum(x, scale) / count(x)
 }

@@ -26,10 +26,37 @@ object Readers {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df = raw.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => raw
+    }
+    fanOutLocal(spark, df)
+  }
+
+  /** Local-mode-only leaf fan-out. The local testdata tables are one parquet
+    * file with ONE row group each, so every scan stage planned from them is a
+    * single task: parquet cannot split below a row group, and on local[32]
+    * that serializes all map-side work above the scan (shingling, minhash,
+    * tokenization — observed as one task grinding 31 idle cores). A real
+    * cluster never sees this — 100 TB arrives as thousands of row groups and
+    * leaf parallelism comes from file splits — so the fan-out is gated to
+    * local masters and is a no-op whenever the scan already has at least half
+    * the session's cores in partitions. The explicit partition count makes
+    * this a REPARTITION_BY_NUM shuffle, which AQE is contracted not to
+    * coalesce back down; Catalyst still pushes filters below Repartition and
+    * prunes scan columns through it, so pushdown is unaffected.
+    */
+  private def fanOutLocal(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (!spark.sparkContext.isLocal) df
+    else {
+      val cores = spark.sparkContext.defaultParallelism
+      // getNumPartitions counts FILE SPLITS, which over-reports effective
+      // parallelism for single-row-group files (empty splits), so the gate
+      // errs toward fanning out: only a scan already split >= cores/2 ways
+      // is left alone.
+      if (df.rdd.getNumPartitions * 2 >= cores) df
+      else df.repartition(cores)
     }
   }
 
