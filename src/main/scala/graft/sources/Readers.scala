@@ -26,12 +26,13 @@ object Readers {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val src = s"$dir/$name.parquet"
+    val raw = spark.read.parquet(src)
     val df = raw.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => raw
     }
-    fanOutLocal(spark, df)
+    fanOutLocal(spark, df, src, name)
   }
 
   /** Local-mode-only leaf fan-out. The local testdata tables are one parquet
@@ -40,24 +41,73 @@ object Readers {
     * that serializes all map-side work above the scan (shingling, minhash,
     * tokenization — observed as one task grinding 31 idle cores). A real
     * cluster never sees this — 100 TB arrives as thousands of row groups and
-    * leaf parallelism comes from file splits — so the fan-out is gated to
-    * local masters and is a no-op whenever the scan already has at least half
-    * the session's cores in partitions. The explicit partition count makes
-    * this a REPARTITION_BY_NUM shuffle, which AQE is contracted not to
-    * coalesce back down; Catalyst still pushes filters below Repartition and
-    * prunes scan columns through it, so pushdown is unaffected.
+    * leaf parallelism comes from file splits.
+    *
+    * The fan-out therefore reproduces the cluster layout rather than patching
+    * the plan: the table is rewritten ONCE per (source file, core count) into
+    * a `cores`-file parquet copy under java.io.tmpdir, and every query scans
+    * the copy. A per-query `repartition(cores)` would instead inject a
+    * round-robin Exchange above every scan — full scan output shuffled BEFORE
+    * any partial aggregation can collapse it (measured: q02 0.5 s → 2.4 s) —
+    * and that Exchange is exactly the shape a 1000-executor plan must not
+    * have. With the multi-file copy, leaf parallelism comes from file splits
+    * as on a real cluster, pushdown/pruning hit the scan unchanged, and
+    * map-side combine stays below the first shuffle. Gated to local masters;
+    * a no-op whenever the scan already has at least half the session's cores
+    * in splits (getNumPartitions counts file splits, which over-reports for
+    * single-row-group files, so the gate errs toward fanning out). Any cache
+    * build failure falls back to the untouched single-split scan.
     */
-  private def fanOutLocal(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def fanOutLocal(spark: SparkSession, df: DataFrame, src: String,
+                          name: String): DataFrame = {
     if (!spark.sparkContext.isLocal) df
     else {
       val cores = spark.sparkContext.defaultParallelism
-      // getNumPartitions counts FILE SPLITS, which over-reports effective
-      // parallelism for single-row-group files (empty splits), so the gate
-      // errs toward fanning out: only a scan already split >= cores/2 ways
-      // is left alone.
       if (df.rdd.getNumPartitions * 2 >= cores) df
-      else df.repartition(cores)
+      else {
+        // One file per split when reading the copy: the default 4 MiB
+        // openCostInBytes bin-packs the copy's small files back into ~2
+        // splits, silently undoing the fan-out. openCost = maxPartitionBytes
+        // closes every pack after one file. Local-only (like the copy
+        // itself); on a cluster the defaults are the right economics.
+        spark.conf.set("spark.sql.files.openCostInBytes",
+          spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        try spark.read.parquet(fanOutCopy(spark, df, src, name, cores))
+        catch { case scala.util.control.NonFatal(_) => df }
+      }
     }
+  }
+
+  /** Build (once) and return the `cores`-file copy of `df` for source `src`.
+    * Key includes source length+mtime (stale copies of regenerated testdata
+    * are never reused) and the core count (an 8-way copy would defeat the
+    * fan-out for a 32-core session). Thread-safe within a JVM via a per-key
+    * build lock (bench warms 16 queries concurrently); safe across JVMs via
+    * write-to-temp + atomic rename, first writer wins and losers read the
+    * winner's copy. The copy carries the ts rewrite, so reads need no
+    * nanosAsLong handling.
+    */
+  private val fanOutLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def fanOutCopy(spark: SparkSession, df: DataFrame, src: String,
+                         name: String, cores: Int): String = {
+    val f = new java.io.File(src)
+    val key = s"$name-${f.length}-${f.lastModified}-p$cores"
+    val dest = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft-scan-cache"), key)
+    val lock = fanOutLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(dest, "_SUCCESS").isFile) {
+        val tmp = new java.io.File(dest.getParentFile, s"$key.tmp-${ProcessHandle.current.pid}")
+        df.repartition(cores).write.mode("overwrite").parquet(tmp.getPath)
+        try java.nio.file.Files.move(tmp.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // another JVM built it between our check and move: use theirs
+          case _: java.nio.file.FileSystemException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        }
+      }
+    }
+    dest.getPath
   }
 
   /** CSV with an explicit schema — never inferSchema at scale (a full extra

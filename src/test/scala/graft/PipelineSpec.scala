@@ -53,4 +53,22 @@ class PipelineSpec extends GraftSuite {
     assert(fixedOnly.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(src2"))
     assert(fixedOnly.count() == ev.filter(col("event_type") === "error").count())
   }
+
+  test("local scan fan-out: multi-split leaf, no injected exchange, same rows") {
+    val cores = spark.sparkContext.defaultParallelism
+    val li = Readers.table(spark, sf, "lineitem")
+    // leaf parallelism comes from the copy's file splits, not a shuffle:
+    // the plan between scan and first aggregation must be exchange-free
+    assert(li.rdd.getNumPartitions >= cores / 2,
+      s"fan-out defeated: ${li.rdd.getNumPartitions} splits for $cores cores")
+    assert(!li.queryExecution.executedPlan.toString.contains("Exchange"),
+      "fan-out must widen the SCAN, not inject a repartition Exchange")
+    // the copy is the same table: identical multiset of rows as the source
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(li.exceptAll(direct).isEmpty && direct.exceptAll(li).isEmpty)
+    // second read reuses the cached copy (same scan location both times)
+    val files1 = li.inputFiles.toSet
+    val files2 = Readers.table(spark, sf, "lineitem").inputFiles.toSet
+    assert(files1 == files2 && files1.size >= cores / 2)
+  }
 }
