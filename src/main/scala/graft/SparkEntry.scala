@@ -1222,6 +1222,46 @@ object SparkEntry {
         |   (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the multimodal stub metadata is the same *31-mod-1e9+7 fold, but over
+    // the payload's UTF-8 BYTES (payload = encode(text)): each codepoint is
+    // expanded to its UTF-8 byte sequence in SQL so the fold is byte-true
+    // for any input, not just ASCII. Text payloads can never carry a
+    // PNG/JPEG magic prefix (0x89 / 0xFF are not valid UTF-8 lead bytes),
+    // so the header parser always falls through to the stub and `format`
+    // is NULL by construction — the oracle states that explicitly.
+    "q32_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        flatten(list_transform(regexp_extract_all(text, '(?s).'),
+        |          c -> CASE
+        |            WHEN unicode(c) < 128 THEN [CAST(unicode(c) AS BIGINT)]
+        |            WHEN unicode(c) < 2048 THEN [
+        |              CAST(192 + unicode(c) // 64 AS BIGINT),
+        |              CAST(128 + unicode(c) % 64 AS BIGINT)]
+        |            WHEN unicode(c) < 65536 THEN [
+        |              CAST(224 + unicode(c) // 4096 AS BIGINT),
+        |              CAST(128 + (unicode(c) // 64) % 64 AS BIGINT),
+        |              CAST(128 + unicode(c) % 64 AS BIGINT)]
+        |            ELSE [
+        |              CAST(240 + unicode(c) // 262144 AS BIGINT),
+        |              CAST(128 + (unicode(c) // 4096) % 64 AS BIGINT),
+        |              CAST(128 + (unicode(c) // 64) % 64 AS BIGINT),
+        |              CAST(128 + unicode(c) % 64 AS BIGINT)]
+        |          END))),
+        |      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+        |  FROM documents
+        |)
+        |SELECT doc_id, media_type, n_bytes,
+        |  16 + checksum % 1920 AS width,
+        |  16 + (checksum // 7) % 1080 AS height,
+        |  checksum,
+        |  CAST(NULL AS VARCHAR) AS format
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "q33_distinct_counts" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
