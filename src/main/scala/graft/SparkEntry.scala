@@ -931,14 +931,32 @@ object SparkEntry {
         .select(col("bucket"), col("n_docs"), col("sum_tok"), col("max_tok"),
           (col("max_tok") * col("n_docs") - col("sum_tok")).as("pad_waste"))
         .orderBy("bucket")
+    }),
+
+    "q69_ann_lsh_exact" -> ((s, dir) => {
+      // q27's LSH path in its provably-exact configuration: zero hyperplanes
+      // key every vector to bucket 0, so the single band table holds the
+      // whole corpus and the bucket join scores every (query, neighbor)
+      // pair — brute force through the LSH plumbing (bucketing expression,
+      // band explode, bucket join, pair dedup, salted top-k), hash-checked
+      // by the driver against q26's oracle. Completes the exact-twin ladder
+      // (q66 PQ / q67 IVF / q68 IVFPQ / q69 LSH). No corpus-size
+      // precondition: nothing in this path truncates — the degenerate
+      // bucket join broadcasts the 10-query side, so the corpus is never
+      // shuffled or capped on its way to the exact scorer.
+      val embs = T(s, dir, "embeddings")
+      Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numPlanes = 0, numTables = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+        .orderBy("query_id", "rnk")
     })
   )
 
   /** Exact top-5 cosine ANN oracle, shared by q26 and its exact twins
-    * (q66 uncapped PQ, q67 probe-all IVF, q68 probe-all+uncapped IVFPQ) —
-    * each of those configurations computes exactly q26's result by
-    * construction, and ONE definition keeps the four oracle entries from
-    * drifting apart.
+    * (q66 uncapped PQ, q67 probe-all IVF, q68 probe-all+uncapped IVFPQ,
+    * q69 zero-plane LSH) — each of those configurations computes exactly
+    * q26's result by construction, and ONE definition keeps the five
+    * oracle entries from drifting apart.
     */
   private val exactAnnTop5Oracle: String =
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
@@ -1563,6 +1581,7 @@ object SparkEntry {
     // spec-checked
     "q66_ann_pq_exact" -> exactAnnTop5Oracle,
     "q67_ann_ivf_exact" -> exactAnnTop5Oracle,
-    "q68_ann_ivfpq_exact" -> exactAnnTop5Oracle
+    "q68_ann_ivfpq_exact" -> exactAnnTop5Oracle,
+    "q69_ann_lsh_exact" -> exactAnnTop5Oracle
   )
 }

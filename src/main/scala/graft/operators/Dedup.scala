@@ -277,16 +277,19 @@ object Dedup {
         "bk")
     // score BEFORE the pair dedup: a pair sharing several band buckets has
     // the identical estimate in each, so results are unchanged, and the
-    // dropDuplicates exchange then carries three scalars per candidate
+    // pair-dedup exchange then carries three scalars per candidate
     // instead of two full numPerms-long signature arrays — at 100 TB the
-    // dedup exchange payload is the dominant per-candidate cost
+    // dedup exchange payload is the dominant per-candidate cost. Explicit
+    // groupBy/max, not dropDuplicates(subset) — see lshTopK on the
+    // Deduplicate-rewrite exprId aliasing that breaks exceptAll over the
+    // result; max == first because duplicates carry identical estimates.
     val result = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(HashFns.signatureAgreement(col("a.sig"), col("b.sig")), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-      .dropDuplicates("doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
     if (doPersist) materializeAndRelease(result, bandedAll) else result
   }
 
@@ -305,14 +308,17 @@ object Dedup {
     val banded = if (persistIndex) bandedRaw.persist() else bandedRaw
     // hamming is computed and filtered BEFORE the pair dedup: identical in
     // every shared band, so results are unchanged and the dedup exchange
-    // carries only the passing pairs (three scalars each)
+    // carries only the passing pairs (three scalars each). Explicit
+    // groupBy/max, not dropDuplicates(subset) — see lshTopK on the
+    // Deduplicate-rewrite exprId aliasing that breaks exceptAll over the
+    // result; max == first because duplicates carry identical hammings.
     val result = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         HashFns.hamming(col("a.sim"), col("b.sim")).as("hamming"))
       .filter(col("hamming") <= maxHam)
-      .dropDuplicates("doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("hamming")).as("hamming"))
     if (persistIndex) materializeAndRelease(result, banded) else result
   }
 

@@ -410,7 +410,9 @@ object Similarity {
   /** LSH-bucketed ANN: hash corpus and queries into random-hyperplane
     * buckets; score only within the query's bucket. Probing multiple band
     * tables (numTables) trades recall for fan-out. Returns top-k per query
-    * among candidates.
+    * among candidates. `numPlanes = 0` is the knob's exhaustive endpoint
+    * (one bucket — provably equals brute force; spec-asserted, and
+    * q69_ann_lsh_exact runs it under the driver oracle).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
@@ -425,14 +427,21 @@ object Similarity {
     val q = bucketed(queries).as("q")
     // score BEFORE the pair dedup: a pair surfacing in several tables has
     // the identical score in each, so results are unchanged, and the
-    // dropDuplicates exchange then shuffles three scalars per row instead
+    // pair-dedup exchange then shuffles three scalars per row instead
     // of two full embedding vectors (which would dominate the exchange
-    // payload at scale); the duplicate cosine evaluations are map-side
+    // payload at scale); the duplicate cosine evaluations are map-side.
+    // Dedup is an explicit groupBy/max, NOT dropDuplicates(subset):
+    // Deduplicate's rewrite re-uses the original exprId for its first()
+    // outputs, and that aliasing breaks column pruning inside
+    // RewriteExceptAll's union — `lshResult.exceptAll(x)` dies with
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (Spark 4.1). max == first here
+    // because duplicates carry identical scores; the plan (partial_max +
+    // final max over the same exchange) costs the same.
     val scored = q.join(c,
         col("q.bucket") === col("c.bucket") && col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
         round(NativeFns.cosineSim(col(s"q.$vecCol"), col(s"c.$vecCol")), 4).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
     topKPerQuery(scored, k)
   }
 }

@@ -240,9 +240,12 @@ case class LshBucketKey(child: Expression, numPlanes: Int, seed: Long)
     extends UnaryExpression {
 
   // planes map to bits of one long; numPlanes > 64 would wrap `1L << p`
-  // mod 64 and silently alias planes (bucket keys lose discriminating power)
-  require(numPlanes >= 1 && numPlanes <= 64,
-    s"graft_lsh_key supports 1..64 planes, got $numPlanes")
+  // mod 64 and silently alias planes (bucket keys lose discriminating power).
+  // numPlanes = 0 is the knob's exhaustive endpoint: every vector keys to
+  // bucket 0, so LSH probing degenerates to brute force — the provably-exact
+  // configuration q69_ann_lsh_exact runs under the driver oracle.
+  require(numPlanes >= 0 && numPlanes <= 64,
+    s"graft_lsh_key supports 0..64 planes, got $numPlanes")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

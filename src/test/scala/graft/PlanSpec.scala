@@ -102,7 +102,7 @@ class PlanSpec extends GraftSuite {
     val saltedPrune = raw"Window \[[^\]]*\], \[query_id#\d+L?, _salt#\d+L?\]".r
     val annQueries = Seq("q26_ann_bruteforce", "q27_ann_lsh", "q48_ann_ivf",
       "q63_ann_pq", "q65_ann_ivfpq", "q66_ann_pq_exact", "q67_ann_ivf_exact",
-      "q68_ann_ivfpq_exact")
+      "q68_ann_ivfpq_exact", "q69_ann_lsh_exact")
     val offenders = annQueries.filter(name =>
       saltedPrune.findFirstIn(allPlans(name)).isEmpty)
     assert(offenders.isEmpty,

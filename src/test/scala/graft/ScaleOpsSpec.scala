@@ -224,6 +224,22 @@ class ScaleOpsSpec extends GraftSuite {
     assert(r4 > 0.1, s"recall@5 with 4 tables unreasonably low: $r4")
   }
 
+  test("LSH ANN: zero hyperplanes reproduces brute force exactly") {
+    import graft.operators.Similarity
+    val embs = Readers.table(spark, sf, "embeddings")
+    val queries = embs.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+    // 0 planes key every vector to bucket 0: the single band table holds the
+    // whole corpus, the bucket join scores every pair, and the LSH top-k IS
+    // brute force — the q69_ann_lsh_exact configuration
+    val full = Similarity.lshTopK(embs, queries, "vec_id", "embedding", 5,
+        numPlanes = 0, numTables = 1)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+    assert(full.exceptAll(truth).isEmpty && truth.exceptAll(full).isEmpty,
+      "LSH with zero planes must reproduce the exact result")
+  }
+
   test("df-capped jaccard: uncapped-equivalent at high cap, lower-bound subset at low cap") {
     import graft.operators.Dedup
     val docs = Readers.table(spark, sf, "documents")
