@@ -949,6 +949,21 @@ object SparkEntry {
           k = 5, numPlanes = 0, numTables = 1)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
         .orderBy("query_id", "rnk")
+    }),
+
+    "q70_cluster_assign" -> ((s, dir) => {
+      // k-means corpus clustering (topic bucketing / stratified-mix input):
+      // every vector assigned to its nearest-by-cosine centroid via the
+      // zero-shuffle packed-broadcast + native-argmax path shared with the
+      // IVF index build. iters = 0 pins the centroids to the first 16
+      // vectors by id, so the full per-row assignment — including argmax
+      // tie-breaking to the lowest cell_id — is deterministic and
+      // hash-checked by the driver against a DuckDB argmax oracle. The
+      // Lloyd-refinement path of the same operator is driver-exercised by
+      // the IVF/PQ queries (q48/q63/q65 train with kmeansIters = 1).
+      Similarity.kmeansAssign(T(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 16, iters = 0)
+        .orderBy("vec_id")
     })
   )
 
@@ -1582,6 +1597,23 @@ object SparkEntry {
     "q66_ann_pq_exact" -> exactAnnTop5Oracle,
     "q67_ann_ivf_exact" -> exactAnnTop5Oracle,
     "q68_ann_ivfpq_exact" -> exactAnnTop5Oracle,
-    "q69_ann_lsh_exact" -> exactAnnTop5Oracle
+    "q69_ann_lsh_exact" -> exactAnnTop5Oracle,
+
+    // argmax-by-cosine over the 16 lowest-id seed vectors; ties resolve to
+    // the lowest cell_id on both sides (row_number orders cos DESC, cell_id)
+    "q70_cluster_assign" ->
+      """WITH cent AS (SELECT vec_id AS cell_id, embedding AS cvec
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |pairs AS (SELECT v.vec_id, c.cell_id, v.embedding AS ve, c.cvec
+        |  FROM embeddings v CROSS JOIN cent c),
+        |ex AS (SELECT vec_id, cell_id, CAST(unnest(ve) AS DOUBLE) AS x,
+        |  CAST(unnest(cvec) AS DOUBLE) AS y FROM pairs),
+        |s AS (SELECT vec_id, cell_id,
+        |  sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        | FROM ex GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cell_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+        | FROM s)
+        |SELECT vec_id, cell_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

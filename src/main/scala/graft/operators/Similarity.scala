@@ -135,6 +135,32 @@ object Similarity {
     cent
   }
 
+  /** K-means corpus clustering as a first-class op: train centroids
+    * ([[kmeansCentroids]] — deterministic first-`k`-by-id seeds +
+    * `iters` Lloyd rounds over a fixed-size deterministic sample) and
+    * assign EVERY corpus vector to its nearest centroid by cosine.
+    * Returns (`idCol`, `cell_id`) — the bucketing table a training-data
+    * pipeline joins for topic-stratified sampling/mixing, per-cluster
+    * dedup scopes, or IVF-style routing.
+    *
+    * Shape: assignment is the same zero-shuffle broadcast projection the
+    * IVF index build uses ([[assignCells]] → native argmax) — the corpus is
+    * scanned once and never shuffled; training cost is O(sample). Ties go
+    * to the lowest cell_id; a zero-norm vector (no defined cosine) gets a
+    * NULL cell_id.
+    *
+    * `iters = 0` is the deterministic endpoint (centroids ARE the first
+    * `k` vectors by id), which makes the full assignment SQL-expressible —
+    * q70_cluster_assign runs it under a DuckDB oracle, hash-checking the
+    * packed-broadcast + native-argmax machinery row by row.
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, trainSample: Int = 65536): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, k, iters, trainSample)
+    assignCells(corpus, centroids, idCol, vecCol, carryVec = false)
+      .select(col("nid").as(idCol), col("cell_id"))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into cells around coarse
     * centroids; a query probes only its `nProbe` nearest cells. The classic
     * FAISS-style scale path: assignment is one broadcast pass over the corpus

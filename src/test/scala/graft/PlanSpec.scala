@@ -53,7 +53,10 @@ class PlanSpec extends GraftSuite {
     // never a data×data cartesian.
     val exceptions = Set("q26_ann_bruteforce", "q48_ann_ivf", "q63_ann_pq",
       "q65_ann_ivfpq", "q66_ann_pq_exact", "q67_ann_ivf_exact",
-      "q68_ann_ivfpq_exact", "q61_distinctive_terms")
+      "q68_ann_ivfpq_exact", "q61_distinctive_terms",
+      // q70: corpus × ONE broadcast packed-centroid row (assignCells) —
+      // the same by-design shape as the ANN assignment paths above
+      "q70_cluster_assign")
     val offenders = allPlans.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .collect { case (name, plan)
@@ -115,7 +118,7 @@ class PlanSpec extends GraftSuite {
     // aggregate/element_at HOF chain (code-scan scoring) would still be
     // correct but reintroduce the corpus shuffle / interpreted inner loop
     val nearestQueries = Seq("q48_ann_ivf", "q65_ann_ivfpq",
-      "q67_ann_ivf_exact", "q68_ann_ivfpq_exact")
+      "q67_ann_ivf_exact", "q68_ann_ivfpq_exact", "q70_cluster_assign")
     val pqScoreQueries = Seq("q63_ann_pq", "q65_ann_ivfpq",
       "q66_ann_pq_exact", "q68_ann_ivfpq_exact")
     val missingNearest = nearestQueries.filterNot(allPlans(_).contains("graft_nearest"))

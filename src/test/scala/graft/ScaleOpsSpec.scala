@@ -224,6 +224,33 @@ class ScaleOpsSpec extends GraftSuite {
     assert(r4 > 0.1, s"recall@5 with 4 tables unreasonably low: $r4")
   }
 
+  test("kmeansAssign: iters=0 equals a composed argmax; Lloyd keeps every vector assigned") {
+    import graft.operators.Similarity
+    val embs = Readers.table(spark, sf, "embeddings")
+    val got = Similarity.kmeansAssign(embs, "vec_id", "embedding", k = 16, iters = 0)
+    // reference: centroids = the 16 lowest-id vectors; nearest by cosine,
+    // ties to the lowest cell_id — a composed cross-join + window argmax
+    val cent = embs.orderBy($"vec_id").limit(16)
+      .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
+    val scored = embs.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cell_id",
+        graft.plans.NativeFns.cosineSim($"embedding", $"cvec").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos".desc, $"cell_id")
+    val ref = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"vec_id", $"cell_id")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "iters=0 assignment must equal the composed argmax")
+    // Lloyd refinement: still exactly one non-null cell per corpus vector,
+    // and cells keep their seed ids (means are keyed by cell_id)
+    val refined = Similarity.kmeansAssign(embs, "vec_id", "embedding", k = 16, iters = 1)
+    assert(refined.count() == embs.count())
+    assert(refined.filter($"cell_id".isNull).count() == 0)
+    val seedIds = cent.select($"cell_id").as[Long].collect().toSet
+    val cellIds = refined.select($"cell_id").distinct().as[Long].collect().toSet
+    assert(cellIds.subsetOf(seedIds), s"unexpected cell ids: ${cellIds -- seedIds}")
+  }
+
   test("LSH ANN: zero hyperplanes reproduces brute force exactly") {
     import graft.operators.Similarity
     val embs = Readers.table(spark, sf, "embeddings")
