@@ -54,6 +54,81 @@ class PipelineSpec extends GraftSuite {
     assert(fixedOnly.count() == ev.filter(col("event_type") === "error").count())
   }
 
+  test("training-data pipeline composes: dedup -> collapse -> decontaminate -> filter -> pack") {
+    import graft.operators.Dedup
+    val docs = Readers.table(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val n0 = docs.count()
+
+    // 1. exact dedup: keep the min-id copy of every distinct text
+    val keepers = docs.join(
+      Dedup.exact(docs, col("doc_id"), col("text")).select(col("keeper_id").as("doc_id")),
+      "doc_id")
+    val n1 = keepers.count()
+    assert(n1 <= n0 && n1 > 0)
+
+    // 2. near-dup collapse: exact-jaccard pairs -> connected components ->
+    //    keep only each component's min-id member
+    val pairs = Dedup.ngramJaccardPairs(keepers, col("doc_id"), col("text"), 3, 0.5)
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val survivors = keepers.join(
+      comps.filter(col("node") =!= col("component")).select(col("node").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val n2 = survivors.count()
+    assert(n2 <= n1 && n2 > 0)
+    // the collapse invariant: no surviving pair still meets the threshold
+    // (each >=0.5 pair was within one component, and one survivor remains
+    // per component)
+    assert(Dedup.ngramJaccardPairs(survivors, col("doc_id"), col("text"), 3, 0.5).isEmpty,
+      "near-dup pairs must not survive the component collapse")
+
+    // 3. decontaminate: drop train docs sharing any 3-gram with the
+    //    held-out slice (q49's deterministic held-out rule)
+    val held = pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95
+    val hits = Dedup.contaminationHits(survivors, col("doc_id"), col("text"), held, 3)
+    val clean = survivors.filter(!held)
+      .join(hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val n3 = clean.count()
+    assert(n3 <= n2 && n3 > 0)
+    // decontamination invariant: re-probing the clean set against the same
+    // held-out slice finds nothing
+    val recheck = Dedup.contaminationHits(
+      clean.unionByName(docs.filter(held)), col("doc_id"), col("text"), held, 3)
+    assert(recheck.join(clean, "doc_id").isEmpty,
+      "clean docs must share no n-gram with the held-out slice")
+
+    // 4. quality filter: Gopher-ish repetition rule (distinct-token ratio)
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val quality = clean.filter(
+      size(array_distinct(toks)).cast("double") >= size(toks).cast("double") * 0.3)
+    val n4 = quality.count()
+    assert(n4 <= n3 && n4 > 0)
+
+    // 5. pack: non-overlapping 20-token chunks (q41's chunking shape with
+    //    stride = chunk, so tokens are conserved), then fixed 100-token
+    //    packs per doc-hash shard — every chunk lands in exactly one pack
+    val nChunks = ceil(size(toks).cast("double") / 20.0).cast("long")
+    val chunks = quality.select(col("doc_id"),
+        explode(transform(sequence(lit(0L), nChunks - 1),
+          i => struct(i.as("chunk_idx"),
+            concat_ws(" ", slice(toks, (i * 20 + 1).cast("int"), lit(20)))
+              .as("chunk_text")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
+      .withColumn("n_tok", size(split(col("chunk_text"), " ")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("doc_id"), lit(8L)))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val packed = chunks.withColumn("pack_id",
+      (pmod(col("doc_id"), lit(8L)) * (1L << 40) +
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 100.0)).cast("long"))
+    assert(packed.count() == chunks.count())
+    assert(packed.filter(col("pack_id").isNull).count() == 0)
+    val tokIn = chunks.agg(sum(col("n_tok"))).head().getLong(0)
+    val tokOut = packed.groupBy(col("pack_id")).agg(sum(col("n_tok")).as("t"))
+      .agg(sum(col("t"))).head().getLong(0)
+    assert(tokIn == tokOut, "packing must conserve tokens")
+  }
+
   test("local scan fan-out: multi-split leaf, no injected exchange, same rows") {
     val cores = spark.sparkContext.defaultParallelism
     val li = Readers.table(spark, sf, "lineitem")
