@@ -161,6 +161,38 @@ object Similarity {
       .select(col("nid").as(idCol), col("cell_id"))
   }
 
+  /** Stateless nearest-centroid routing — the streaming twin of
+    * [[kmeansAssign]]'s assignment phase, and the ingest step of a
+    * cluster-partitioned corpus: train centroids batch-side
+    * ([[kmeansCentroids]]), then route arriving vectors to cells.
+    *
+    * The centroid table is collected ONCE (EAGER: runs a job — it is
+    * `k` rows by construction) and inlined as LITERAL arrays, the same
+    * broadcast-a-sketch pattern as the streaming Bloom decontamination:
+    * the routed side then needs no join at all — assignment is a pure
+    * map-side projection (native argmax), so it runs identically on a
+    * batch DataFrame and on a Structured Streaming micro-batch (no
+    * stream-static join, no state store, one scan per micro-batch).
+    *
+    * Same assignment semantics as [[kmeansAssign]]: ties to the lowest
+    * cell_id, zero-norm/ragged vectors get a NULL cell_id (filter or
+    * dead-letter them downstream). Requires a non-empty centroid table.
+    */
+  def routeToCells(vectors: DataFrame, centroids: DataFrame,
+                   idCol: String, vecCol: String): DataFrame = {
+    val packed = centroids
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec")))).as("cs"))
+      .select(col("cs.cell_id").as("cids"), col("cs.cvec").as("cvecs"))
+      .head()
+    val cids: Seq[Long] = packed.getSeq[Long](0)
+    val cvecs: Seq[Seq[Float]] = packed.getSeq[Seq[Float]](1)
+    require(cids.nonEmpty, "routeToCells needs a non-empty centroid table")
+    vectors.select(col(idCol),
+      get(typedlit(cids),
+        NativeFns.nearestIndex(col(vecCol), typedlit(cvecs), "cosine"))
+        .as("cell_id"))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into cells around coarse
     * centroids; a query probes only its `nProbe` nearest cells. The classic
     * FAISS-style scale path: assignment is one broadcast pass over the corpus

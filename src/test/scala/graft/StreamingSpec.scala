@@ -305,4 +305,38 @@ class StreamingSpec extends GraftSuite {
         "empty held-out set must pass every document")
     } finally q.stop()
   }
+
+  test("streaming cell routing equals batch assignment across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val embs = graft.sources.Readers.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // centroids trained batch-side (1 Lloyd round over the full corpus),
+    // arrivals routed at ingest — the cluster-partitioned-corpus shape
+    val cent = Similarity.kmeansCentroids(embs, "vec_id", "embedding", 16, 1)
+    val staged = java.nio.file.Files.createTempDirectory("graft-route").toString
+    embs.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = Similarity.routeToCells(stream, cent, "vec_id", "embedding")
+      .writeStream.outputMode("append").format("memory").queryName("route_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("route_out").as[(Long, Long)].collect().toSet
+      val expected = Similarity.routeToCells(embs, cent, "vec_id", "embedding")
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally q.stop()
+    // and the batch path is the same assignment kmeansAssign produces when
+    // the centroids coincide (iters=0 pins them to the 16 lowest-id vectors)
+    val seeds = embs.orderBy($"vec_id").limit(16)
+      .select($"vec_id".as("cell_id"), $"embedding".cast("array<float>").as("cvec"))
+    val viaRoute = Similarity.routeToCells(embs, seeds, "vec_id", "embedding")
+    val viaAssign = Similarity.kmeansAssign(embs, "vec_id", "embedding", 16, 0)
+    assert(viaRoute.exceptAll(viaAssign).isEmpty && viaAssign.exceptAll(viaRoute).isEmpty,
+      "routeToCells must match kmeansAssign on identical centroids")
+  }
 }
