@@ -1600,7 +1600,14 @@ object SparkEntry {
     "q69_ann_lsh_exact" -> exactAnnTop5Oracle,
 
     // argmax-by-cosine over the 16 lowest-id seed vectors; ties resolve to
-    // the lowest cell_id on both sides (row_number orders cos DESC, cell_id)
+    // the lowest cell_id on both sides (row_number orders cos DESC, cell_id).
+    // Undefined cosines (a zero-norm vector or centroid → 0/0 = NaN under
+    // DuckDB's IEEE float ops) are dropped BEFORE ranking — kmeansAssign
+    // skips them in the argmax — and the final LEFT JOIN keeps every vec_id,
+    // so a vector with no defined similarity gets NULL cell_id on both
+    // sides (without the isfinite filter, NaN sorts ABOVE every real cosine
+    // in DuckDB and a zero-norm vector would win rn = 1 with an arbitrary
+    // cell while the engine correctly emits NULL).
     "q70_cluster_assign" ->
       """WITH cent AS (SELECT vec_id AS cell_id, embedding AS cvec
         |  FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -1613,7 +1620,9 @@ object SparkEntry {
         | FROM ex GROUP BY 1, 2),
         |r AS (SELECT vec_id, cell_id,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
-        | FROM s)
-        |SELECT vec_id, cell_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        | FROM s WHERE isfinite(cos))
+        |SELECT v.vec_id, r.cell_id FROM embeddings v
+        | LEFT JOIN r ON v.vec_id = r.vec_id AND r.rn = 1
+        | ORDER BY v.vec_id""".stripMargin
   )
 }

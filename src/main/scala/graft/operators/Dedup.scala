@@ -10,18 +10,20 @@ import org.apache.spark.sql.functions._
   * uncaches CacheManager entries, while checkpoint blocks are persisted at
   * the RDD level and otherwise linger until the ContextCleaner reclaims them
   * after driver GC — up to maxIters full tables resident at once in a loop.
-  * `tracked` diffs `sparkContext.getPersistentRDDs` around the checkpoint to
-  * capture the registered RDDs; `release` drops their blocks explicitly.
-  * Assumes no concurrent persist activity on the same session between the
-  * two snapshots (operators here run their loops single-threaded).
+  * `tracked` reads the checkpointed RDD off the returned Dataset's plan
+  * (`localCheckpoint` wraps it in a LogicalRDD leaf); `release` drops its
+  * blocks explicitly. Plan inspection — not a before/after diff of
+  * `sparkContext.getPersistentRDDs` — because the session is SHARED under
+  * concurrency (the bench warms 16 queries at once): a snapshot diff would
+  * claim sibling queries' just-registered blocks, and releasing a sibling's
+  * truncated-lineage checkpoint kills its job unrecoverably.
   */
 private[operators] object Checkpoints {
   def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    val added = sc.getPersistentRDDs
-      .filter { case (id, _) => !before.contains(id) }.values.toSeq
+    val added = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
     (out, added)
   }
 

@@ -67,7 +67,10 @@ object Multimodal {
           if (len < 2) return None
           val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
           if (isSof) {
-            if (i + 8 >= p.length) return None
+            // dims sit at payload offsets 3..6, so a valid SOF length is
+            // >= 7 (len counts itself) — shorter means the bytes at
+            // i+5..i+8 belong to the NEXT segment, not this one
+            if (len < 7 || i + 8 >= p.length) return None
             return Some((u16(i + 7).toLong, u16(i + 5).toLong, "jpeg"))
           }
           i += 2 + len
@@ -82,12 +85,13 @@ object Multimodal {
     * pipeline swaps this for the codec call; everything around it (partition
     * batching, output schema, null passthrough) is production-shaped.
     */
-  private def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    // deterministic fake derived from the bytes (a real codec goes here):
-    val checksum = payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
+  private def decodeStub(checksum: Long): (Long, Long) = {
+    // deterministic fake derived from the payload checksum (a real codec
+    // goes here); takes the checksum, not the bytes, so the corpus-sized
+    // hot loop folds each payload exactly once
     val w = 16 + (checksum % 1920)
     val h = 16 + ((checksum / 7) % 1080)
-    (w, h, checksum)
+    (w, h)
   }
 
   /** Header parse first, stub fallback: (width, height, checksum, format).
@@ -99,8 +103,8 @@ object Multimodal {
     parseImageHeader(payload) match {
       case Some((w, h, fmt)) => (w, h, checksum, fmt)
       case None =>
-        val (w, h, cs) = decodeStub(payload)
-        (w, h, cs, null)
+        val (w, h) = decodeStub(checksum)
+        (w, h, checksum, null)
     }
   }
 

@@ -49,12 +49,22 @@ object Similarity {
     * with no defined similarity keeps a NULL cell_id, an empty centroid
     * table assigns nothing (the old inner join's behavior).
     */
+  /** The ONE packing of a centroid table into parallel arrays, shared by
+    * [[assignCells]] and [[routeToCells]]: `array_sort` over
+    * (cell_id, cvec) structs makes array order == ascending cell_id, which
+    * IS the argmax tie-break contract ("ties to the lowest cell_id") — a
+    * single definition so the batch and streaming assignment paths cannot
+    * drift apart.
+    */
+  private def packCentroids(centroids: DataFrame): DataFrame =
+    centroids
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec")))).as("cs"))
+      .select(col("cs.cell_id").as("cids"), col("cs.cvec").as("cvecs"))
+
   private def assignCells(corpus: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String,
                           carryVec: Boolean): DataFrame = {
-    val packed = centroids
-      .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec")))).as("cs"))
-      .select(col("cs.cell_id").as("cids"), col("cs.cvec").as("cvecs"))
+    val packed = packCentroids(centroids)
     val cell = get(col("cids"),
       NativeFns.nearestIndex(col(vecCol), col("cvecs"), "cosine"))
     val cols = Seq(col(idCol).as("nid"), cell.as("cell_id")) ++
@@ -180,10 +190,7 @@ object Similarity {
     */
   def routeToCells(vectors: DataFrame, centroids: DataFrame,
                    idCol: String, vecCol: String): DataFrame = {
-    val packed = centroids
-      .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec")))).as("cs"))
-      .select(col("cs.cell_id").as("cids"), col("cs.cvec").as("cvecs"))
-      .head()
+    val packed = packCentroids(centroids).head()
     val cids: Seq[Long] = packed.getSeq[Long](0)
     val cvecs: Seq[Seq[Float]] = packed.getSeq[Seq[Float]](1)
     require(cids.nonEmpty, "routeToCells needs a non-empty centroid table")

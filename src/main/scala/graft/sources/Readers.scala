@@ -53,17 +53,29 @@ object Readers {
     * have. With the multi-file copy, leaf parallelism comes from file splits
     * as on a real cluster, pushdown/pruning hit the scan unchanged, and
     * map-side combine stays below the first shuffle. Gated to local masters;
-    * a no-op whenever the scan already has at least half the session's cores
-    * in splits (getNumPartitions counts file splits, which over-reports for
-    * single-row-group files, so the gate errs toward fanning out). Any cache
-    * build failure falls back to the untouched single-split scan.
+    * a no-op whenever the source already holds at least half the session's
+    * cores in ROW GROUPS (read from the parquet footers — the true
+    * splittability bound; planned byte-range splits over-report it for a
+    * large single-row-group file, where only the range containing the row
+    * group yields rows and every other task is a no-op, which is exactly the
+    * pathology being gated against). Any footer-read or cache-build failure
+    * falls back to the untouched scan.
+    *
+    * NOTE: taking the copy path sets `spark.sql.files.openCostInBytes` on
+    * the session as a side effect (see inline comment) — like table()'s
+    * nanosAsLong, a per-read scope isn't possible because split planning
+    * consults the session conf at execution time. Worst case for OTHER
+    * reads in the same local session: a many-small-files dataset plans one
+    * file per split instead of bin-packing — more tasks, same results.
     */
   private def fanOutLocal(spark: SparkSession, df: DataFrame, src: String,
                           name: String): DataFrame = {
     if (!spark.sparkContext.isLocal) df
     else {
       val cores = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions * 2 >= cores) df
+      val splittable = rowGroupCount(spark, src)
+        .getOrElse(df.rdd.getNumPartitions)
+      if (splittable * 2 >= cores) df
       else {
         // One file per split when reading the copy: the default 4 MiB
         // openCostInBytes bin-packs the copy's small files back into ~2
@@ -77,6 +89,30 @@ object Readers {
       }
     }
   }
+
+  /** Total parquet row groups across `src` (a file or a directory of part
+    * files) — footer reads only, no data scan. None on any failure; the
+    * caller then falls back to the planned-split count.
+    */
+  private def rowGroupCount(spark: SparkSession, src: String): Option[Int] =
+    scala.util.Try {
+      val conf = spark.sessionState.newHadoopConf()
+      val path = new org.apache.hadoop.fs.Path(src)
+      val fs = path.getFileSystem(conf)
+      val root = fs.getFileStatus(path)
+      val files =
+        if (root.isDirectory)
+          fs.listStatus(path).filter { s =>
+            val n = s.getPath.getName
+            s.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        else Array(root)
+      files.map { s =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }.sum
+    }.toOption
 
   /** Build (once) and return the `cores`-file copy of `df` for source `src`.
     * Key includes source length+mtime (stale copies of regenerated testdata

@@ -211,8 +211,13 @@ class OperatorsSpec extends GraftSuite {
       b(0xFF, 0xC0, 0x00, 0x11, 0x08, 0x03, 0x00, 0x04, 0x00, 0x01, 0x11, 0x00)
     val junk = "not an image".getBytes("UTF-8")
     val corrupt = b(0xFF, 0xD8, 0x00, 0x11, 0x22, 0x33) // SOI then a non-marker byte
+    // SOF with a TRUNCATED segment (len 2 < the 7 a SOF needs to hold
+    // dims): the bytes after it belong to the next segment, and reading
+    // them as width/height would return garbage labeled "jpeg"
+    val shortSof = b(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x02,
+      0xFF, 0xE0, 0x00, 0x10) ++ Array.fill[Byte](14)(0)
     val media = Seq((1L, "image", png), (2L, "image", jpeg),
-        (3L, "audio", junk), (4L, "image", corrupt))
+        (3L, "audio", junk), (4L, "image", corrupt), (5L, "image", shortSof))
       .toDF("doc_id", "media_type", "payload")
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
     for (decoded <- Seq(Multimodal.decode(media), Multimodal.decodeBatched(media, 2))) {
@@ -223,9 +228,11 @@ class OperatorsSpec extends GraftSuite {
       assert(rows(1).getAs[Long]("width") == 1024L, "jpeg width")
       assert(rows(1).getAs[Long]("height") == 768L, "jpeg height")
       assert(rows(1).getAs[String]("format") == "jpeg")
-      // non-image and corrupt payloads degrade to the stub, never throw
+      // non-image, corrupt, and truncated-SOF payloads degrade to the
+      // stub, never throw and never report garbage dims as a real decode
       assert(rows(2).getAs[Any]("format") == null)
       assert(rows(3).getAs[Any]("format") == null)
+      assert(rows(4).getAs[Any]("format") == null, "truncated SOF must not parse")
       assert(rows.forall(_.getAs[Any]("checksum") != null))
     }
   }

@@ -241,6 +241,18 @@ class ScaleOpsSpec extends GraftSuite {
       .filter($"rn" === 1).select($"vec_id", $"cell_id")
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
       "iters=0 assignment must equal the composed argmax")
+    // a zero-norm vector has no defined cosine to ANY centroid: its row is
+    // kept with a NULL cell_id (the q70 oracle encodes the same contract —
+    // isfinite filter + LEFT JOIN — so engine and oracle agree if the
+    // testdata ever grows such a vector)
+    val dim = embs.select(size($"embedding")).as[Int].head()
+    val withZero = embs.select($"vec_id", $"embedding")
+      .unionByName(Seq((999999L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    val zeroRow = Similarity.kmeansAssign(withZero, "vec_id", "embedding",
+        k = 16, iters = 0)
+      .filter($"vec_id" === 999999L).collect()
+    assert(zeroRow.length == 1 && zeroRow.head.isNullAt(1),
+      "zero-norm vector must keep its row with NULL cell_id")
     // Lloyd refinement: still exactly one non-null cell per corpus vector,
     // and cells keep their seed ids (means are keyed by cell_id)
     val refined = Similarity.kmeansAssign(embs, "vec_id", "embedding", k = 16, iters = 1)
