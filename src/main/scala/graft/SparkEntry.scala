@@ -964,6 +964,20 @@ object SparkEntry {
       Similarity.kmeansAssign(T(s, dir, "embeddings"), "vec_id", "embedding",
           k = 16, iters = 0)
         .orderBy("vec_id")
+    }),
+
+    "q71_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: cluster-blocked embedding near-dup pruning. Clusters come
+      // from kmeansAssign (iters = 0 pins centroids to the 16 lowest-id
+      // vectors, making the WHOLE pipeline — assignment argmax, within-cell
+      // pair cosines, lowest-id-keeper verdict — SQL-expressible for the
+      // DuckDB oracle); pairs are generated only within a cell, and each
+      // near-dup pair keeps its lowest-id member. 0.35 drops a meaningful
+      // slice (62/500 at sf0.01) of this near-uniform synthetic corpus;
+      // a real corpus runs ~0.95+.
+      Dedup.semanticDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 16, iters = 0, minCos = 0.35)
+        .orderBy("vec_id")
     })
   )
 
@@ -1623,6 +1637,38 @@ object SparkEntry {
         | FROM s WHERE isfinite(cos))
         |SELECT v.vec_id, r.cell_id FROM embeddings v
         | LEFT JOIN r ON v.vec_id = r.vec_id AND r.rn = 1
-        | ORDER BY v.vec_id""".stripMargin
+        | ORDER BY v.vec_id""".stripMargin,
+
+    // q70's assignment argmax (cent…asg CTEs, identical semantics incl. the
+    // isfinite/NULL-cell contract), then within-cell pair cosines rounded
+    // to 3 — the same compare q25 pins — and the lowest-id-keeper verdict:
+    // dropped iff a lower-id same-cell partner scores >= 0.35
+    "q71_semantic_dedup" ->
+      """WITH cent AS (SELECT vec_id AS cell_id, embedding AS cvec
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |pr AS (SELECT v.vec_id, c.cell_id, v.embedding AS ve, c.cvec
+        |  FROM embeddings v CROSS JOIN cent c),
+        |ex AS (SELECT vec_id, cell_id, CAST(unnest(ve) AS DOUBLE) AS x,
+        |  CAST(unnest(cvec) AS DOUBLE) AS y FROM pr),
+        |s AS (SELECT vec_id, cell_id,
+        |  sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        | FROM ex GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cell_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+        | FROM s WHERE isfinite(cos)),
+        |asg AS (SELECT v.vec_id, r.cell_id, v.embedding FROM embeddings v
+        | LEFT JOIN r ON v.vec_id = r.vec_id AND r.rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  a.embedding AS ae, b.embedding AS be
+        | FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+        |ex2 AS (SELECT id_a, id_b, CAST(unnest(ae) AS DOUBLE) AS x,
+        |  CAST(unnest(be) AS DOUBLE) AS y FROM p),
+        |s2 AS (SELECT id_a, id_b,
+        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 3) AS cos
+        | FROM ex2 GROUP BY 1, 2),
+        |drp AS (SELECT DISTINCT id_b FROM s2 WHERE cos >= 0.35)
+        |SELECT a.vec_id, a.cell_id, (d.id_b IS NULL) AS is_kept
+        |FROM asg a LEFT JOIN drp d ON a.vec_id = d.id_b
+        |ORDER BY a.vec_id""".stripMargin
   )
 }

@@ -530,4 +530,31 @@ object Dedup {
         round(NativeFns.cosineSim(col("a.v"), col("b.v")), 3).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus around `k` LEARNED centroids
+    * (Similarity.kmeansAssign's zero-shuffle broadcast argmax), then search
+    * near-duplicates ONLY within each cluster — cluster-blocked
+    * [[embeddingCosinePairs]], never all-pairs. The verdict keeps the
+    * lowest-id member of every near-dup pair: vector j is dropped iff some
+    * i < j in the same cell has round(cos(i, j), 3) >= minCos. Returns
+    * (`idCol`, cell_id, is_kept) for EVERY input row; zero-norm vectors
+    * (NULL cell_id) never pair — NULL blocks don't join — so they are kept.
+    *
+    * Scale shape: assignment is a pure projection (the corpus is scanned,
+    * never shuffled); pair generation shuffles on cell_id with fan-out
+    * bounded by cluster sizes — at 100 TB raise `k` until cells are
+    * partition-sized, exactly SemDeDup's regime of ~0.1% of corpus per
+    * cluster; the verdict join-back shuffles on the 8-byte id, the same
+    * exchange exact dedup (q21) pays.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, minCos: Double): DataFrame = {
+    val assigned = Similarity.kmeansAssignCarrying(embs, idCol, vecCol, k, iters)
+    val dropped = embeddingCosinePairs(
+        assigned, col(idCol), col("v"), col("cell_id"), minCos)
+      .select(col("id_b").as("drop_id")).distinct()
+    assigned.join(dropped, col(idCol) === col("drop_id"), "left")
+      .select(col(idCol), col("cell_id"), col("drop_id").isNull.as("is_kept"))
+  }
 }

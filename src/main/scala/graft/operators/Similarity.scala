@@ -171,6 +171,21 @@ object Similarity {
       .select(col("nid").as(idCol), col("cell_id"))
   }
 
+  /** [[kmeansAssign]] with the vector carried through the same zero-shuffle
+    * projection: (`idCol`, cell_id, v). For consumers that pair vectors
+    * WITHIN a cell (Dedup.semanticDedup) — carrying the vector through the
+    * assignment projection avoids re-joining the corpus to its own
+    * assignment on id, a corpus-sized exchange the projection exists to
+    * eliminate.
+    */
+  private[operators] def kmeansAssignCarrying(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, trainSample: Int = 65536): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, k, iters, trainSample)
+    assignCells(corpus, centroids, idCol, vecCol, carryVec = true)
+      .select(col("nid").as(idCol), col("cell_id"), col("v"))
+  }
+
   /** Stateless nearest-centroid routing — the streaming twin of
     * [[kmeansAssign]]'s assignment phase, and the ingest step of a
     * cluster-partitioned corpus: train centroids batch-side

@@ -54,9 +54,11 @@ class PlanSpec extends GraftSuite {
     val exceptions = Set("q26_ann_bruteforce", "q48_ann_ivf", "q63_ann_pq",
       "q65_ann_ivfpq", "q66_ann_pq_exact", "q67_ann_ivf_exact",
       "q68_ann_ivfpq_exact", "q61_distinctive_terms",
-      // q70: corpus × ONE broadcast packed-centroid row (assignCells) —
-      // the same by-design shape as the ANN assignment paths above
-      "q70_cluster_assign")
+      // q70/q71: corpus × ONE broadcast packed-centroid row (assignCells)
+      // — the same by-design shape as the ANN assignment paths above
+      // (q71's pair join and verdict join are equi-joins; only the 1-row
+      // centroid packing is nested-loop)
+      "q70_cluster_assign", "q71_semantic_dedup")
     val offenders = allPlans.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .collect { case (name, plan)

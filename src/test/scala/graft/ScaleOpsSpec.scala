@@ -263,6 +263,37 @@ class ScaleOpsSpec extends GraftSuite {
     assert(cellIds.subsetOf(seedIds), s"unexpected cell ids: ${cellIds -- seedIds}")
   }
 
+  test("semanticDedup equals a composed cluster-blocked reference; minCos=-1 keeps one per cell") {
+    import graft.operators.{Dedup, Similarity}
+    val embs = Readers.table(spark, sf, "embeddings")
+    val got = Dedup.semanticDedup(embs, "vec_id", "embedding",
+      k = 16, iters = 0, minCos = 0.35)
+    assert(got.count() == embs.count(), "every input row keeps a verdict row")
+    // independent reference: same contract via the JOIN-BACK formulation
+    // the operator's carried projection avoids (assignment joined to the
+    // corpus on id, then within-cell pairs + lowest-id keeper)
+    val assign = Similarity.kmeansAssign(embs, "vec_id", "embedding", 16, 0)
+    val withVec = embs.select($"vec_id", $"embedding").join(assign, "vec_id")
+    val dropIds = withVec.as("a").join(withVec.as("b"),
+        $"a.cell_id" === $"b.cell_id" && $"a.vec_id" < $"b.vec_id")
+      .select($"b.vec_id".as("drop_id"),
+        round(graft.plans.NativeFns.cosineSim($"a.embedding", $"b.embedding"), 3).as("cos"))
+      .filter($"cos" >= 0.35).select($"drop_id").distinct()
+    val ref = withVec.join(dropIds, $"vec_id" === $"drop_id", "left")
+      .select($"vec_id", $"cell_id", $"drop_id".isNull.as("is_kept"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "semanticDedup must equal the composed join-back reference")
+    // minCos = -1 makes EVERY within-cell pair a dup pair: exactly the
+    // lowest-id member of each cell survives
+    val all = Dedup.semanticDedup(embs, "vec_id", "embedding",
+      k = 16, iters = 0, minCos = -1.0)
+    val keepers = all.filter($"is_kept").select($"vec_id", $"cell_id")
+    val expected = assign.groupBy($"cell_id").agg(min($"vec_id").as("vec_id"))
+      .select($"vec_id", $"cell_id")
+    assert(keepers.exceptAll(expected).isEmpty && expected.exceptAll(keepers).isEmpty,
+      "minCos=-1 must keep exactly the min-id vector per cell")
+  }
+
   test("LSH ANN: zero hyperplanes reproduces brute force exactly") {
     import graft.operators.Similarity
     val embs = Readers.table(spark, sf, "embeddings")
