@@ -35,4 +35,12 @@ time("PQ encode+prescreen+rerank (8 sub x 16 cent, cand 200)") { noop(Similarity
 
 time("IVFPQ composed (64 cells, probe 8, cand 200)") { noop(Similarity.ivfPqTopK(staged, queries, "vec_id", "embedding", 5, 64, 8, 8, 16, 200, kmeansIters = 1, trainSample = 2048)) }
 
+// 100 id-shifted copies ⇒ every vector has 99 exact twins: semantic dedup
+// must keep ~1% (lowest-id copy per clique, modulo cell splits)
+time("semantic dedup (SemDeDup, 256 cells, 1 Lloyd round, minCos 0.999)") {
+  val v = graft.operators.Dedup.semanticDedup(staged, "vec_id", "embedding", 256, 1, 0.999)
+  val kept = v.filter($"is_kept").count()
+  println(s"[scaleANN] semantic dedup kept $kept of 200000")
+}
+
 sys.exit(0)

@@ -550,9 +550,13 @@ object Dedup {
     */
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, minCos: Double): DataFrame = {
-    val assigned = Similarity.kmeansAssignCarrying(embs, idCol, vecCol, k, iters)
+    // cellIndex carries the vector through the assignment projection, so
+    // the corpus is never re-joined to its own assignment on id (a
+    // corpus-sized exchange the projection exists to eliminate)
+    val centroids = Similarity.kmeansCentroids(embs, idCol, vecCol, k, iters)
+    val assigned = Similarity.cellIndex(embs, centroids, idCol, vecCol)
     val dropped = embeddingCosinePairs(
-        assigned, col(idCol), col("v"), col("cell_id"), minCos)
+        assigned, col(idCol), col(vecCol), col("cell_id"), minCos)
       .select(col("id_b").as("drop_id")).distinct()
     assigned.join(dropped, col(idCol) === col("drop_id"), "left")
       .select(col(idCol), col("cell_id"), col("drop_id").isNull.as("is_kept"))

@@ -171,20 +171,6 @@ object Similarity {
       .select(col("nid").as(idCol), col("cell_id"))
   }
 
-  /** [[kmeansAssign]] with the vector carried through the same zero-shuffle
-    * projection: (`idCol`, cell_id, v). For consumers that pair vectors
-    * WITHIN a cell (Dedup.semanticDedup) — carrying the vector through the
-    * assignment projection avoids re-joining the corpus to its own
-    * assignment on id, a corpus-sized exchange the projection exists to
-    * eliminate.
-    */
-  private[operators] def kmeansAssignCarrying(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, trainSample: Int = 65536): DataFrame = {
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, k, iters, trainSample)
-    assignCells(corpus, centroids, idCol, vecCol, carryVec = true)
-      .select(col("nid").as(idCol), col("cell_id"), col("v"))
-  }
 
   /** Stateless nearest-centroid routing — the streaming twin of
     * [[kmeansAssign]]'s assignment phase, and the ingest step of a
@@ -202,18 +188,37 @@ object Similarity {
     * Same assignment semantics as [[kmeansAssign]]: ties to the lowest
     * cell_id, zero-norm/ragged vectors get a NULL cell_id (filter or
     * dead-letter them downstream). Requires a non-empty centroid table.
+    * `carryVec = true` keeps the vector column in the output — for
+    * consumers that score the routed vector against per-cell data
+    * (streaming semantic dedup) without re-reading the source.
     */
   def routeToCells(vectors: DataFrame, centroids: DataFrame,
-                   idCol: String, vecCol: String): DataFrame = {
+                   idCol: String, vecCol: String,
+                   carryVec: Boolean = false): DataFrame = {
     val packed = packCentroids(centroids).head()
     val cids: Seq[Long] = packed.getSeq[Long](0)
     val cvecs: Seq[Seq[Float]] = packed.getSeq[Seq[Float]](1)
     require(cids.nonEmpty, "routeToCells needs a non-empty centroid table")
-    vectors.select(col(idCol),
-      get(typedlit(cids),
-        NativeFns.nearestIndex(col(vecCol), typedlit(cvecs), "cosine"))
-        .as("cell_id"))
+    val cell = get(typedlit(cids),
+      NativeFns.nearestIndex(col(vecCol), typedlit(cvecs), "cosine"))
+      .as("cell_id")
+    val cols = Seq(col(idCol)) ++
+      (if (carryVec) Seq(col(vecCol)) else Nil) :+ cell
+    vectors.select(cols: _*)
   }
+
+  /** Materializable per-cell corpus index — the static side of streaming
+    * semantic dedup (DocsStream.semanticDedupStream) and the artifact form
+    * of [[kmeansAssign]]: every corpus vector assigned to its `centroids`
+    * cell with the vector carried, (`idCol`, cell_id, `vecCol`). Write it
+    * partitioned by cell_id (Writers.partitioned) so per-cell probes prune
+    * to the cells they touch; build and routing MUST use the same centroid
+    * table or cell membership diverges between index and probe.
+    */
+  def cellIndex(corpus: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame =
+    assignCells(corpus, centroids, idCol, vecCol, carryVec = true)
+      .select(col("nid").as(idCol), col("cell_id"), col("v").as(vecCol))
 
   /** IVF (inverted-file) ANN: partition the corpus into cells around coarse
     * centroids; a query probes only its `nProbe` nearest cells. The classic

@@ -86,6 +86,39 @@ object DocsStream {
     * (spec-asserted) — micro-batch boundaries cannot change cross-set
     * pairs, since each pair needs exactly one batch doc and the index.
     */
+  /** Semantic near-dup check at ingest — the streaming twin of q71
+    * (`Dedup.semanticDedup`): each arriving vector is routed to its
+    * cluster cell STATELESSLY (`Similarity.routeToCells` — centroids
+    * inlined as literals, a pure projection, no state store) and scored
+    * ONLY against the corpus vectors of that cell via a stream-static
+    * equi-join on cell_id with the materialized cell index
+    * (`Similarity.cellIndex`, read back from its cell-partitioned parquet
+    * artifact). Emits (stream_id, corpus_id, cell_id, cos) pairs with
+    * round(cos, 3) >= minCos, append-mode — one incremental plan, no
+    * foreachBatch needed (unlike the jaccard twin, the score here is a
+    * single scalar expression, not a multi-aggregation chain).
+    *
+    * Index build and this routing MUST share the centroid table (see
+    * cellIndex's doc) — divergent centroids silently miss pairs.
+    * Per-micro-batch cost: one join against the probed cells; write the
+    * index partitioned by cell_id so a high-rate deployment can prune or
+    * shard the static side per cell. Zero-norm arrivals route to a NULL
+    * cell and never join — the same kept-by-construction contract as the
+    * batch operator.
+    */
+  def semanticDedupStream(vectors: DataFrame, idCol: String, vecCol: String,
+                          cellIndex: DataFrame, centroids: DataFrame,
+                          minCos: Double): DataFrame = {
+    val routed = graft.operators.Similarity
+      .routeToCells(vectors, centroids, idCol, vecCol, carryVec = true)
+    routed.as("s").join(cellIndex.as("c"), col("s.cell_id") === col("c.cell_id"))
+      .select(col(s"s.$idCol").as("stream_id"), col(s"c.$idCol").as("corpus_id"),
+        col("s.cell_id").as("cell_id"),
+        round(graft.plans.NativeFns.cosineSim(col(s"s.$vecCol"), col(s"c.$vecCol")), 3)
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   def incrementalDedupStream(docs: DataFrame, id: Column, text: Column,
                              corpusIndex: DataFrame, n: Int, minJaccard: Double,
                              expectedIndexShingles: Long, numBits: Long,

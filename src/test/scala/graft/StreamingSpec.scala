@@ -306,6 +306,48 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup equals its batch twin across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.streaming.DocsStream
+    val embs = graft.sources.Readers.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // corpus = low ids, arrivals = high ids; centroids trained on the
+    // CORPUS only (the deployment shape: the index predates the stream)
+    val corpus = embs.filter($"vec_id" < 40)
+    val arrivals = embs.filter($"vec_id" >= 40)
+    val cent = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 8, 1)
+    // the index is a cell-partitioned parquet ARTIFACT, read back — the
+    // same materialized-static-side story as incremental shingle dedup
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-cellidx").toString
+    Similarity.cellIndex(corpus, cent, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell_id").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val staged = java.nio.file.Files.createTempDirectory("graft-semstream").toString
+    arrivals.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocsStream.semanticDedupStream(stream, "vec_id", "embedding",
+        idx, cent, minCos = 0.0)
+      .writeStream.outputMode("append").format("memory").queryName("sem_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sem_out").as[(Long, Long, Long, Double)].collect().toSet
+      // micro-batch boundaries cannot change cross-set pairs: the same
+      // operator over the arrivals as ONE batch frame is the contract
+      val expected = DocsStream.semanticDedupStream(arrivals, "vec_id", "embedding",
+          idx, cent, minCos = 0.0)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      assert(got.nonEmpty, "fixture should produce at least one within-cell pair")
+      // every pair really is cross-set and above threshold
+      assert(got.forall { case (s, c, _, cos) => s >= 40 && c < 40 && cos >= 0.0 })
+    } finally q.stop()
+  }
+
   test("streaming cell routing equals batch assignment across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
