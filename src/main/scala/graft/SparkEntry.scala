@@ -978,6 +978,17 @@ object SparkEntry {
       Dedup.semanticDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
           k = 16, iters = 0, minCos = 0.35)
         .orderBy("vec_id")
+    }),
+
+    "q72_boilerplate_strip" -> ((s, dir) => {
+      // CCNet/RefinedWeb-style boilerplate removal at chunk granularity:
+      // 10-token spans repeated across >= 3 documents are template, not
+      // content — strip ALL their instances and rebuild the text (q54
+      // flags duplicate chunk INSTANCES and keeps the first; this removes
+      // the whole chunk class). 15 chunk classes cross df >= 3 at sf0.01.
+      Dedup.boilerplateStrip(T(s, dir, "documents"), col("doc_id"), col("text"),
+          chunkTokens = 10, minDf = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -1669,6 +1680,28 @@ object SparkEntry {
         |drp AS (SELECT DISTINCT id_b FROM s2 WHERE cos >= 0.35)
         |SELECT a.vec_id, a.cell_id, (d.id_b IS NULL) AS is_kept
         |FROM asg a LEFT JOIN drp d ON a.vec_id = d.id_b
-        |ORDER BY a.vec_id""".stripMargin
+        |ORDER BY a.vec_id""".stripMargin,
+
+    // q41's chunking at stride == chunk (non-overlapping 10-token spans),
+    // document frequency per span, strip spans with df >= 3, rebuild
+    // single-spaced in chunk order; string_agg skips the NULLed boiler
+    // chunks and the LEFT JOIN keeps empty documents with clean_text = ''
+    "q72_boilerplate_strip" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(words[i*10+1 : i*10+10], ' ') AS chunk_text
+        | FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i) t),
+        |f AS (SELECT chunk_text, count(DISTINCT doc_id) AS df FROM c GROUP BY 1),
+        |v AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text, (f.df >= 3) AS is_boiler
+        |  FROM c JOIN f USING (chunk_text)),
+        |r AS (SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk_text END,
+        |    ' ' ORDER BY chunk_idx), '') AS clean_text
+        | FROM v GROUP BY 1)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(coalesce(r.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped
+        |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
   )
 }

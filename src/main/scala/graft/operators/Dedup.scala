@@ -531,6 +531,57 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** Boilerplate removal at chunk granularity — the CCNet/RefinedWeb
+    * repeated-line-removal idea (Wenzek et al. 2020; Penedo et al. 2023)
+    * re-expressed for flat token streams: split each document into
+    * NON-OVERLAPPING `chunkTokens`-token spans, count each span's document
+    * frequency corpus-wide, and rebuild every document WITHOUT the spans
+    * whose df >= `minDf`. Unlike chunk-level first-occurrence dedup
+    * ([[firstOccurrenceFlags]] / q54), which keeps a span's first
+    * instance, boilerplate strip removes ALL instances — a span repeated
+    * across many documents is template, not content, and the copy in the
+    * "first" document is as worthless as the rest.
+    *
+    * Returns one row per input document (empty documents included):
+    * (doc_id, clean_text, n_chunks, n_dropped), order restored by chunk
+    * index, chunks re-joined single-spaced.
+    *
+    * Shape: df counting is a hash-groupBy on the chunk text (at 100 TB,
+    * pre-aggregate on an 8-byte hash and confirm — the q21 ladder); the
+    * verdict is an equi-join of chunks against the df table (AQE
+    * broadcasts it when the boilerplate set is small, which high-df
+    * filtering makes likely); rebuild is one groupBy(doc) over surviving
+    * chunks. No window over corpus-sized input, no driver state.
+    */
+  def boilerplateStrip(docs: DataFrame, id: Column, text: Column,
+                       chunkTokens: Int, minDf: Long): DataFrame = {
+    val toks = TextFns.tokens(text)
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("long")
+    val chunks = docs
+      .select(id.as("doc_id"),
+        explode(transform(sequence(lit(0L), nChunks - 1),
+          i => struct(i.as("chunk_idx"),
+            concat_ws(" ", slice(toks, (i * chunkTokens + 1).cast("int"),
+              lit(chunkTokens))).as("chunk_text")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
+    val dfs = chunks.groupBy(col("chunk_text"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val rebuilt = chunks.join(dfs, Seq("chunk_text"))
+      .withColumn("is_boiler", col("df") >= minDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("is_boiler").cast("long")).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("is_boiler"),
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          c => c.getField("chunk_text"))).as("clean_text"))
+    docs.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus around `k` LEARNED centroids
     * (Similarity.kmeansAssign's zero-shuffle broadcast argmax), then search

@@ -263,6 +263,38 @@ class ScaleOpsSpec extends GraftSuite {
     assert(cellIds.subsetOf(seedIds), s"unexpected cell ids: ${cellIds -- seedIds}")
   }
 
+  test("boilerplateStrip removes all instances of high-df chunks and round-trips unique text") {
+    import graft.operators.Dedup
+    // every doc opens with the same 5-token header (boilerplate) and
+    // continues with unique content; doc 9 is empty
+    val header = "one two three four five"
+    val docs = ((0 until 9).map(i =>
+        (i.toLong, s"$header u${i}a u${i}b u${i}c u${i}d u${i}e")) :+ (9L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(docs, $"doc_id", $"text",
+        chunkTokens = 5, minDf = 3).orderBy("doc_id").collect()
+    assert(got.length == 10, "one row per input doc, empty doc included")
+    for (r <- got.take(9)) {
+      val clean = r.getAs[String]("clean_text")
+      assert(!clean.contains("one two three"), s"header must be stripped: $clean")
+      assert(clean.split(" ").length == 5, "unique content chunk survives intact")
+      assert(r.getAs[Long]("n_chunks") == 2 && r.getAs[Long]("n_dropped") == 1)
+    }
+    // an empty doc yields ONE empty-string chunk (split("") = [""] — the
+    // same q41 chunk semantics DuckDB's string_split has, so engine and
+    // oracle agree), which no other doc repeats here: kept, text stays ""
+    assert(got(9).getAs[String]("clean_text") == "" &&
+      got(9).getAs[Long]("n_chunks") == 1L &&
+      got(9).getAs[Long]("n_dropped") == 0L, "empty doc: one empty chunk, kept")
+    // with a threshold nothing reaches, the rebuild round-trips the text
+    val roundTrip = Dedup.boilerplateStrip(docs.filter($"doc_id" < 9), $"doc_id",
+        $"text", chunkTokens = 5, minDf = 1000).orderBy("doc_id").collect()
+    assert(roundTrip.forall(r => r.getAs[String]("clean_text") ==
+      s"$header u${r.getAs[Long]("doc_id")}a u${r.getAs[Long]("doc_id")}b " +
+        s"u${r.getAs[Long]("doc_id")}c u${r.getAs[Long]("doc_id")}d u${r.getAs[Long]("doc_id")}e"),
+      "unreached threshold must reconstruct the original text exactly")
+  }
+
   test("semanticDedup equals a composed cluster-blocked reference; minCos=-1 keeps one per cell") {
     import graft.operators.{Dedup, Similarity}
     val embs = Readers.table(spark, sf, "embeddings")
