@@ -40,4 +40,11 @@ time("token-budget cap (q55 shape) on 500k rows") {
   val docs = staged.select($"doc_id", $"source", size(graft.functions.TextFns.tokens($"text")).cast("long").as("n_tok"))
   noop(Relational.prefixSum(docs, $"source", $"doc_id", $"n_tok", 4096L, "cum_tok").filter($"cum_tok" <= 80000L))
 }
+
+// 100 copies ⇒ every chunk's df is 100× its base df: with minDf=200 only
+// chunks repeated >= 2× in the BASE corpus are boilerplate — the df
+// groupBy and rebuild run over all 10M+ chunks either way
+time("boilerplate strip (q72 shape, 10-token chunks, minDf=200) on 500k docs") {
+  noop(Dedup.boilerplateStrip(staged, $"doc_id", $"text", 10, 200L))
+}
 sys.exit(0)

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge training vs an independent in-memory reference: same greedy
+  * left-to-right merge, same (count desc, pair asc) tie-break — the merge
+  * TABLE must match rule for rule, rank for rank.
+  */
+class BpeSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Plain-Scala reference BPE (Sennrich 2016): word-freq table → repeat
+    * [count adjacent pairs weighted by freq; take max by (count, then
+    * lexicographically smallest pair); merge greedily left-to-right].
+    */
+  private def refBpe(words: Map[String, Long], n: Int): Seq[(Int, String, String, String)] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
+    val out = Seq.newBuilder[(Int, String, String, String)]
+    var rank = 0
+    var done = false
+    while (rank < n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), _) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, l + r))
+        vocab = vocab.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrain matches the reference merge table on a mixed-frequency corpus") {
+    // the Sennrich walkthrough corpus, as documents with repetition
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Bpe.bpeTrain(docs, $"text", 10)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String)].collect().toSeq
+    val want = refBpe(Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 10)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got.size == 10)
+  }
+
+  test("bpeTrain stops when the vocabulary runs out of pairs") {
+    // single words "ab" (3 symbols with </w>): only 2+1 merges possible
+    val docs = Seq((0L, "ab"), (1L, "ab")).toDF("doc_id", "text")
+    val got = Bpe.bpeTrain(docs, $"text", 50)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String)].collect().toSeq
+    val want = refBpe(Map("ab" -> 2L), 50)
+    assert(got == want)
+    assert(got.size < 50, "must stop early, not loop to numMerges")
+    assert(got.last._4 == "ab</w>", "final merge collapses the whole word")
+  }
+
+  test("bpeTrain on the documents corpus: deterministic, overlapping-pair-safe") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+    val a = Bpe.bpeTrain(docs, $"text", 5).as[(Int, String, String, String)]
+      .collect().toSeq.sortBy(_._1)
+    val b = Bpe.bpeTrain(docs.repartition(7), $"text", 5)
+      .as[(Int, String, String, String)].collect().toSeq.sortBy(_._1)
+    assert(a == b, "merge table must not depend on partitioning")
+    assert(a.size == 5)
+  }
+}
