@@ -989,6 +989,34 @@ object SparkEntry {
       Dedup.boilerplateStrip(T(s, dir, "documents"), col("doc_id"), col("text"),
           chunkTokens = 10, minDf = 3)
         .orderBy("doc_id")
+    }),
+
+    "q73_classifier_score" -> ((s, dir) => {
+      // fastText/DCLM-style model filter: train a hashed bag-of-words
+      // linear classifier on a labeled seed (here: lang='en' as the
+      // label), then score and threshold the corpus. All-integer per-mille
+      // weights so the result is bit-exact under any partitioning. The
+      // model is <= 4096 rows -> broadcast; scoring is one corpus pass.
+      val docs = T(s, dir, "documents")
+      val model = Scoring.trainHashedLinear(
+        docs, col("text"), col("lang") === lit("en"), numBuckets = 4096)
+      Scoring.scoreHashedLinear(docs, col("doc_id"), col("text"), model,
+          numBuckets = 4096)
+        .withColumnRenamed("_sid", "doc_id")
+        .withColumnRenamed("pred", "pred_en")
+        .orderBy("doc_id")
+    }),
+
+    "q74_charlm_score" -> ((s, dir) => {
+      // CCNet/KenLM-shaped perplexity filter: train a char-bigram LM on
+      // the corpus, score each document by the integer sum/mean of
+      // per-mille bigram probabilities — improbable character sequences
+      // score low and get dropped. Model <= |charset|^2 rows -> broadcast.
+      val docs = T(s, dir, "documents")
+      val model = Scoring.trainCharBigramLm(docs, col("text"))
+      Scoring.scoreCharBigramLm(docs, col("doc_id"), col("text"), model)
+        .withColumnRenamed("_sid", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -1702,6 +1730,52 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
         |  CAST(coalesce(r.n_chunks, 0) AS BIGINT) AS n_chunks,
         |  CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped
-        |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // hashed-linear model filter: per-token bucket = the q31 rolling-hash
+    // fold mod 4096, per-bucket weight = add-one-smoothed per-mille
+    // P(lang='en' | bucket) with integer floor division (`//` == Spark
+    // `div` on non-negative operands), score = integer weight sum,
+    // prediction = mean weight > 500. All-integer -> hash-exact.
+    "q73_classifier_score" ->
+      """WITH tok AS (
+        | SELECT doc_id, (lang = 'en') AS y,
+        |   unnest(string_split(trim(text), ' ')) AS tok
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, y,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_extract_all(tok, '(?s).'),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |   (acc, cp) -> (acc * 31 + cp) % 1000000007) % 4096 AS bucket
+        | FROM tok),
+        |m AS (
+        | SELECT bucket,
+        |  (1000 * sum(CASE WHEN y THEN 1 ELSE 0 END)) // (count(*) + 1) AS weight
+        | FROM b GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        | CAST(sum(m.weight) AS BIGINT) AS score_sum,
+        | CAST(sum(m.weight) AS BIGINT) * 2 > CAST(count(*) AS BIGINT) * 1000 AS pred_en
+        |FROM b JOIN m USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // char-bigram LM filter: overlapping bigrams by position, model
+    // p(b|a) = (1000 * count(ab)) // (count(a-)+1) per-mille integers,
+    // doc score = integer sum and floor-mean. Docs under 2 chars have no
+    // bigrams and are excluded on both sides.
+    "q74_charlm_score" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+        |pos AS (SELECT doc_id, text,
+        |  unnest(generate_series(1, length(text) - 1)) AS i FROM d),
+        |bg AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 2) AS bg FROM pos),
+        |bc AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+        |pc AS (SELECT substring(bg, 1, 1) AS a, sum(c) AS pc FROM bc GROUP BY 1),
+        |m AS (SELECT bg, (1000 * c) // (pc + 1) AS p
+        |  FROM bc JOIN pc ON substring(bc.bg, 1, 1) = pc.a)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big,
+        | CAST(sum(m.p) AS BIGINT) AS lm_sum,
+        | CAST(CAST(sum(m.p) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_permille
+        |FROM bg JOIN m USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Scoring
+import org.apache.spark.sql.functions._
+
+/** Model-filter scoring vs independent in-memory references: the hashed
+  * linear classifier and the char-bigram LM are all-integer pipelines, so
+  * the distributed result must match a plain-Scala recomputation exactly —
+  * and must not depend on partitioning.
+  */
+class ScoringSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** The q31/tokenBucket rolling hash, in plain Scala. */
+  private def fp(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((acc, cp) => (acc * 31 + cp) % 1000000007L)
+
+  private def tokens(text: String): Seq[String] = text.trim.split(" ", -1).toSeq
+
+  test("hashed linear classifier matches an in-memory reference exactly") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat", true),
+      (1L, "le chat est noir", false),
+      (2L, "the dog ate the cat food", true),
+      (3L, "el gato come pescado", false),
+      (4L, "cats and dogs and the rain", true),
+      (5L, "chat chien et pluie", false))
+    val buckets = 64
+
+    // reference: per-bucket smoothed per-mille weight, then integer scores
+    val tokBuckets = corpus.flatMap { case (id, t, y) =>
+      tokens(t).map(tok => (id, y, fp(tok) % buckets))
+    }
+    val weight = tokBuckets.groupBy(_._3).map { case (b, xs) =>
+      b -> (1000L * xs.count(_._2)) / (xs.size + 1)
+    }
+    val want = tokBuckets.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map(x => weight(x._3)).sum
+      (id, xs.size.toLong, s, s * 2 > 1000L * xs.size)
+    }.toSeq.sortBy(_._1)
+
+    val docs = corpus.toDF("doc_id", "text", "y")
+    val model = Scoring.trainHashedLinear(docs, $"text", $"y", buckets)
+    val got = Scoring.scoreHashedLinear(docs, $"doc_id", $"text", model, buckets)
+      .orderBy("_sid").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
+  test("char-bigram LM score matches an in-memory reference exactly") {
+    val corpus = Seq((0L, "abab"), (1L, "abba"), (2L, "zzz"), (3L, "a"))
+    // reference: p(b|a) = 1000*c(ab) / (c(a-)+1), integer floor division
+    val eligible = corpus.filter(_._2.length >= 2)
+    val bgs = eligible.flatMap { case (id, t) => t.sliding(2).map(id -> _) }
+    val bc = bgs.groupBy(_._2).map { case (bg, xs) => bg -> xs.size.toLong }
+    val pc = bc.groupBy(_._1.substring(0, 1)).map { case (a, xs) => a -> xs.values.sum }
+    val p = bc.map { case (bg, c) => bg -> 1000L * c / (pc(bg.substring(0, 1)) + 1) }
+    val want = bgs.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map(x => p(x._2)).sum
+      (id, xs.size.toLong, s, s / xs.size)
+    }.toSeq.sortBy(_._1)
+    assert(!want.exists(_._1 == 3L), "1-char doc must have no bigram rows")
+
+    val docs = corpus.toDF("doc_id", "text")
+    val model = Scoring.trainCharBigramLm(docs, $"text")
+    val got = Scoring.scoreCharBigramLm(docs, $"doc_id", $"text", model)
+      .orderBy("_sid").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
+  test("scores are partition-independent and total on the real corpus") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+    val model = Scoring.trainHashedLinear(docs, $"text", $"lang" === "en", 4096)
+    val a = Scoring.scoreHashedLinear(docs, $"doc_id", $"text", model, 4096)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val model7 = Scoring.trainHashedLinear(docs.repartition(7), $"text",
+      $"lang" === "en", 4096)
+    val b = Scoring.scoreHashedLinear(docs.repartition(5), $"doc_id", $"text",
+        model7, 4096)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(a == b, "integer scoring must not depend on partitioning")
+    assert(a.size == docs.count(), "every document gets a score")
+    // the model carries real signal: it separates en from non-en better
+    // than chance on its own training corpus (sanity, not a quality bar)
+    val langs = docs.select($"doc_id", ($"lang" === "en").as("y"))
+      .as[(Long, Boolean)].collect().toMap
+    val acc = a.count(r => r._4 == langs(r._1)).toDouble / a.size
+    assert(acc > 0.6, s"train-set accuracy $acc should beat chance")
+  }
+}
