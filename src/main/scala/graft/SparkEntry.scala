@@ -113,11 +113,11 @@ object SparkEntry {
       // README.md "Fixing the missing weather issue": split/fix-join/union/dedup
       val ev = T(s, dir, "events")
       val facts = ev.select(col("event_id"), col("user_id"), col("event_type"),
-        date_trunc("hour", col("ts")).as("hour_ts"), col("value"))
+        graft.functions.TimeFns.hourTrunc(col("ts")).as("hour_ts"), col("value"))
       // impute with the hour's min observed value: min is arithmetic-free, so
       // Spark and the oracle agree bit-for-bit (avg hits round-half boundaries)
       val fix = ev.filter(col("event_type") =!= "error")
-        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .groupBy(graft.functions.TimeFns.hourTrunc(col("ts")).as("hour_ts"))
         .agg(min(col("value")).as("fixed_value"))
       Relational.repairUnion(facts, col("event_type") === "error",
           fix, Seq("hour_ts"), "value", "fixed_value")

@@ -10,14 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object TimeFns {
 
+  /** Epoch seconds for both TIMESTAMP and TIMESTAMP_NTZ inputs. NTZ has no
+    * direct numeric cast; routing through TIMESTAMP interprets the wall time
+    * in the session zone (this engine pins UTC), which is exactly DuckDB's
+    * `epoch()` semantics on a naive timestamp.
+    */
+  def epochSec(ts: Column): Column = ts.cast("timestamp").cast("long")
+
+  /** Epoch milliseconds, NTZ-safe (see [[epochSec]]). */
+  def epochMs(ts: Column): Column = unix_millis(ts.cast("timestamp"))
+
+  /** A wall-clock timestamp as stored in plain (un-adjusted) parquet.
+    * Reconstructed timestamps are normalized to TIMESTAMP_NTZ so outputs
+    * match the source tables' type whatever the session zone.
+    */
+  private def ntz(ts: Column): Column = ts.cast("timestamp_ntz")
+
   /** Floor a timestamp to an n-minute bucket, epoch-aligned (same alignment
     * as `window(ts, "n minutes")` and DuckDB `time_bucket`).
     */
   def bucket(ts: Column, minutes: Int): Column =
-    timestamp_seconds(floor(ts.cast("long") / (minutes * 60)).cast("long") * (minutes * 60))
+    ntz(timestamp_seconds(floor(epochSec(ts) / (minutes * 60)).cast("long") * (minutes * 60)))
 
   /** Truncate to hour — reference's `time_hour` (README.md:447). */
-  def hourTrunc(ts: Column): Column = date_trunc("hour", ts)
+  def hourTrunc(ts: Column): Column = ntz(date_trunc("hour", ts))
 
   /** Hour-of-day as long (BIGINT parity with DuckDB `hour()`). */
   def hourOfDay(ts: Column): Column = hour(ts).cast("long")

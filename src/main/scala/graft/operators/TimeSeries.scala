@@ -16,7 +16,7 @@ object TimeSeries {
     */
   def sessionize(df: DataFrame, key: Column, ts: Column, gapMs: Long): DataFrame = {
     val byKey = Window.partitionBy(key).orderBy(ts)
-    val ms = unix_millis(ts)
+    val ms = graft.functions.TimeFns.epochMs(ts)
     val prevMs = lag(ms, 1).over(byKey)
     df.withColumn("_new_session",
         when(prevMs.isNull || (ms - prevMs) > gapMs, 1L).otherwise(0L))
@@ -84,10 +84,11 @@ object TimeSeries {
                 right: DataFrame, rStart: Column, rEnd: Column,
                 key: String, bucketMinutes: Int): DataFrame = {
     val b = bucketMinutes * 60L
+    val sec = graft.functions.TimeFns.epochSec(_)
     val bucketed = right.withColumn("_bucket",
-      explode(sequence(floor(rStart.cast("long") / b).cast("long"),
-        floor(rEnd.cast("long") / b).cast("long"))))
-    val lb = left.withColumn("_bucket", floor(lTs.cast("long") / b).cast("long"))
+      explode(sequence(floor(sec(rStart) / b).cast("long"),
+        floor(sec(rEnd) / b).cast("long"))))
+    val lb = left.withColumn("_bucket", floor(sec(lTs) / b).cast("long"))
     lb.join(bucketed, Seq(key, "_bucket"))
       .filter(rStart <= lTs && lTs < rEnd)
       .drop("_bucket")

@@ -16,24 +16,39 @@ case class SessionState(lastMs: Long, sessionId: Long)
   */
 object EventsStream {
 
+  // ts is TIMESTAMP_NTZ to match the batch tables (plain un-adjusted parquet
+  // micros): the streaming twin of a batch query must produce type-identical
+  // rows or stream/batch unions and comparisons silently diverge
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Watermarked tumbling-window aggregation over a streaming events frame. */
+  /** Watermarked tumbling-window aggregation over a streaming events frame.
+    *
+    * Spark's event-time machinery (watermark + window state) only accepts
+    * TIMESTAMP, never TIMESTAMP_NTZ — so an NTZ `ts` is routed through
+    * TIMESTAMP for the stateful part (a wall-clock identity under this
+    * engine's pinned UTC session zone) and the window bound is cast back, so
+    * the output type matches the batch twin whatever the source type was.
+    */
   def windowedCounts(events: DataFrame, windowDuration: String,
-                     watermark: String): DataFrame =
+                     watermark: String): DataFrame = {
+    val ntzIn = events.schema("ts").dataType == TimestampNTZType
+    val start =
+      if (ntzIn) col("window.start").cast("timestamp_ntz") else col("window.start")
     events
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.NumFns.roundHalfUp(sum(col("value")), 2).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
+      .select(start.as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+  }
 
   /** Stateful streaming sessionization: the custom-state twin of
     * `TimeSeries.sessionize` (gap > gapMs ⇒ new session), via
@@ -91,15 +106,28 @@ object EventsStream {
     // `lateness` governs how late either side may arrive before being
     // dropped — previously a hard-coded "2 hours" that silently overrode
     // callers whose join tolerance exceeded it
-    val ev = events.withWatermark("ts", lateness)
+    //
+    // Event-time join state requires TIMESTAMP columns (watermarks reject
+    // NTZ): NTZ inputs are cast through TIMESTAMP for the join — identity
+    // under the pinned UTC session zone — and cast back on the way out so
+    // callers see the source's own types.
+    val evNtz = events.schema("ts").dataType == TimestampNTZType
+    val refNtz = reference.schema("ts").dataType == TimestampNTZType
+    val ev = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", lateness)
     val ref = reference
       .withColumnRenamed(key, s"${key}_ref")
       .withColumnRenamed("ts", "ref_ts")
+      .withColumn("ref_ts", col("ref_ts").cast("timestamp"))
       .withWatermark("ref_ts", lateness)
-    ev.join(ref,
+    val joined = ev.join(ref,
       col(key) === col(s"${key}_ref") &&
         col("ref_ts") <= col("ts") &&
         col("ref_ts") >= col("ts") - expr(s"INTERVAL $tolerance"))
+    val outEv =
+      if (evNtz) joined.withColumn("ts", col("ts").cast("timestamp_ntz")) else joined
+    if (refNtz) outEv.withColumn("ref_ts", col("ref_ts").cast("timestamp_ntz")) else outEv
   }
 
   /** Stream-static enrichment join: each streaming event picks up its

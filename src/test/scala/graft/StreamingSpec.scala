@@ -87,7 +87,7 @@ class StreamingSpec extends GraftSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
     def write(name: String, rows: Seq[(Long, Long, String)]): Unit =
       rows.toDF("event_id", "user_id", "s")
-        .selectExpr("event_id", "CAST(s AS TIMESTAMP) AS ts", "user_id",
+        .selectExpr("event_id", "CAST(s AS TIMESTAMP_NTZ) AS ts", "user_id",
           "'x' AS event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
         .coalesce(1).write.mode("append").parquet(dir)
 
