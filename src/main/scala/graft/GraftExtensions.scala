@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, PqApproxScore, RollingFingerprint, SimHash64}
+import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, PqApproxScore, RollingFingerprint, ShingleHashes, ShingleMinHash, SignatureAgreement, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -93,6 +93,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("graft_fingerprint", "(text)", args, 1, 1)
         RollingFingerprint(args.head)
+      }))
+    def intLitArg(name: String, e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name: $what must be an int literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_text"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "graft_minhash_text"),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash_text", "(text, shingleN, numPerms)", args, 3, 3)
+        ShingleMinHash(args.head,
+          intLitArg("graft_minhash_text", args(1), "shingleN"),
+          intLitArg("graft_minhash_text", args(2), "numPerms"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_hashes", "(text, shingleN)", args, 2, 2)
+        ShingleHashes(args.head,
+          intLitArg("graft_shingle_hashes", args(1), "shingleN"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sig_agree"),
+      new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agree"),
+      (args: Seq[Expression]) => {
+        arity("graft_sig_agree", "(sigA, sigB)", args, 2, 2)
+        SignatureAgreement(args(0), args(1))
       }))
   }
 }

@@ -302,9 +302,13 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val keepers = Dedup.exact(docs, col("doc_id"), col("text"))
         .select(col("keeper_id").as("doc_id"))
+      // persistIndex=false: with the window-based bucket cap the two join
+      // sides share one exchange (reuse), so the whole query is a single
+      // job — no persist/checkpoint barrier jobs to serialize, which is
+      // what contention amplified in earlier official bench runs
       Dedup.minhashLshPairs(docs.join(keepers, "doc_id"),
           col("doc_id"), col("text"), 3, 32, 4, 0.5,
-          persistIndex = true, maxBucketSize = 100L)
+          maxBucketSize = 100L)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -815,8 +819,7 @@ object SparkEntry {
       // is #sources² rows at most — the corpus never leaves the distinct.
       val sh = T(s, dir, "documents")
         .select(col("source"),
-          explode(TextFns.shingles(col("text"), 3)).as("shingle"))
-        .select(col("source"), xxhash64(col("shingle")).as("h"))
+          explode(graft.plans.NativeFns.shingleHashes(col("text"), 3)).as("h"))
         .distinct()
       val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
       sh.as("a").join(sh.as("b"),

@@ -24,12 +24,16 @@ object HashFns {
       s"numPerms ($numPerms) must be divisible by rowsPerBand ($rowsPerBand) — " +
         "trailing permutations would be silently ignored")
     val bands = numPerms / rowsPerBand
+    // xxhash64 directly over the sliced array<long> — Spark's hash
+    // expressions fold arrays element-wise with seed chaining, fully
+    // codegen'd. The previous formulation stringified every signature slot
+    // (`transform` + cast + concat_ws), which both allocated per band and
+    // dropped the whole projection out of whole-stage codegen (`transform`
+    // is an interpreted higher-order function).
     array((0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        xxhash64(concat_ws(",", transform(
-          slice(signature, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))))
-          .as("key"))
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("key"))
     }: _*)
   }
 

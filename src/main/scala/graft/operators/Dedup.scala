@@ -79,10 +79,12 @@ object Dedup {
                         persistIndex: Boolean = false): DataFrame = {
     // join on the 8-byte shingle hash, not the string: ~10× smaller shuffle
     // (collision odds at 2^64 are negligible next to the estimate's noise)
+    // fused native shingle hashing: the (doc_id, sh_h) index straight from
+    // the text bytes — no shingle-string allocation, no interpreted
+    // higher-order functions, bit-identical hashes (spec-asserted)
     val shRaw = docs
       .select(id.as("doc_id"),
-        explode(TextFns.shingles(text, n)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+        explode(NativeFns.shingleHashes(text, n)).as("sh_h"))
     // the inverted index feeds both join sides AND the size table; caching it
     // avoids shingling the corpus three times
     val sh = if (persistIndex) shRaw.persist() else shRaw
@@ -124,8 +126,7 @@ object Dedup {
                               maxDocFreq: Long,
                               persistIndex: Boolean = false): DataFrame = {
     val shRaw = docs
-      .select(id.as("doc_id"), explode(TextFns.shingles(text, n)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+      .select(id.as("doc_id"), explode(NativeFns.shingleHashes(text, n)).as("sh_h"))
     // the index feeds FOUR branches here (sizes, df counts, both join sides)
     val sh = if (persistIndex) shRaw.persist() else shRaw
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -204,8 +205,7 @@ object Dedup {
     */
   def shingleIndex(docs: DataFrame, id: Column, text: Column,
                    n: Int, idName: String = "doc_id"): DataFrame =
-    docs.select(id.as(idName), explode(TextFns.shingles(text, n)).as("shingle"))
-      .select(col(idName), xxhash64(col("shingle")).as("sh_h"))
+    docs.select(id.as(idName), explode(NativeFns.shingleHashes(text, n)).as("sh_h"))
 
   /** [[ngramJaccardAgainst]] against a PRE-MATERIALIZED corpus index (the
     * output of [[shingleIndex]] with idName = "corpus_id", typically read
@@ -256,27 +256,40 @@ object Dedup {
                       persistIndex: Boolean = false,
                       maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val capped = maxBucketSize != Long.MaxValue
+    // fused text→signature native expression: one pass over the document
+    // bytes, no shingle-string materialization, stays in whole-stage
+    // codegen (the composed shingles pipeline is interpreted — slice/
+    // zip_with/array_distinct are higher-order fallbacks). Bit-identical
+    // signatures (spec-asserted), ~5× cheaper per document.
     val signed = docs
-      .select(id.as("doc_id"), TextFns.shingles(text, shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), NativeFns.minhashSig(col("sh"), numPerms).as("sig"))
+      .select(id.as("doc_id"), NativeFns.minhashText(text, shingleN, numPerms).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandedRaw = signed
       .select(col("doc_id"), col("sig"),
         explode(HashFns.bandKeys(col("sig"), numPerms, rowsPerBand)).as("bk"))
-    val doPersist = persistIndex || capped
-    val bandedAll = if (doPersist) bandedRaw.persist() else bandedRaw
     // optional bucket-size cap — the 100 TB guard for dup cliques: a band
     // bucket holding f docs yields f(f-1)/2 candidates, and a 10^4-wide
     // clique of boilerplate docs would emit 5·10^7 pairs from one bucket.
     // Oversized buckets are near-certain exact-dup families; run `exact`
     // first (cheap, linear) and cap here, instead of paying the quadratic
     // join. Cap = MaxValue (default) keeps the operator exact.
-    val banded =
-      if (!capped) bandedAll
-      else bandedAll.join(
-        bandedAll.groupBy(col("bk")).agg(count(lit(1)).as("bkn"))
-          .filter(col("bkn") <= maxBucketSize).select(col("bk")),
-        "bk")
+    //
+    // The cap is a count window over the band key, not a bucket-count
+    // aggregate joined back: the window clusters on `bk` — the SAME
+    // partitioning the self-join below needs — so capping adds zero
+    // exchanges, where the agg+join formulation forced the banded index
+    // to be persisted and shuffled twice more. Without an explicit
+    // persist, the two join sides are identical subplans up to the `bk`
+    // exchange, which Spark's exchange reuse materializes once — the
+    // whole operator is ONE job with ONE scan of the corpus.
+    val banded0 =
+      if (!capped) bandedRaw
+      else bandedRaw
+        .withColumn("_bkn",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+        .filter(col("_bkn") <= maxBucketSize)
+        .drop("_bkn")
+    val banded = if (persistIndex) banded0.persist() else banded0
     // score BEFORE the pair dedup: a pair sharing several band buckets has
     // the identical estimate in each, so results are unchanged, and the
     // pair-dedup exchange then carries three scalars per candidate
@@ -285,14 +298,16 @@ object Dedup {
     // groupBy/max, not dropDuplicates(subset) — see lshTopK on the
     // Deduplicate-rewrite exprId aliasing that breaks exceptAll over the
     // result; max == first because duplicates carry identical estimates.
+    // Agreement via the native SignatureAgreement loop: candidate-pair
+    // volume dominates at scale, and the zip_with twin is interpreted.
     val result = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(HashFns.signatureAgreement(col("a.sig"), col("b.sig")), 4).as("est_jaccard"))
+        round(NativeFns.sigAgree(col("a.sig"), col("b.sig")), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .groupBy(col("doc_a"), col("doc_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
-    if (doPersist) materializeAndRelease(result, bandedAll) else result
+    if (persistIndex) materializeAndRelease(result, banded) else result
   }
 
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit bands as blocking
@@ -443,8 +458,7 @@ object Dedup {
   def contaminationHits(docs: DataFrame, id: Column, text: Column,
                         isHeldOut: Column, n: Int): DataFrame = {
     val grams = docs.select(id.as("doc_id"), isHeldOut.as("held"),
-        explode(TextFns.shingles(text, n)).as("g"))
-      .select(col("doc_id"), col("held"), xxhash64(col("g")).as("gh"))
+        explode(NativeFns.shingleHashes(text, n)).as("gh"))
     val heldGrams = grams.filter(col("held")).select(col("gh")).distinct()
     grams.filter(!col("held"))
       .join(heldGrams, "gh")
@@ -503,8 +517,7 @@ object Dedup {
                              isHeldOut: Column, n: Int,
                              expectedItems: Long, numBits: Long): DataFrame = {
     val grams = docs.select(id.as("doc_id"), isHeldOut.as("held"),
-        explode(TextFns.shingles(text, n)).as("g"))
-      .select(col("doc_id"), col("held"), xxhash64(col("g")).as("gh"))
+        explode(NativeFns.shingleHashes(text, n)).as("gh"))
       .persist()
     val heldGrams = grams.filter(col("held")).select(col("gh")).distinct()
     // a NULL sketch (zero held-out grams) keeps nothing through the

@@ -575,6 +575,151 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature fused from raw text: tokenize + shingle + hash in one
+  * pass over the document bytes ([[ShingleOps.minhash]]) instead of
+  * materializing an `array<string>` of shingles first. Bit-identical to
+  * `MinHashSignature(TextFns.shingles(text, n), numPerms)` — shingle
+  * strings ARE contiguous byte ranges of the trimmed text, and min over
+  * the shingle multiset equals min over the distinct set — but with zero
+  * per-shingle allocation, and no interpreted higher-order functions
+  * (`slice`/`zip_with`/`array_distinct` all break whole-stage codegen).
+  * NULL below n tokens, matching the composed path's empty-shingle NULL.
+  */
+case class ShingleMinHash(child: Expression, shingleN: Int, numPerms: Int)
+    extends UnaryExpression {
+
+  require(shingleN >= 1, s"graft_minhash_text needs shingleN >= 1, got $shingleN")
+  require(numPerms >= 1, s"graft_minhash_text needs numPerms >= 1, got $numPerms")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_text expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_text"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = ShingleOps.minhash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleN, numPerms)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val sig = ctx.freshName("sig")
+      val ops = ShingleOps.getClass.getName.stripSuffix("$") // Java-callable: ShingleOps.MODULE$
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |long[] $sig = $ops.minhash($t, $shingleN, $numPerms);
+         |if ($sig == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new $gad($sig);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word-shingle hashes fused from raw text ([[ShingleOps
+  * .distinctHashes]]): the per-document inverted-index keys that the
+  * jaccard family explodes, produced in one pass with no shingle-string
+  * allocation. Bit-identical to `xxhash64(shingle)` over
+  * `array_distinct(TextFns.shingles(text, n))` in first-occurrence order.
+  * Empty array below n tokens (callers explode, so empty = no rows).
+  */
+case class ShingleHashes(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+
+  require(shingleN >= 1, s"graft_shingle_hashes needs shingleN >= 1, got $shingleN")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleOps.distinctHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleN))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad($ops.distinctHashes($t, $shingleN));"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fraction of equal positions between two `array<long>` MinHash signatures
+  * — the unbiased Jaccard estimate — as one primitive loop. The composed
+  * `zip_with`+`aggregate` twin (HashFns.signatureAgreement) is interpreted
+  * per candidate pair; this runs inside whole-stage codegen, which matters
+  * because candidate-pair volume, not corpus size, dominates LSH cost at
+  * scale. NULL on length mismatch (signatures from different numPerms are
+  * incomparable — surface it, don't score the prefix).
+  */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sig_agree expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sig_agree"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements() || n == 0) return null
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $eq = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |  }
+         |  ${ev.value} = ((double) $eq) / $n;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API front door for the native expressions. */
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -592,4 +737,10 @@ object NativeFns {
     ColumnBridge.column(PqApproxScore(ex(codes), ex(lut)))
   def fingerprint(text: Column): Column =
     ColumnBridge.column(RollingFingerprint(ex(text)))
+  def minhashText(text: Column, shingleN: Int, numPerms: Int): Column =
+    ColumnBridge.column(ShingleMinHash(ex(text), shingleN, numPerms))
+  def shingleHashes(text: Column, shingleN: Int): Column =
+    ColumnBridge.column(ShingleHashes(ex(text), shingleN))
+  def sigAgree(a: Column, b: Column): Column =
+    ColumnBridge.column(SignatureAgreement(ex(a), ex(b)))
 }

@@ -206,4 +206,66 @@ class NativeExprSpec extends GraftSuite {
           org.apache.spark.sql.types.FloatType))), "dot_adj")
     assert(e.eval(null) == 1)
   }
+
+  test("fused text minhash is bit-identical to the composed shingle path") {
+    // real corpus rows PLUS adversarial whitespace shapes: doubled/tripled
+    // interior spaces (empty tokens), leading/trailing runs, exactly-n and
+    // below-n token counts, unicode multibyte — the fused kernel hashes
+    // byte ranges of the trimmed text, so any tokenization divergence from
+    // split(trim(text), " ") shows up here as a signature mismatch
+    val corpus = graft.sources.Readers.table(spark, sf, "documents")
+      .limit(200).select($"text")
+    val edges = Seq(
+      "a  b c d", "  lead", "trail   ", "a b c", "a b", "", "   ",
+      "a  b  c", "héllo wörld ünïcode tøkens", "x " * 40 + "y",
+      "single").toDF("text")
+    val diff = corpus.union(edges)
+      .select(
+        NativeFns.minhashText($"text", 3, 32).as("fused"),
+        NativeFns.minhashSig(TextFns.shingles($"text", 3), 32).as("composed"))
+      .filter(
+        ($"fused".isNull =!= $"composed".isNull) ||
+          ($"fused".isNotNull && $"fused" =!= $"composed"))
+      .count()
+    assert(diff == 0L, "fused minhash diverged from the composed path")
+  }
+
+  test("fused shingle hashes equal xxhash64 over distinct composed shingles") {
+    val corpus = graft.sources.Readers.table(spark, sf, "documents")
+      .limit(200).select($"doc_id", $"text")
+    val edges = Seq((9001L, "a  b c d"), (9002L, " x y "), (9003L, "a b"),
+      (9004L, "héllo wörld ünïcode tøkens extra words here")).toDF("doc_id", "text")
+    val docs = corpus.union(edges)
+    val fused = docs.select($"doc_id",
+        explode(NativeFns.shingleHashes($"text", 3)).as("h"))
+    val composed = docs.select($"doc_id",
+        explode(TextFns.shingles($"text", 3)).as("sh"))
+      .select($"doc_id", xxhash64($"sh").as("h"))
+    assert(fused.exceptAll(composed).count() == 0L &&
+      composed.exceptAll(fused).count() == 0L,
+      "fused shingle hash multiset diverged from composed xxhash64(shingle)")
+  }
+
+  test("native signature agreement equals the composed zip_with form") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents").limit(100)
+    val sigs = docs.select($"doc_id", NativeFns.minhashText($"text", 2, 16).as("sig"))
+      .filter($"sig".isNotNull)
+    val diff = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select(
+        NativeFns.sigAgree($"a.sig", $"b.sig").as("native"),
+        HashFns.signatureAgreement($"a.sig", $"b.sig").as("composed"))
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("SQL registration: graft_minhash_text / graft_shingle_hashes / graft_sig_agree") {
+    val row = spark.sql(
+      """SELECT graft_sig_agree(graft_minhash_text('a b c d e', 2, 8),
+        |                       graft_minhash_text('a b c d e', 2, 8)) AS agree,
+        |       size(graft_shingle_hashes('a b c d e', 2)) AS n
+        |""".stripMargin).collect().head
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getInt(1) == 4)
+  }
 }
