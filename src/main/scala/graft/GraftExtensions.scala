@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, PqApproxScore, RollingFingerprint, ShingleHashes, ShingleMinHash, SignatureAgreement, SimHash64}
+import graft.plans.{CharGramHashes, CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, PqApproxScore, RollingFingerprint, ShingleHashes, ShingleMinHash, SignatureAgreement, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -115,6 +115,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_shingle_hashes", "(text, shingleN)", args, 2, 2)
         ShingleHashes(args.head,
           intLitArg("graft_shingle_hashes", args(1), "shingleN"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chargram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName, "graft_chargram_hashes"),
+      (args: Seq[Expression]) => {
+        arity("graft_chargram_hashes", "(text, gramN)", args, 2, 2)
+        CharGramHashes(args.head,
+          intLitArg("graft_chargram_hashes", args(1), "gramN"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_sig_agree"),

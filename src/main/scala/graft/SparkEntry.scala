@@ -1020,6 +1020,33 @@ object SparkEntry {
       Scoring.scoreCharBigramLm(docs, col("doc_id"), col("text"), model)
         .withColumnRenamed("_sid", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    "q75_bm25_topk" -> ((s, dir) => {
+      // relevance-ranked corpus search: global BM25 top-20 for a 3-term
+      // query. logIdf=false (raw Robertson idf ratio) keeps every score a
+      // fixed-order rational over integers — bit-exact vs the oracle;
+      // production callers flip logIdf=true for the textbook weighting.
+      Scoring.bm25TopK(T(s, dir, "documents"), col("doc_id"), col("text"),
+          Seq("hash", "join", "vector"), k = 20)
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+    }),
+
+    "q76_chargram_dup" -> ((s, dir) => {
+      // ExactSubstr-style duplication profile: per doc, the fraction of its
+      // distinct char 20-grams that also occur in another document —
+      // char-level, tokenization-blind passage-copy signal
+      Dedup.charGramDupProfile(T(s, dir, "documents"), col("doc_id"),
+          col("text"), 20)
+        .orderBy("doc_id")
+    }),
+
+    "q77_dup_stats" -> ((s, dir) => {
+      // per-source duplication report: the first dashboard a curation run
+      // produces (doc counts, distinct texts, exact-dup ratio, char volume)
+      Dedup.corpusDupStats(T(s, dir, "documents"), col("source"),
+          col("doc_id"), col("text"))
+        .orderBy("source")
     })
   )
 
@@ -1779,6 +1806,59 @@ object SparkEntry {
         | CAST(sum(m.p) AS BIGINT) AS lm_sum,
         | CAST(CAST(sum(m.p) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_permille
         |FROM bg JOIN m USING (bg)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the log-free Robertson idf ratio: every factor is written
+    // with the SAME nesting as the Spark expression so both engines apply
+    // identical exactly-rounded IEEE ops in identical order (constants are
+    // spelled as (1.2 + 1.0), never pre-folded to 2.2 — a decimal literal
+    // can round differently than the fold)
+    "q75_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |mt AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN token = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_0,
+        |  CAST(sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf_1,
+        |  CAST(sum(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_2
+        | FROM tok WHERE token IN ('hash', 'join', 'vector') GROUP BY doc_id),
+        |dfs AS (SELECT
+        |  CAST(count(DISTINCT CASE WHEN token = 'hash' THEN doc_id END) AS BIGINT) AS df_0,
+        |  CAST(count(DISTINCT CASE WHEN token = 'join' THEN doc_id END) AS BIGINT) AS df_1,
+        |  CAST(count(DISTINCT CASE WHEN token = 'vector' THEN doc_id END) AS BIGINT) AS df_2
+        | FROM tok WHERE token IN ('hash', 'join', 'vector'))
+        |SELECT doc_id,
+        | floor((
+        |   ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5))
+        |     * (CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))
+        |     / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        | + ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5))
+        |     * (CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))
+        |     / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        | + ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5))
+        |     * (CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))
+        |     / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        | ) * 10000.0 + 0.5) / 10000.0 AS bm25
+        |FROM mt JOIN dl USING (doc_id), stats, dfs
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q76_chargram_dup" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 20) AS gram FROM pos),
+        |gdf AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(CASE WHEN gdf.gdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        | floor(CAST(sum(CASE WHEN gdf.gdf > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS shared_ratio
+        |FROM g JOIN gdf USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q77_dup_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        | floor(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS dup_ratio
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

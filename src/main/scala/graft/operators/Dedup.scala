@@ -625,4 +625,56 @@ object Dedup {
     assigned.join(dropped, col(idCol) === col("drop_id"), "left")
       .select(col(idCol), col("cell_id"), col("drop_id").isNull.as("is_kept"))
   }
+
+  /** Exact-substring duplication profile: for each document, how much of it
+    * is character n-gram content that also appears in ANOTHER document —
+    * the ExactSubstr signal (char-level, tokenization-blind) that catches
+    * copied passages word-shingles miss (Lee et al. 2022's complement to
+    * near-dup; reference: the suffix-array dedup family). Output per doc:
+    * distinct char n-grams, how many of them occur in ≥ 2 documents, and
+    * the shared fraction.
+    *
+    * Scale shape: grams are fused 8-byte hashes ([[graft.plans
+    * .CharGramHashes]] — one UTF-8 walk per doc, no substring strings);
+    * per-doc distinctness is computed inside the expression, so the
+    * exploded index is (doc_id, gh) with no duplicates, and
+    * "occurs in ≥ 2 docs" is a count window over gh — one shuffle on the
+    * gram hash, one on doc_id for the roll-up. Docs shorter than n
+    * codepoints have no grams and are absent from the output.
+    */
+  def charGramDupProfile(docs: DataFrame, id: Column, text: Column,
+                         n: Int): DataFrame = {
+    val grams = docs.select(id.as("doc_id"),
+      explode(NativeFns.charGramHashes(text, n)).as("gh"))
+    val withDf = grams.withColumn("gdf",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+    withDf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") > 1L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        graft.functions.NumFns.roundHalfUp(
+          col("n_shared").cast("double") / col("n_grams").cast("double"), 4)
+          .as("shared_ratio"))
+  }
+
+  /** Per-source corpus duplication report: document counts, distinct text
+    * counts, and the exact-dup ratio — the first number a curation run
+    * reports per crawl/source before any near-dup work. One shuffle on
+    * (source, content hash) then a per-source roll-up; the full text
+    * never shuffles (distinctness via the same 8-byte xxhash64 key
+    * [[exact]] groups on).
+    */
+  def corpusDupStats(docs: DataFrame, source: Column, id: Column,
+                     text: Column): DataFrame =
+    docs
+      .select(source.as("source"), id.as("doc_id"), xxhash64(text).as("th"),
+        length(text).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("th")).as("n_unique"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("n_chars"),
+        graft.functions.NumFns.roundHalfUp(
+          (col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs").cast("double"), 4).as("dup_ratio"))
 }

@@ -120,4 +120,62 @@ object Scoring {
       .agg(count(lit(1)).as("n_big"), sum(col("p_permille")).as("lm_sum"))
       .selectExpr("_sid", "n_big", "lm_sum",
         "lm_sum div n_big as avg_permille")
+
+  /** BM25 retrieval: global top-k documents for a bag of query terms —
+    * the relevance-ranked corpus search a curation pipeline uses to pull
+    * topic-targeted training slices ("find me the docs about X").
+    *
+    * Scale shape: the corpus is tokenized ONCE; non-query tokens are
+    * filtered out BEFORE any aggregation, so the per-(doc, term) frequency
+    * shuffle carries only matching rows. Corpus statistics (N, Σdl) and
+    * per-term document frequencies are aggregate-sized and broadcast. The
+    * final top-k is `TakeOrderedAndProject` — per-partition heaps, no
+    * global sort.
+    *
+    * Exactness: with `logIdf = false` (the oracle-checked default) the
+    * idf is the raw Robertson ratio (N − df + ½)/(df + ½) WITHOUT the
+    * log — every quantity is derived from integers by exactly-rounded
+    * IEEE +,−,×,÷ in a FIXED left-to-right term order, so the score is
+    * bit-identical across engines and partitionings (transcendentals are
+    * the one thing libms disagree on — see the all-integer house rule
+    * above). `logIdf = true` gives the textbook BM25 idf
+    * ln(1 + (N − df + ½)/(df + ½)) for production ranking quality, at the
+    * cost of oracle exactness. Per-term contributions with tf = 0 vanish
+    * arithmetically (0 numerator), so only matching docs rank.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               logIdf: Boolean = false): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.distinct.size == terms.size, "duplicate query terms would double-count")
+    val toks = docs.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val ex = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      count_distinct(when(col("token") === t, col("doc_id"))).as(s"df_$i")
+    }
+    val dfs = ex.agg(dfAggs.head, dfAggs.tail: _*)
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val tfs = ex.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+    val scored = tfs.join(dl, "doc_id")
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf_$i").cast("double")
+      val dfd = col(s"df_$i").cast("double")
+      val idfRaw = (col("n_docs").cast("double") - dfd + lit(0.5)) / (dfd + lit(0.5))
+      val idf = if (logIdf) log(idfRaw + lit(1.0)) else idfRaw
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    }
+    val score = terms.indices.map(contrib).reduce(_ + _) // fixed left-to-right order
+    scored
+      .select(col("doc_id"), graft.functions.NumFns.roundHalfUp(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -660,6 +660,40 @@ case class ShingleHashes(child: Expression, shingleN: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct character n-gram hashes fused from raw text
+  * ([[ShingleOps.charGramHashes]]): the exact-substring duplication unit —
+  * codepoint-indexed so each gram is `substr(text, i, n)` under
+  * character-counting engines, hashed in place from the UTF-8 bytes.
+  * Empty array below n codepoints.
+  */
+case class CharGramHashes(child: Expression, gramN: Int)
+    extends UnaryExpression {
+
+  require(gramN >= 1, s"graft_chargram_hashes needs gramN >= 1, got $gramN")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_chargram_hashes expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_chargram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleOps.charGramHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], gramN))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad($ops.charGramHashes($t, $gramN));"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fraction of equal positions between two `array<long>` MinHash signatures
   * — the unbiased Jaccard estimate — as one primitive loop. The composed
   * `zip_with`+`aggregate` twin (HashFns.signatureAgreement) is interpreted
@@ -743,4 +777,6 @@ object NativeFns {
     ColumnBridge.column(ShingleHashes(ex(text), shingleN))
   def sigAgree(a: Column, b: Column): Column =
     ColumnBridge.column(SignatureAgreement(ex(a), ex(b)))
+  def charGramHashes(text: Column, gramN: Int): Column =
+    ColumnBridge.column(CharGramHashes(ex(text), gramN))
 }

@@ -129,4 +129,71 @@ object ShingleOps {
     }
     if (outN == m) out else java.util.Arrays.copyOf(out, outN)
   }
+
+  /** Distinct xxhash64 values (seed 42) of the CHARACTER n-grams of the
+    * text — the exact-substring dedup unit (codepoint-indexed, so a gram is
+    * `substr(text, i, n)` in engines that count characters, not bytes).
+    * One UTF-8 walk with a ring buffer of the last n+1 codepoint byte
+    * offsets; each gram is hashed as its byte range in place. Empty array
+    * when the text has fewer than n codepoints.
+    */
+  def charGramHashes(text: UTF8String, n: Int): Array[Long] = {
+    val nb = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    // byte offsets of codepoint starts, ring of n+1 entries:
+    // ring(i % (n+1)) = start of codepoint i; gram ending at codepoint i
+    // spans [start(i - n + 1), start(i + 1))
+    val ring = new Array[Int](n + 1)
+    var cp = 0
+    var b = 0
+    var outN = 0
+    var out: Array[Long] = null
+    var table: Array[Long] = null
+    var used: Array[Boolean] = null
+    var mask = 0
+    while (b < nb) {
+      ring(cp % (n + 1)) = b
+      val first = text.getByte(b) & 0xFF
+      val len =
+        if (first < 0x80) 1
+        else if ((first & 0xE0) == 0xC0) 2
+        else if ((first & 0xF0) == 0xE0) 3
+        else 4
+      b += len
+      cp += 1
+      if (cp >= n) {
+        if (out == null) {
+          // total codepoints unknown without a pre-pass; size for the
+          // remaining-bytes upper bound (ASCII worst case)
+          val maxGrams = nb - n + 1
+          out = new Array[Long](math.max(maxGrams, 1))
+          var c = Integer.highestOneBit(math.max(4, maxGrams * 2) - 1) << 1
+          if (c < 4) c = 4
+          table = new Array[Long](c)
+          used = new Array[Boolean](c)
+          mask = c - 1
+        }
+        val b0 = ring((cp - n) % (n + 1))
+        val h = XXH64.hashUnsafeBytes(base, off + b0, b - b0, Seed1)
+        var slot = (h ^ (h >>> 32)).toInt & mask
+        var dup = false
+        var probing = true
+        while (probing) {
+          if (!used(slot)) probing = false
+          else if (table(slot) == h) { dup = true; probing = false }
+          else slot = (slot + 1) & mask
+        }
+        if (!dup) {
+          used(slot) = true
+          table(slot) = h
+          out(outN) = h
+          outN += 1
+        }
+      }
+    }
+    if (out == null) Array.emptyLongArray
+    else if (outN == out.length) out
+    else java.util.Arrays.copyOf(out, outN)
+  }
 }

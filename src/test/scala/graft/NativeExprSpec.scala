@@ -259,6 +259,31 @@ class NativeExprSpec extends GraftSuite {
     assert(diff == 0L)
   }
 
+  test("fused char-gram hashes equal xxhash64 over distinct codepoint substrings") {
+    // composed twin built from substring over a codepoint index — the
+    // definition DuckDB's substr uses — including multibyte UTF-8 where
+    // codepoint != byte offsets
+    val corpus = graft.sources.Readers.table(spark, sf, "documents")
+      .limit(100).select($"doc_id", $"text")
+    val edges = Seq((9001L, "héllo wörld — ünïcode tøkens ærø ßharp çedilla ñye"),
+      (9002L, "x" * 19), (9003L, "y" * 20), (9004L, ""),
+      (9005L, "abcabcabcabcabcabcabcabcabc")).toDF("doc_id", "text")
+    val docs = corpus.union(edges)
+    val n = 20
+    val fused = docs.select($"doc_id",
+      explode(graft.plans.NativeFns.charGramHashes($"text", n)).as("h"))
+    val composed = docs
+      .select($"doc_id", explode(expr(
+        // sequence(1, 0) would count DOWN — guard short docs to an empty array
+        s"CASE WHEN length(text) >= $n THEN " +
+          s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)) " +
+          s"ELSE array() END")).as("g"))
+      .select($"doc_id", xxhash64($"g").as("h")).distinct()
+    assert(fused.exceptAll(composed).count() == 0L &&
+      composed.exceptAll(fused).count() == 0L,
+      "fused char-gram hashes diverged from codepoint substring hashing")
+  }
+
   test("SQL registration: graft_minhash_text / graft_shingle_hashes / graft_sig_agree") {
     val row = spark.sql(
       """SELECT graft_sig_agree(graft_minhash_text('a b c d e', 2, 8),

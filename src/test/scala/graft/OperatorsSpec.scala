@@ -318,4 +318,63 @@ class OperatorsSpec extends GraftSuite {
     assert(row.getAs[Long]("available_bikes") == 19L)
     assert(row.getAs[String]("station_status") == "In Service")
   }
+
+  test("bm25TopK ranks term-dense short docs first; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "hash hash hash join"), // dense in query terms, short
+      (2L, "hash join " + ("filler words here " * 30).trim), // same terms, long
+      (3L, "vector"), // one rarer term
+      (4L, "nothing relevant at all"), // no query terms
+      (5L, "the the the the")).toDF("doc_id", "text")
+    val got = Scoring.bm25TopK(docs, $"doc_id", $"text",
+      Seq("hash", "join", "vector"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ids = got.map(_._1).toSet
+    assert(!ids.contains(4L) && !ids.contains(5L),
+      "docs with no query terms must not rank")
+    assert(got.head._1 == 3L,
+      "the sole match for the rarest term (max idf, max tf-saturation) ranks first")
+    val byId = got.toMap
+    assert(byId(1L) > byId(2L), "length normalization must damp the long doc")
+    assert(got.forall(_._2 > 0.0))
+  }
+
+  test("bm25TopK logIdf variant keeps the same matching-doc set, positive scores") {
+    val docs = Seq(
+      (1L, "hash join vector"),
+      (2L, "hash alone here"),
+      (3L, "unrelated text")).toDF("doc_id", "text")
+    val raw = Scoring.bm25TopK(docs, $"doc_id", $"text", Seq("hash", "vector"), 10)
+    val logd = Scoring.bm25TopK(docs, $"doc_id", $"text", Seq("hash", "vector"), 10,
+      logIdf = true)
+    assert(raw.select("doc_id").as[Long].collect().toSet ==
+      logd.select("doc_id").as[Long].collect().toSet)
+    assert(logd.select("bm25").as[Double].collect().forall(_ > 0.0))
+  }
+
+  test("charGramDupProfile flags shared passages, skips short docs") {
+    val passage = "this exact passage of twenty plus characters is copied verbatim"
+    val docs = Seq(
+      (1L, s"unique prefix one $passage"),
+      (2L, s"different lead-in text $passage"),
+      (3L, "entirely original content with no overlap whatsoever in it"),
+      (4L, "short")).toDF("doc_id", "text") // < 20 chars: no grams
+    val got = Dedup.charGramDupProfile(docs, $"doc_id", $"text", 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(4L), "sub-gram-length doc must be absent")
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0, "copied passage must flag both docs")
+    assert(got(3L)._2 == 0, "unique doc must have zero shared grams")
+    assert(got(1L)._2 <= got(1L)._1)
+  }
+
+  test("corpusDupStats counts exact dups per source") {
+    val docs = Seq(
+      (1L, "a", "same text"), (2L, "a", "same text"), (3L, "a", "other"),
+      (4L, "b", "unique one"), (5L, "b", "unique two")).toDF("doc_id", "source", "text")
+    val got = Dedup.corpusDupStats(docs, $"source", $"doc_id", $"text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(got("a") == ((3L, 2L, 0.3333)))
+    assert(got("b") == ((2L, 2L, 0.0)))
+  }
 }

@@ -58,7 +58,11 @@ class PlanSpec extends GraftSuite {
       // — the same by-design shape as the ANN assignment paths above
       // (q71's pair join and verdict join are equi-joins; only the 1-row
       // centroid packing is nested-loop)
-      "q70_cluster_assign", "q71_semantic_dedup")
+      "q70_cluster_assign", "q71_semantic_dedup",
+      // q75: tf table × TWO broadcast 1-row stats (N/Σdl, per-term dfs) —
+      // the q61 threshold shape again; the tokenize/tf/df sides are all
+      // equi-joined or aggregated
+      "q75_bm25_topk")
     val offenders = allPlans.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .collect { case (name, plan)
