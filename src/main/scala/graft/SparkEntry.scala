@@ -1047,6 +1047,25 @@ object SparkEntry {
       Dedup.corpusDupStats(T(s, dir, "documents"), col("source"),
           col("doc_id"), col("text"))
         .orderBy("source")
+    }),
+
+    "q78_heavy_hitters" -> ((s, dir) => {
+      // exact frequent-token mining with NO vocabulary shuffle: Misra-Gries
+      // candidate sketch (custom TypedImperativeAggregate, <= k entries per
+      // partial) + broadcast exact recount; output = exactly the tokens
+      // with freq*(k+1) > total_tokens, independent of partitioning
+      Scoring.heavyHitters(T(s, dir, "documents"), col("text"), 30)
+        .orderBy("token")
+    }),
+
+    "q79_length_deciles" -> ((s, dir) => {
+      // exact per-source length deciles via the value-histogram shape: one
+      // (source, length) count shuffle; cumulative ranks over the
+      // aggregate-sized histogram — no corpus sort, all-integer arithmetic
+      Relational.groupedQuantiles(T(s, dir, "documents"),
+          col("source"), length(col("text")).cast("long"), (1 to 9).map(_ * 10))
+        .select(col("g").as("source"), col("pct"), col("value"))
+        .orderBy("source", "pct")
     })
   )
 
@@ -1859,6 +1878,26 @@ object SparkEntry {
         | CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
         | CAST(sum(length(text)) AS BIGINT) AS n_chars,
         | floor(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS dup_ratio
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact heavy hitters above the MG threshold: freq*(k+1) > n, k=30
+    "q78_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok, n GROUP BY token, n.n
+        |HAVING count(*) * 31 > n.n
+        |ORDER BY token""".stripMargin,
+
+    "q79_length_deciles" ->
+      """WITH c AS (SELECT source, CAST(length(text) AS BIGINT) AS v, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |sz AS (SELECT source, sum(cnt) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT source, v, sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum FROM c),
+        |t AS (SELECT source, n, unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS pct FROM sz),
+        |tr AS (SELECT source, pct, (CAST(pct AS BIGINT) * n + 99) // 100 AS r FROM t)
+        |SELECT cum.source, tr.pct, CAST(min(v) AS BIGINT) AS value
+        |FROM cum JOIN tr ON cum.source = tr.source AND cum.cum >= tr.r
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -296,4 +296,37 @@ object Relational {
         (col("__n") - col("n_nonnull")).as("n_null"),
         col("n_distinct"))
   }
+
+  /** EXACT per-group quantiles of an integer-valued column, as a value
+    * histogram — the distributed shape that needs no per-group sort: the
+    * corpus collapses to an aggregate-sized (group, value, count) table in
+    * ONE shuffle, cumulative counts run over that SMALL table (window
+    * partitions bounded by per-group value cardinality, not row count),
+    * and the pct-quantile is the least value whose cumulative count
+    * reaches rank ceil(pct·n/100). All-integer arithmetic (rank =
+    * (pct·n + 99) div 100), so results are engine-exact — unlike
+    * interpolated `percentile`, whose lerp is a libm-shaped portability
+    * trap. At 100 TB a 10^12-row group with ~10^6 distinct lengths costs
+    * one count-shuffle; a sort-based rank would shuffle every row.
+    *
+    * `pcts` are integer percents (e.g. 10..90 by 10 for deciles).
+    */
+  def groupedQuantiles(df: DataFrame, group: Column, value: Column,
+                       pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be integer percents in 1..100, got $pcts")
+    val hist = df.groupBy(group.as("g"), value.as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val sizes = hist.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"))))
+    val targets = sizes.select(col("g"), col("n"),
+      explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      .withColumn("r", expr("(CAST(pct AS BIGINT) * n + 99) DIV 100"))
+    cum.join(targets, "g")
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("g"), col("pct"))
+      .agg(min(col("v")).as("value"))
+  }
 }

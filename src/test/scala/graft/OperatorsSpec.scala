@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.TextFns
 import graft.operators._
 import org.apache.spark.sql.functions._
 
@@ -365,6 +366,64 @@ class OperatorsSpec extends GraftSuite {
     assert(got(1L)._2 > 0 && got(2L)._2 > 0, "copied passage must flag both docs")
     assert(got(3L)._2 == 0, "unique doc must have zero shared grams")
     assert(got(1L)._2 <= got(1L)._1)
+  }
+
+  test("heavyHitters equals the exact groupBy answer at several partitionings") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val k = 60 // sf0.001: ~2.7k tokens, threshold n/61 ~ 44 — several hitters exist
+    def exact(d: org.apache.spark.sql.DataFrame) = {
+      val toks = d.select(explode(TextFns.tokens($"text")).as("token"))
+      val n = toks.count()
+      toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" * (k + 1) > n)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    val want = exact(docs)
+    assert(want.nonEmpty, "test corpus should have heavy hitters at k=60")
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Scoring.heavyHitters(docs.repartition(parts), $"text", k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"MG two-pass diverged from exact at $parts partitions")
+    }
+  }
+
+  test("MisraGries candidate set always contains every true heavy hitter") {
+    // a skewed synthetic stream: token t0 is 40% of all tokens, the rest
+    // spread thin — t0 must appear in the candidate array at ANY k >= 2
+    val rows = (1 to 400).map(i => s"hot x$i hot y$i") // 'hot' freq = 800/1600
+    val docs = rows.toDF("text")
+    val toks = docs.select(explode(TextFns.tokens($"text")).as("token"))
+    for (k <- Seq(2, 5, 30)) {
+      val cands = toks.agg(graft.plans.HeavyHitters.misraGries($"token", k).as("c"))
+        .select(explode($"c").as("t")).as[String].collect().toSet
+      assert(cands.contains("hot"), s"guarantee violated at k=$k")
+      assert(cands.size <= k)
+    }
+  }
+
+  test("groupedQuantiles equals the sorted-rank reference per group") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+    val pcts = (1 to 9).map(_ * 10)
+    val got = Relational.groupedQuantiles(docs, $"source",
+        length($"text").cast("long"), pcts)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val byGroup = docs.select($"source", length($"text").cast("long").as("v"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    for ((g, vs) <- byGroup; p <- pcts) {
+      val r = ((p.toLong * vs.length + 99) / 100).toInt // ceil(p*n/100), 1-based
+      assert(got((g, p)) == vs(r - 1),
+        s"group $g pct $p: got ${got((g, p))}, want ${vs(r - 1)}")
+    }
+  }
+
+  test("groupedQuantiles: pct=100 is the max; singleton group is constant") {
+    val df = Seq(("a", 5L), ("a", 1L), ("a", 9L), ("b", 7L)).toDF("g", "v")
+    val got = Relational.groupedQuantiles(df, $"g", $"v", Seq(50, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got(("a", 100)) == 9L && got(("a", 50)) == 5L)
+    assert(got(("b", 50)) == 7L && got(("b", 100)) == 7L)
   }
 
   test("corpusDupStats counts exact dups per source") {
