@@ -145,4 +145,28 @@ object Writers {
   def groupedJson(df: DataFrame, key: Column, entry: Column): DataFrame =
     df.groupBy(key.as("key"))
       .agg(to_json(sort_array(collect_list(entry))).as("entries_json"))
+
+  /** Training-data shard export: write `df` as `numShards` deterministic
+    * hash shards (`shard=N/` partition dirs, one file each) and return the
+    * manifest the data loader reads first — (shard, n_rows, n_bytes) —
+    * computed from the SAME projection that was written, in one pass over
+    * the data per side (write, then an aggregate-sized manifest query).
+    *
+    * Hash sharding on the id (not round-robin) so a re-export after an
+    * upstream change keeps every surviving row in the same shard — loaders
+    * resume / diff shard-by-shard. `sizeCol` is the payload column the
+    * manifest sizes (octet_length), typically the text.
+    */
+  def shardedExport(df: DataFrame, id: Column, sizeCol: Column,
+                    path: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val sharded = df.withColumn("shard", pmod(xxhash64(id), lit(numShards.toLong)))
+    sharded
+      .repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    sharded
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(octet_length(sizeCol).cast("long")).as("n_bytes"))
+  }
 }

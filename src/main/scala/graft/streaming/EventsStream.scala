@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
@@ -155,5 +155,35 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q
+  }
+
+  /** Per-window frequent-key monitor: the streaming face of the
+    * Misra–Gries candidate sketch ([[graft.plans.MisraGriesAgg]]). Each
+    * tumbling window aggregates a ≤ k-entry candidate summary in streaming
+    * state — constant state per window regardless of key cardinality,
+    * which is the whole point: a full per-key count in state grows with
+    * the live key universe; the sketch never does. Downstream alerting
+    * recounts candidates exactly if it needs true frequencies (same
+    * two-pass contract as `Scoring.heavyHitters`); the candidate array is
+    * guaranteed to contain every key with in-window frequency >
+    * n_window/(k+1) under any merge order of the partials.
+    *
+    * Same NTZ handling as [[windowedCounts]]: event-time state requires
+    * TIMESTAMP, so NTZ inputs are cast through it and the window bound is
+    * cast back.
+    */
+  def windowedHeavyHitters(events: DataFrame, keyExpr: Column,
+                           windowDuration: String, watermark: String,
+                           k: Int): DataFrame = {
+    val ntzIn = events.schema("ts").dataType == TimestampNTZType
+    val start =
+      if (ntzIn) col("window.start").cast("timestamp_ntz") else col("window.start")
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(count(lit(1)).as("n_events"),
+        graft.plans.HeavyHitters.misraGries(keyExpr, k).as("candidates"))
+      .select(start.as("window_start"), col("n_events"), col("candidates"))
   }
 }

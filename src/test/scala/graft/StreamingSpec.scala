@@ -381,4 +381,69 @@ class StreamingSpec extends GraftSuite {
     assert(viaRoute.exceptAll(viaAssign).isEmpty && viaAssign.exceptAll(viaRoute).isEmpty,
       "routeToCells must match kmeansAssign on identical centroids")
   }
+
+  test("streaming windowed heavy hitters: candidates contain every true in-window hitter") {
+    import org.apache.spark.sql.functions.{col, get_json_object, window => fwindow, count => fcount, lit => flit, explode}
+    val staged = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+    ev.write.mode("overwrite").parquet(staged)
+    val k = 8
+    val keyExpr = get_json_object(col("props"), "$.k")
+    val stream = spark.readStream.schema(EventsStream.eventSchema).parquet(staged)
+    val q = EventsStream.windowedHeavyHitters(stream, keyExpr, "1 hour", "2 hours", k)
+      .writeStream.outputMode("complete").format("memory").queryName("hh_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hh_out")
+        .select(col("window_start").cast("timestamp").cast("long").as("ws"),
+          col("n_events"), explode(col("candidates")).as("cand"))
+        .collect()
+        .groupBy(r => (r.getLong(0), r.getLong(1)))
+        .view.mapValues(_.map(_.getString(2)).toSet).toMap
+      assert(got.nonEmpty)
+      // batch truth per window: keys with freq*(k+1) > n_window MUST be
+      // among the streamed candidates (the MG guarantee, any merge order)
+      val batch = ev
+        .groupBy(fwindow(col("ts").cast("timestamp"), "1 hour").as("w"), keyExpr.as("key"))
+        .agg(fcount(flit(1)).as("cnt"))
+        .select(col("w.start").cast("long").as("ws"), col("key"), col("cnt"))
+        .collect()
+        .groupBy(_.getLong(0))
+      for ((ws, rows) <- batch) {
+        val n = rows.map(_.getLong(2)).sum
+        val must = rows.filter(r => r.getLong(2) * (k + 1) > n).map(_.getString(1)).toSet
+        // epoch seconds on both sides (stream side was cast identically)
+        val cands = got.collectFirst { case ((w, gn), c) if w == ws => assert(gn == n); c }
+        assert(cands.isDefined, s"window $ws missing from stream output")
+        assert(must.subsetOf(cands.get),
+          s"window $ws: hitters ${must -- cands.get} not in candidates")
+        assert(cands.get.size <= k)
+      }
+    } finally q.stop()
+  }
+
+  test("Writers.shardedExport round-trips all rows and its manifest matches the files") {
+    import org.apache.spark.sql.functions.{col, octet_length, sum => fsum, count => fcount, lit => flit}
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val manifest = graft.sources.Writers.shardedExport(
+      docs, col("doc_id"), col("text"), dir, numShards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count(), "export lost rows")
+    assert(back.select("doc_id").exceptAll(docs.select("doc_id")).isEmpty)
+    val perShard = back.groupBy(col("shard"))
+      .agg(fcount(flit(1)).as("n"), fsum(octet_length(col("text")).cast("long")).as("b"))
+      .collect().map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perShard == manifest, "manifest disagrees with written files")
+    // deterministic assignment: re-export of a subset keeps shard membership
+    val sub = docs.filter(col("doc_id") % 3 === 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    graft.sources.Writers.shardedExport(sub, col("doc_id"), col("text"), dir2, numShards = 8)
+    val back2 = spark.read.parquet(dir2)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"))
+    val orig = back.select(col("doc_id"), col("shard").cast("long").as("shard"))
+    assert(back2.exceptAll(orig).isEmpty, "subset re-export moved rows across shards")
+  }
 }
