@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (SURVEY §2b): media as opaque `binary` columns
   * plus typed metadata, with the decode/feature-extract step batched per
   * partition (the shape a Pandas-UDF / mapInPandas pipeline has in
-  * production). Image CONTAINER parsing is real — PNG and JPEG dimensions
-  * are read from the actual header bytes ([[parseImageHeader]], no external
-  * libs needed: both formats carry dimensions in fixed-layout segments).
-  * Full pixel/audio decoding stays STUBBED — codec libs are not in this
+  * production). CONTAINER parsing is real — PNG/JPEG dimensions and
+  * WAV sample-rate/channels are read from the actual header bytes
+  * ([[parseImageHeader]], [[parseWavHeader]]; no external libs needed:
+  * these formats carry their metadata in fixed-layout segments). Full
+  * pixel/sample decoding stays STUBBED — codec libs are not in this
   * container — with a deterministic fake so the Spark-side schema,
   * partitioning and batch plumbing are real and testable end-to-end.
   */
@@ -80,10 +81,45 @@ object Multimodal {
     } else None
   }
 
-  /** STUB decoder: deterministic fake for payloads [[parseImageHeader]]
-    * cannot handle (audio, unknown containers, pixel-level features). A real
-    * pipeline swaps this for the codec call; everything around it (partition
-    * batching, output schema, null passthrough) is production-shaped.
+  /** Real audio-container parser: sample rate / channel count read from an
+    * actual RIFF/WAVE header. Layout: "RIFF" + 4-byte LE riff size +
+    * "WAVE", then a chunk stream of (4-byte id, 4-byte LE size, payload) —
+    * the "fmt " chunk holds [audioFormat:2][channels:2 LE][sampleRate:4 LE]
+    * [byteRate:4][blockAlign:2][bitsPerSample:2]. Returns None for
+    * anything that is not a well-formed WAV prefix (caller falls back to
+    * the stub, same contract as [[parseImageHeader]]).
+    */
+  private[operators] def parseWavHeader(p: Array[Byte]): Option[(Long, Long)] = {
+    def u16le(i: Int): Int = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+    def u32le(i: Int): Long =
+      (p(i) & 0xFFL) | ((p(i + 1) & 0xFFL) << 8) |
+        ((p(i + 2) & 0xFFL) << 16) | ((p(i + 3) & 0xFFL) << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + 3 < p.length && p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+    if (p.length < 28 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    while (i + 8 <= p.length) {
+      val size = u32le(i + 4)
+      if (tag(i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > p.length) return None
+        val channels = u16le(i + 10).toLong
+        val sampleRate = u32le(i + 12)
+        if (channels < 1 || sampleRate < 1) return None
+        return Some((sampleRate, channels))
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+      if (size > Int.MaxValue - 16) return None
+    }
+    None
+  }
+
+  /** STUB decoder: deterministic fake for payloads [[parseImageHeader]] /
+    * [[parseWavHeader]] cannot handle (unknown containers, pixel-level
+    * features). A real pipeline swaps this for the codec call; everything
+    * around it (partition batching, output schema, null passthrough) is
+    * production-shaped.
     */
   private def decodeStub(checksum: Long): (Long, Long) = {
     // deterministic fake derived from the payload checksum (a real codec
@@ -94,17 +130,24 @@ object Multimodal {
     (w, h)
   }
 
-  /** Header parse first, stub fallback: (width, height, checksum, format).
-    * `format` is the parsed container ("png"/"jpeg") or null when the
-    * metadata came from the stub — downstream can filter on real decodes.
+  /** Header parse first (image, then audio), stub fallback:
+    * (width, height, sample_rate, channels, checksum, format). `format` is
+    * the parsed container ("png"/"jpeg"/"wav") or null when the metadata
+    * came from the stub — downstream can filter on real decodes. Image
+    * rows carry null audio fields and vice versa (a metadata table over a
+    * mixed corpus is sparse by nature; readers select their modality).
     */
-  private def decodeOne(payload: Array[Byte]): (Long, Long, Long, String) = {
+  private def decodeOne(payload: Array[Byte])
+      : (java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long, Long, String) = {
     val checksum = payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
     parseImageHeader(payload) match {
-      case Some((w, h, fmt)) => (w, h, checksum, fmt)
-      case None =>
-        val (w, h) = decodeStub(checksum)
-        (w, h, checksum, null)
+      case Some((w, h, fmt)) => (w, h, null, null, checksum, fmt)
+      case None => parseWavHeader(payload) match {
+        case Some((sr, ch)) => (null, null, sr, ch, checksum, "wav")
+        case None =>
+          val (w, h) = decodeStub(checksum)
+          (w, h, null, null, checksum, null)
+      }
     }
   }
 
@@ -114,6 +157,8 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("width", LongType),
     StructField("height", LongType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType),
     StructField("checksum", LongType),
     StructField("format", StringType)))
 
@@ -134,11 +179,11 @@ object Multimodal {
           if (payload == null) {
             // null passthrough: missing blobs keep their row, metadata null
             Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-              raw(r, "n_bytes"), null, null, null, null)
+              raw(r, "n_bytes"), null, null, null, null, null, null)
           } else {
-            val (w, h, cs, fmt) = decodeOne(payload)
+            val (w, h, sr, ch, cs, fmt) = decodeOne(payload)
             Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-              raw(r, "n_bytes"), w, h, cs, fmt)
+              raw(r, "n_bytes"), w, h, sr, ch, cs, fmt)
           }
         }
       }(enc)
@@ -160,12 +205,12 @@ object Multimodal {
             Option(r.getAs[Array[Byte]]("payload")).map(decodeOne)
           }
           batch.iterator.zip(decoded.iterator).map {
-            case (r, Some((w, h, cs, fmt))) =>
+            case (r, Some((w, h, sr, ch, cs, fmt))) =>
               Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-                raw(r, "n_bytes"), w, h, cs, fmt)
+                raw(r, "n_bytes"), w, h, sr, ch, cs, fmt)
             case (r, None) =>
               Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-                raw(r, "n_bytes"), null, null, null, null)
+                raw(r, "n_bytes"), null, null, null, null, null, null)
           }
         }
       }(enc)

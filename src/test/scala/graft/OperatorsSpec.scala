@@ -180,7 +180,8 @@ class OperatorsSpec extends GraftSuite {
     val docs = Seq((0L, "hello"), (1L, "world")).toDF("doc_id", "text")
     val got = Multimodal.decode(Multimodal.asMediaTable(docs, "doc_id", "text"))
     assert(got.schema.fieldNames.toSeq ==
-      Seq("doc_id", "media_type", "n_bytes", "width", "height", "checksum", "format"))
+      Seq("doc_id", "media_type", "n_bytes", "width", "height",
+        "sample_rate", "channels", "checksum", "format"))
     val rows = got.orderBy("doc_id").collect()
     assert(rows.length == 2)
     assert(rows(0).getAs[String]("media_type") == "image") // even id
@@ -235,6 +236,40 @@ class OperatorsSpec extends GraftSuite {
       assert(rows(3).getAs[Any]("format") == null)
       assert(rows(4).getAs[Any]("format") == null, "truncated SOF must not parse")
       assert(rows.forall(_.getAs[Any]("checksum") != null))
+    }
+  }
+
+  test("Multimodal: real WAV header bytes yield sample rate and channels") {
+    import org.apache.spark.sql.functions.{col, octet_length}
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le32(v: Long): Array[Byte] =
+      b((v & 0xFF).toInt, ((v >> 8) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt, ((v >> 24) & 0xFF).toInt)
+    def le16(v: Int): Array[Byte] = b(v & 0xFF, (v >> 8) & 0xFF)
+    // canonical 44.1 kHz stereo PCM header: RIFF/WAVE + fmt(16) + data
+    val wav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16) ++ "data".getBytes ++ le32(0)
+    // fmt preceded by another chunk (JUNK, odd size → pad byte): the chunk
+    // walk must skip it, word-aligned, and still find fmt
+    val wavJunkFirst = "RIFF".getBytes ++ le32(50) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(3) ++ b(1, 2, 3, 0) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16)
+    val truncated = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) // fmt chunk cut short
+    val media = Seq((1L, "audio", wav), (2L, "audio", wavJunkFirst),
+        (3L, "audio", truncated))
+      .toDF("doc_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    for (decoded <- Seq(Multimodal.decode(media), Multimodal.decodeBatched(media, 2))) {
+      val rows = decoded.orderBy("doc_id").collect()
+      assert(rows(0).getAs[Long]("sample_rate") == 44100L)
+      assert(rows(0).getAs[Long]("channels") == 2L)
+      assert(rows(0).getAs[String]("format") == "wav")
+      assert(rows(0).getAs[Any]("width") == null, "audio rows carry no image dims")
+      assert(rows(1).getAs[Long]("sample_rate") == 16000L, "JUNK-first chunk walk")
+      assert(rows(1).getAs[Long]("channels") == 1L)
+      assert(rows(2).getAs[Any]("format") == null, "truncated fmt must not parse")
     }
   }
 
