@@ -1066,6 +1066,38 @@ object SparkEntry {
           col("source"), length(col("text")).cast("long"), (1 to 9).map(_ * 10))
         .select(col("g").as("source"), col("pct"), col("value"))
         .orderBy("source", "pct")
+    }),
+
+    "q80_curation_pipeline" -> ((s, dir) => {
+      // the WHOLE curation run as one driver-checked query — every stage is
+      // an operator already verified in isolation, composed here so the
+      // hand-offs (which id set feeds which stage) are themselves under the
+      // oracle: exact dedup keepers → near-dup component collapse (keep the
+      // min-id representative, singletons pass) → decontamination (held-out
+      // eval slice removed; train docs sharing ANY 3-gram with it dropped,
+      // grams computed over the ORIGINAL corpus so dedup decisions cannot
+      // un-contaminate a doc) → Gopher quality gate. Output: the kept corpus.
+      val docs = T(s, dir, "documents")
+      val k1 = Dedup.exact(docs, col("doc_id"), col("text"))
+        .select(col("keeper_id").as("doc_id"))
+      val d1 = docs.join(k1, "doc_id")
+      val pairs = Dedup.ngramJaccardPairs(d1, col("doc_id"), col("text"), 3, 0.5,
+        persistIndex = true)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val d2 = d1.join(comp, d1("doc_id") === comp("node"), "left")
+        .filter(col("node").isNull || col("component") === col("doc_id"))
+        .drop("node", "component")
+      val held = pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95
+      val contaminated = Dedup.contaminationHits(docs, col("doc_id"), col("text"), held, 3)
+        .filter(col("n_hits") > 0).select(col("doc_id"))
+      val d3 = d2.filter(!held).join(contaminated, Seq("doc_id"), "left_anti")
+      val toks = TextFns.tokens(col("text"))
+      val n = size(toks).cast("double")
+      val meanLen = (length(trim(col("text"))).cast("double") - (n - 1)) / n
+      val repetition = (n - size(array_distinct(toks)).cast("double")) / n
+      d3.filter(meanLen.between(3.0, 10.0) && repetition < 0.6)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1393,6 +1425,8 @@ object SparkEntry {
         |SELECT doc_id, media_type, n_bytes,
         |  16 + checksum % 1920 AS width,
         |  16 + (checksum // 7) % 1080 AS height,
+        |  CAST(NULL AS BIGINT) AS sample_rate,
+        |  CAST(NULL AS BIGINT) AS channels,
         |  checksum,
         |  CAST(NULL AS VARCHAR) AS format
         |FROM m ORDER BY doc_id""".stripMargin,
@@ -1898,6 +1932,56 @@ object SparkEntry {
         |tr AS (SELECT source, pct, (CAST(pct AS BIGINT) * n + 99) // 100 AS r FROM t)
         |SELECT cum.source, tr.pct, CAST(min(v) AS BIGINT) AS value
         |FROM cum JOIN tr ON cum.source = tr.source AND cum.cum >= tr.r
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // end-to-end curation: exact keepers → near-dup CC collapse →
+    // decontamination (grams over the ORIGINAL corpus) → Gopher gate
+    "q80_curation_pipeline" ->
+      """WITH RECURSIVE
+        |k1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d1 AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN k1 USING (doc_id)),
+        |w1 AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM d1),
+        |sh1 AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        | FROM w1, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh1 GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        | FROM sh1 a JOIN sh1 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |  FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, label) AS (
+        | SELECT DISTINCT src, src FROM edges
+        | UNION
+        | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+        |d2 AS (SELECT d1.doc_id, d1.source, d1.text FROM d1
+        | LEFT JOIN comp ON d1.doc_id = comp.node
+        | WHERE comp.node IS NULL OR comp.component = d1.doc_id),
+        |wall AS (SELECT doc_id, string_split(trim(text), ' ') AS words,
+        |  ((doc_id % 100003) * 2654435761) % 100 >= 95 AS held FROM documents),
+        |shall AS (SELECT DISTINCT doc_id, held, array_to_string(words[i:i+2], ' ') AS g
+        | FROM wall, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |hg AS (SELECT DISTINCT g FROM shall WHERE held),
+        |contaminated AS (SELECT DISTINCT doc_id FROM shall JOIN hg USING (g) WHERE NOT held),
+        |d3 AS (SELECT d2.doc_id, d2.source, d2.text FROM d2
+        | WHERE NOT (((d2.doc_id % 100003) * 2654435761) % 100 >= 95)
+        |  AND d2.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |g AS (SELECT doc_id, source,
+        |  (CAST(length(trim(text)) AS DOUBLE) - (len(string_split(trim(text), ' ')) - 1))
+        |    / len(string_split(trim(text), ' ')) AS mean_len,
+        |  (CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+        |    - len(list_distinct(string_split(trim(text), ' '))))
+        |    / len(string_split(trim(text), ' ')) AS rep
+        | FROM d3)
+        |SELECT doc_id, source FROM g
+        |WHERE (mean_len BETWEEN 3.0 AND 10.0) AND rep < 0.6
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -144,10 +144,10 @@ object Dedup {
     val pairs = blocked.groupBy(col("sh_h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds) - i - 1), " +
-          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      // native pair expansion: one primitive double loop per bucket vs the
+      // interpreted nested-transform + flatten formulation (identical
+      // output order; the df cap bounds the per-bucket array either way)
+      .select(explode(NativeFns.pairCombos(col("ds"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common_rare"))

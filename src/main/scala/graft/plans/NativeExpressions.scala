@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -694,6 +695,54 @@ case class CharGramHashes(child: Expression, gramN: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All unordered pairs (a(i), a(j)), i < j, of an `array<long>` as an
+  * `array<struct<doc_a, doc_b>>` — the intra-bucket candidate expansion of
+  * blocked dedup (safe ONLY under a bucket-size cap; the caller bounds
+  * |a|). One allocation and a primitive double loop vs the composed
+  * nested-`transform` + `flatten` formulation, which is interpreted (no
+  * codegen for higher-order functions) and re-evaluates a `slice` per
+  * element. Order matches the composed form: for each i ascending, all j >
+  * i ascending — so results are drop-in identical.
+  */
+case class PairCombos(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pair_combos expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pair_combos"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = InternalRow(x, a.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // no doGenCode: the row-building loop gains nothing from inlining (it
+  // allocates per pair either way); eval is the loop. CodegenFallback keeps
+  // the surrounding stage in codegen.
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fraction of equal positions between two `array<long>` MinHash signatures
   * — the unbiased Jaccard estimate — as one primitive loop. The composed
   * `zip_with`+`aggregate` twin (HashFns.signatureAgreement) is interpreted
@@ -777,6 +826,8 @@ object NativeFns {
     ColumnBridge.column(ShingleHashes(ex(text), shingleN))
   def sigAgree(a: Column, b: Column): Column =
     ColumnBridge.column(SignatureAgreement(ex(a), ex(b)))
+  def pairCombos(sortedIds: Column): Column =
+    ColumnBridge.column(PairCombos(ex(sortedIds)))
   def charGramHashes(text: Column, gramN: Int): Column =
     ColumnBridge.column(CharGramHashes(ex(text), gramN))
 }

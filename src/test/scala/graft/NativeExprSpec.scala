@@ -284,6 +284,21 @@ class NativeExprSpec extends GraftSuite {
       "fused char-gram hashes diverged from codepoint substring hashing")
   }
 
+  test("native pair combos equal the composed nested-transform expansion") {
+    val df = Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(7L, 9L), Seq(5L), Seq.empty[Long]).toDF("ds")
+    val fused = df.select(explode(NativeFns.pairCombos($"ds")).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
+    val composed = df.select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds) - i - 1), " +
+          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
+    assert(fused.collect().toSeq == composed.collect().toSeq,
+      "pair expansion order or content diverged")
+    assert(fused.count() == 4 * 3 / 2 + 1)
+  }
+
   test("SQL registration: graft_minhash_text / graft_shingle_hashes / graft_sig_agree") {
     val row = spark.sql(
       """SELECT graft_sig_agree(graft_minhash_text('a b c d e', 2, 8),
