@@ -98,19 +98,24 @@ object Multimodal {
       i + 3 < p.length && p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
         p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
     if (p.length < 28 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i = 12
+    // the cursor is Long and every declared size is range-checked BEFORE
+    // advancing: a malicious chunk size near 2^31 (or 2^32-1) must return
+    // None, never wrap the cursor negative into an ArrayIndexOutOfBounds —
+    // one corrupt blob would otherwise fail the whole decode task instead
+    // of degrading to the stub
+    var i = 12L
     while (i + 8 <= p.length) {
-      val size = u32le(i + 4)
-      if (tag(i, "fmt ")) {
+      val ii = i.toInt
+      val size = u32le(ii + 4)
+      if (tag(ii, "fmt ")) {
         if (size < 16 || i + 8 + 16 > p.length) return None
-        val channels = u16le(i + 10).toLong
-        val sampleRate = u32le(i + 12)
+        val channels = u16le(ii + 10).toLong
+        val sampleRate = u32le(ii + 12)
         if (channels < 1 || sampleRate < 1) return None
         return Some((sampleRate, channels))
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size > Int.MaxValue - 16) return None
+      i += 8L + size + (size & 1L)
     }
     None
   }

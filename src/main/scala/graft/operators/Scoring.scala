@@ -143,32 +143,6 @@ object Scoring {
     * cost of oracle exactness. Per-term contributions with tf = 0 vanish
     * arithmetically (0 numerator), so only matching docs rank.
     */
-  /** Exact heavy hitters above the Misra–Gries threshold WITHOUT a
-    * full-vocabulary shuffle — the two-pass sketch-then-recount pipeline:
-    *
-    * Pass 1: ONE aggregation computes the total token count and a
-    * [[graft.plans.MisraGriesAgg]] candidate summary (≤ k entries per
-    * partial — the only state that moves; a vocab groupBy would shuffle
-    * every distinct token, which at 100 TB is itself corpus-scale).
-    * Pass 2: a broadcast semi-join recounts ONLY the ≤ k candidates
-    * exactly. The MG guarantee (every token with true frequency
-    * > n/(k+1) survives any merge tree) plus the integer threshold
-    * `cnt·(k+1) > n` make the output EXACTLY the set of tokens above the
-    * threshold — partitioning-independent, hence oracle-checkable even
-    * though the intermediate candidate set is not deterministic.
-    */
-  def heavyHitters(docs: DataFrame, text: Column, k: Int): DataFrame = {
-    val toks = docs.select(explode(TextFns.tokens(text)).as("token"))
-    val sketch = toks.agg(count(lit(1)).as("n"),
-      graft.plans.HeavyHitters.misraGries(col("token"), k).as("cands"))
-    val cands = sketch.select(col("n"), explode(col("cands")).as("token"))
-    toks.join(broadcast(cands), "token")
-      .groupBy(col("token"), col("n"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * lit((k + 1).toLong) > col("n"))
-      .select(col("token"), col("cnt"))
-  }
-
   def bm25TopK(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
                k: Int, k1: Double = 1.2, b: Double = 0.75,
                logIdf: Boolean = false): DataFrame = {
@@ -203,5 +177,31 @@ object Scoring {
       .select(col("doc_id"), graft.functions.NumFns.roundHalfUp(score, 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Exact heavy hitters above the Misra–Gries threshold WITHOUT a
+    * full-vocabulary shuffle — the two-pass sketch-then-recount pipeline:
+    *
+    * Pass 1: ONE aggregation computes the total token count and a
+    * [[graft.plans.MisraGriesAgg]] candidate summary (≤ k entries per
+    * partial — the only state that moves; a vocab groupBy would shuffle
+    * every distinct token, which at 100 TB is itself corpus-scale).
+    * Pass 2: a broadcast semi-join recounts ONLY the ≤ k candidates
+    * exactly. The MG guarantee (every token with true frequency
+    * > n/(k+1) survives any merge tree) plus the integer threshold
+    * `cnt·(k+1) > n` make the output EXACTLY the set of tokens above the
+    * threshold — partitioning-independent, hence oracle-checkable even
+    * though the intermediate candidate set is not deterministic.
+    */
+  def heavyHitters(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    val toks = docs.select(explode(TextFns.tokens(text)).as("token"))
+    val sketch = toks.agg(count(lit(1)).as("n"),
+      graft.plans.HeavyHitters.misraGries(col("token"), k).as("cands"))
+    val cands = sketch.select(col("n"), explode(col("cands")).as("token"))
+    toks.join(broadcast(cands), "token")
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit((k + 1).toLong) > col("n"))
+      .select(col("token"), col("cnt"))
   }
 }

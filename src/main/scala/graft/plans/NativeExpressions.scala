@@ -721,6 +721,12 @@ case class PairCombos(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    // n*(n-1)/2 wraps Int at n >= 65537 — fail with the actionable message,
+    // not a NegativeArraySizeException from the wrapped allocation (callers
+    // reach this only by setting a bucket cap above 65536)
+    require(n <= 65536,
+      s"graft_pair_combos: bucket of $n ids would expand to ${n.toLong * (n - 1) / 2} " +
+        "pairs — cap the blocking key (maxDocFreq / maxBucketSize <= 65536) first")
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     var i = 0

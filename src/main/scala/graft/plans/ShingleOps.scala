@@ -56,8 +56,17 @@ object ShingleOps {
     * text: for each shingle byte-range two base XXH64 hashes, then
     * Kirsch–Mitzenmacher h1 + p·h2 per permutation — bit-identical to
     * `MinHashSignature(TextFns.shingles(text, n), numPerms)` (min over the
-    * multiset equals min over the distinct set). Null when the text has
-    * fewer than n tokens (the composed path's empty-shingle NULL).
+    * multiset equals min over the distinct set) for every document with
+    * actual content. Null when the text has fewer than n tokens (the
+    * composed path's empty-shingle NULL).
+    *
+    * ONE deliberate divergence: at n = 1 on an empty/all-space document,
+    * `split(trim(""), " ")` is `[""]` — one empty token — so the composed
+    * path emits a signature of the empty string, making every blank doc a
+    * perfect near-duplicate of every other (exactly the false-clique
+    * MinHashSignature's own empty-set NULL exists to prevent). The fused
+    * kernels treat no-content as no-tokens and return NULL/empty instead
+    * (spec-asserted).
     */
   def minhash(text: UTF8String, n: Int, numPerms: Int): Array[Long] = {
     val starts = tokenStarts(text)

@@ -89,11 +89,18 @@ object EventsStream {
     * watermark — the shape of a live training-data ingest that must not
     * re-admit documents seen within the retention window.
     */
-  def dedupStream(docsWithTs: DataFrame, contentCol: String, watermark: String): DataFrame =
-    docsWithTs
+  def dedupStream(docsWithTs: DataFrame, contentCol: String, watermark: String): DataFrame = {
+    // same NTZ shim as every other event-time helper here: watermarks
+    // reject TIMESTAMP_NTZ, so cast through TIMESTAMP (a wall-clock
+    // identity under the pinned UTC session zone) and cast back on output
+    val ntzIn = docsWithTs.schema("ts").dataType == TimestampNTZType
+    val deduped = docsWithTs
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("content_hash", xxhash64(col(contentCol)))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+    if (ntzIn) deduped.withColumn("ts", col("ts").cast("timestamp_ntz")) else deduped
+  }
 
   /** Stream-stream interval join: enrich each event with the reference rows
     * (e.g. hourly weather) whose timestamp falls within `tolerance` before

@@ -219,15 +219,28 @@ class NativeExprSpec extends GraftSuite {
       "a  b c d", "  lead", "trail   ", "a b c", "a b", "", "   ",
       "a  b  c", "héllo wörld ünïcode tøkens", "x " * 40 + "y",
       "single").toDF("text")
-    val diff = corpus.union(edges)
-      .select(
-        NativeFns.minhashText($"text", 3, 32).as("fused"),
-        NativeFns.minhashSig(TextFns.shingles($"text", 3), 32).as("composed"))
-      .filter(
-        ($"fused".isNull =!= $"composed".isNull) ||
-          ($"fused".isNotNull && $"fused" =!= $"composed"))
-      .count()
-    assert(diff == 0L, "fused minhash diverged from the composed path")
+    for (n <- Seq(1, 2, 3)) {
+      // at n=1, blank docs diverge BY DESIGN (see ShingleOps.minhash doc):
+      // restrict the parity claim to docs with content
+      val base = if (n == 1) corpus.union(edges).filter(trim($"text") =!= "")
+                 else corpus.union(edges)
+      val diff = base
+        .select(
+          NativeFns.minhashText($"text", n, 32).as("fused"),
+          NativeFns.minhashSig(TextFns.shingles($"text", n), 32).as("composed"))
+        .filter(
+          ($"fused".isNull =!= $"composed".isNull) ||
+            ($"fused".isNotNull && $"fused" =!= $"composed"))
+        .count()
+      assert(diff == 0L, s"fused minhash diverged from the composed path at n=$n")
+    }
+    // the documented n=1 blank-doc divergence: fused refuses the
+    // empty-string signature the composed path would emit
+    val blank = Seq("", "   ").toDF("text")
+      .select(NativeFns.minhashText($"text", 1, 8).as("sig"))
+      .collect()
+    assert(blank.forall(_.isNullAt(0)),
+      "fused n=1 must NULL blank docs, not sign the empty string")
   }
 
   test("fused shingle hashes equal xxhash64 over distinct composed shingles") {
