@@ -1098,6 +1098,25 @@ object SparkEntry {
       d3.filter(meanLen.between(3.0, 10.0) && repetition < 0.6)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    "q81_curriculum_order" -> ((s, dir) => {
+      // curriculum training order: highest LM-quality first, deterministic
+      // pseudo-random order inside each quality level. One fine-grained
+      // integer key (h - quality·2^20, h < 2^20) encodes (quality DESC,
+      // hash ASC), so the distributed two-level globalOrderIndex assigns
+      // the global sequence with bounded window partitions — no
+      // single-task corpus sort, no RNG.
+      val docs = T(s, dir, "documents")
+      val model = Scoring.trainCharBigramLm(docs, col("text"))
+      val scored = Scoring.scoreCharBigramLm(docs, col("doc_id"), col("text"), model)
+        .select(col("_sid").as("doc_id"), col("avg_permille"))
+      val h = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L), lit(1000003L))
+      val keyed = scored.withColumn("_key", h - col("avg_permille") * lit(1048576L))
+      Relational.globalOrderIndex(keyed, col("_key"), Seq(col("doc_id")),
+          bucketWidth = 16384L)
+        .select(col("doc_id"), col("avg_permille"), col("seq"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1982,6 +2001,27 @@ object SparkEntry {
         | FROM d3)
         |SELECT doc_id, source FROM g
         |WHERE (mean_len BETWEEN 3.0 AND 10.0) AND rep < 0.6
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // curriculum: q74's integer LM score, then a global row_number over the
+    // fine-grained (quality DESC, hash ASC) integer key
+    "q81_curriculum_order" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+        |pos AS (SELECT doc_id, text,
+        |  unnest(generate_series(1, length(text) - 1)) AS i FROM d),
+        |bg AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 2) AS bg FROM pos),
+        |bc AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+        |pc AS (SELECT substring(bg, 1, 1) AS a, sum(c) AS pc FROM bc GROUP BY 1),
+        |m AS (SELECT bg, (1000 * c) // (pc + 1) AS p
+        |  FROM bc JOIN pc ON substring(bc.bg, 1, 1) = pc.a),
+        |scored AS (SELECT doc_id,
+        |  CAST(CAST(sum(m.p) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_permille
+        | FROM bg JOIN m USING (bg) GROUP BY doc_id),
+        |k AS (SELECT doc_id, avg_permille,
+        |  ((doc_id % 100003) * 2654435761) % 1000003 - avg_permille * 1048576 AS key
+        | FROM scored)
+        |SELECT doc_id, avg_permille,
+        | CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS seq
+        |FROM k ORDER BY doc_id""".stripMargin
   )
 }
