@@ -170,4 +170,57 @@ class PropertySpec extends GraftSuite {
       assert(got.toSeq == want, s"rows=$rows")
     }
   }
+
+  // fuzz generator for the byte-level shingle kernels: arbitrary runs of
+  // unicode words, multi-space gaps, leading/trailing space, zero-width and
+  // multibyte codepoints — the shapes where an off-by-one in byte-offset
+  // arithmetic would silently ship wrong hashes
+  private val fuzzWord = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.oneOf("héllo", "wörld", "日本語", "emoji😀x", "ß", "​", ""))
+  private val fuzzDoc: Gen[String] = for {
+    n <- Gen.chooseNum(0, 12)
+    ws <- Gen.listOfN(n, fuzzWord)
+    gaps <- Gen.listOfN(n + 1, Gen.oneOf("", " ", "  ", "   "))
+  } yield gaps.zipAll(ws.map(_ + ""), "", "").map { case (g, w) => g + w }.mkString
+
+  test("fuzz: fused word-shingle kernels match the composed path on arbitrary unicode/whitespace") {
+    forAll(Gen.listOfN(30, fuzzDoc), runs = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for (n <- Seq(2, 3)) {
+        val diff = df.select(
+            graft.plans.NativeFns.minhashText($"text", n, 16).as("fused"),
+            graft.plans.NativeFns.minhashSig(TextFns.shingles($"text", n), 16).as("composed"))
+          .filter(($"fused".isNull =!= $"composed".isNull) ||
+            ($"fused".isNotNull && $"fused" =!= $"composed"))
+          .count()
+        assert(diff == 0L, s"minhash fuzz diverged at n=$n over $texts")
+        val fused = df.select($"doc_id",
+          explode(graft.plans.NativeFns.shingleHashes($"text", n)).as("h"))
+        val composed = df.select($"doc_id",
+            explode(TextFns.shingles($"text", n)).as("sh"))
+          .select($"doc_id", xxhash64($"sh").as("h"))
+        assert(fused.exceptAll(composed).count() == 0 &&
+          composed.exceptAll(fused).count() == 0,
+          s"shingle-hash fuzz diverged at n=$n over $texts")
+      }
+    }
+  }
+
+  test("fuzz: fused char-gram kernel matches codepoint substring hashing on arbitrary unicode") {
+    forAll(Gen.listOfN(30, fuzzDoc), runs = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val n = 5
+      val fused = df.select($"doc_id",
+        explode(graft.plans.NativeFns.charGramHashes($"text", n)).as("h"))
+      val composed = df.select($"doc_id", explode(expr(
+          s"CASE WHEN length(text) >= $n THEN " +
+            s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)) " +
+            s"ELSE array() END")).as("g"))
+        .select($"doc_id", xxhash64($"g").as("h")).distinct()
+      assert(fused.exceptAll(composed).count() == 0 &&
+        composed.exceptAll(fused).count() == 0,
+        s"char-gram fuzz diverged over $texts")
+    }
+  }
 }
