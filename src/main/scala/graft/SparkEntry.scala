@@ -287,8 +287,12 @@ object SparkEntry {
     }),
 
     "q22_dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 3, 0.5,
-          persistIndex = true)
+      // no persist: with the fused shingle kernel the only branch that
+      // cannot ride the join sides' shared exchange (the doc_id size agg)
+      // recomputes a cheap one-pass scan, and dropping the persist removes
+      // the checkpoint barrier jobs contention amplifies (measured equal or
+      // faster at sf0.1; persistIndex stays available for reuse callers)
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 3, 0.5)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -313,8 +317,9 @@ object SparkEntry {
     }),
 
     "q24_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 8,
-          persistIndex = true)
+      // no persist: the two join sides share one exchange via reuse (see
+      // q22/q23 rationale)
+      Dedup.simhashPairs(T(s, dir, "documents"), col("doc_id"), col("text"), 8)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -632,8 +637,10 @@ object SparkEntry {
       // seen in more than 50 docs are excluded from candidate generation
       // (bounding per-key join fan-out at 100 TB); sizes still count ALL
       // shingles, so the score is a guaranteed lower bound of q22's.
+      // no persist (see q22): the fused-kernel recompute for the sizes/df
+      // branches is cheaper than the checkpoint barrier, measured at sf0.1
       Dedup.ngramJaccardPairsCapped(T(s, dir, "documents"), col("doc_id"), col("text"),
-          3, 0.5, maxDocFreq = 50L, persistIndex = true)
+          3, 0.5, maxDocFreq = 50L)
         .orderBy("doc_a", "doc_b")
     }),
 
