@@ -163,13 +163,13 @@ object ShingleOps {
     var mask = 0
     while (b < nb) {
       ring(cp % (n + 1)) = b
-      val first = text.getByte(b) & 0xFF
-      val len =
-        if (first < 0x80) 1
-        else if ((first & 0xE0) == 0xC0) 2
-        else if ((first & 0xF0) == 0xE0) 3
-        else 4
-      b += len
+      // Spark's own first-byte table (invalid lead bytes advance 1, exactly
+      // like UTF8String.numChars/substringSQL), clamped so a truncated
+      // multi-byte sequence at the tail can't step past the payload — the
+      // hashed range must stay inside the string even for invalid UTF-8
+      // (e.g. cast(binary as string)).
+      b += UTF8String.numBytesForFirstByte(text.getByte(b))
+      if (b > nb) b = nb
       cp += 1
       if (cp >= n) {
         if (out == null) {

@@ -223,4 +223,64 @@ class PropertySpec extends GraftSuite {
         s"char-gram fuzz diverged over $texts")
     }
   }
+
+  // Spark strings are not guaranteed valid UTF-8 (cast(binary as string)
+  // passes bytes through): bare continuation bytes (0x80–0xBF), disallowed
+  // leads (0xF8–0xFF), and truncated multi-byte tails all occur.
+  private val invalidUtf8Byte = Gen.oneOf(
+    Gen.chooseNum(0x80, 0xBF), // bare continuation
+    Gen.chooseNum(0xF8, 0xFF), // disallowed leads (walk advances 1)
+    Gen.oneOf(0xC2, 0xE0, 0xF0, 0xF5), // multi-byte leads, often truncated
+    Gen.chooseNum('a'.toInt, 'z'.toInt))
+  private val invalidUtf8Bytes = Gen.chooseNum(0, 24).flatMap(n =>
+    Gen.listOfN(n, invalidUtf8Byte).map(_.map(_.toByte).toArray))
+
+  test("fuzz: fused char-gram kernel matches the substring walk on invalid UTF-8 (padded tail)") {
+    // Parity vs the composed substring path needs a well-defined composed
+    // side: UTF8String.substring itself overshoots a truncated multi-byte
+    // TAIL (its copy length can exceed numBytes, reading undefined heap
+    // bytes into the last gram), so the composed twin is nondeterministic
+    // exactly there. A 4-ASCII-byte pad pins every multi-byte advance
+    // inside the payload while still fuzzing the invalid-lead/continuation
+    // walk; the unpadded tail case is covered by the bounds test below.
+    forAll(Gen.listOfN(20, invalidUtf8Bytes), runs = 6) { arrays =>
+      val padded = arrays.map(_ ++ "wxyz".getBytes("UTF-8"))
+      val df = padded.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("doc_id", "raw")
+        .select($"doc_id", $"raw".cast("string").as("text"))
+      val n = 3
+      val fused = df.select($"doc_id",
+        explode(graft.plans.NativeFns.charGramHashes($"text", n)).as("h"))
+      val composed = df.select($"doc_id", explode(expr(
+          s"CASE WHEN length(text) >= $n THEN " +
+            s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)) " +
+            s"ELSE array() END")).as("g"))
+        .select($"doc_id", xxhash64($"g").as("h")).distinct()
+      assert(fused.exceptAll(composed).count() == 0 &&
+        composed.exceptAll(fused).count() == 0,
+        s"char-gram invalid-UTF-8 fuzz diverged over ${padded.map(_.toSeq)}")
+    }
+  }
+
+  test("fuzz: fused char-gram kernel never reads past the payload on truncated multi-byte tails") {
+    // Sentinel proof of bounds safety: hash a view of the payload embedded
+    // in a larger array whose following bytes are sentinels, and an
+    // exact-size copy. An out-of-bounds read hashes sentinel bytes in one
+    // and undefined heap bytes in the other — only an in-bounds kernel
+    // gives identical output for every gram width.
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(Gen.listOfN(40, invalidUtf8Bytes), runs = 6) { arrays =>
+      for (a <- arrays; n <- Seq(1, 2, 3, 5)) {
+        val framed = new Array[Byte](a.length + 8)
+        java.util.Arrays.fill(framed, 0x55.toByte)
+        System.arraycopy(a, 0, framed, 0, a.length)
+        val view = UTF8String.fromBytes(framed, 0, a.length)
+        val exact = UTF8String.fromBytes(a.clone())
+        val hv = graft.plans.ShingleOps.charGramHashes(view, n)
+        val he = graft.plans.ShingleOps.charGramHashes(exact, n)
+        assert(java.util.Arrays.equals(hv, he),
+          s"char-gram kernel read past payload for n=$n bytes=${a.toSeq}")
+      }
+    }
+  }
 }
