@@ -661,8 +661,10 @@ object Dedup {
     * counts, and the exact-dup ratio — the first number a curation run
     * reports per crawl/source before any near-dup work. One shuffle on
     * (source, content hash) then a per-source roll-up; the full text
-    * never shuffles (distinctness via the same 8-byte xxhash64 key
-    * [[exact]] groups on).
+    * never shuffles — distinctness counts the (length, xxhash64) pair, so
+    * only two SAME-LENGTH texts colliding on the 64-bit hash could
+    * undercount n_unique (probability < n²/2⁶⁵ per length class; the same
+    * documented bound the exact-dedup family carries).
     */
   def corpusDupStats(docs: DataFrame, source: Column, id: Column,
                      text: Column): DataFrame =
@@ -671,7 +673,7 @@ object Dedup {
         length(text).cast("long").as("n_chars"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        count_distinct(col("th")).as("n_unique"),
+        count_distinct(col("n_chars"), col("th")).as("n_unique"),
         sum(col("n_chars")).as("n_chars"))
       .select(col("source"), col("n_docs"), col("n_unique"), col("n_chars"),
         graft.functions.NumFns.roundHalfUp(

@@ -315,7 +315,13 @@ object Relational {
                        pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percents in 1..100, got $pcts")
-    val hist = df.groupBy(group.as("g"), value.as("v"))
+    // NULL values carry no rank: without this filter a null `value` row
+    // survives the histogram groupBy, the window's orderBy sorts nulls
+    // FIRST, and every cumulative count (hence every quantile) for that
+    // group shifts down. Matches SQL percentile functions, which ignore
+    // nulls.
+    val hist = df.filter(value.isNotNull)
+      .groupBy(group.as("g"), value.as("v"))
       .agg(count(lit(1)).as("cnt"))
     val sizes = hist.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
     val cum = hist.withColumn("cum",

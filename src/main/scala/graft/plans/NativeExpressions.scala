@@ -708,9 +708,13 @@ case class PairCombos(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull must be false: eval reads elements with getLong, which
+    // would silently turn a null element into 0 and fabricate pair ids.
+    // Callers build the array with sort_array(collect_list(...)), which is
+    // containsNull=false by construction.
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_pair_combos expects array<bigint>, got $t")
+      s"graft_pair_combos expects array<bigint> with non-null elements, got $t")
   }
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("doc_a", LongType, nullable = false),

@@ -164,8 +164,13 @@ object Writers {
     sharded
       .repartition(numShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    sharded
-      .groupBy(col("shard"))
+    // Manifest from the files just written, not a second evaluation of the
+    // input: if the source is nondeterministic or changes between the two
+    // actions, a re-derived manifest would not describe what is on disk —
+    // and the manifest is the loader's source of truth. Reading back is
+    // also cheap: the aggregate prunes to (shard, sizeCol) columns.
+    df.sparkSession.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         sum(octet_length(sizeCol).cast("long")).as("n_bytes"))
   }
