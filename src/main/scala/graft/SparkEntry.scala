@@ -1124,6 +1124,68 @@ object SparkEntry {
           bucketWidth = 16384L)
         .select(col("doc_id"), col("avg_permille"), col("seq"))
         .orderBy("doc_id")
+    }),
+
+    "q82_describe" -> ((s, dir) => {
+      // pandas describe() parity (reference CitiBike-1.ipynb df.describe()):
+      // count/mean/std/min/quartiles/max per numeric column in ONE query —
+      // DECIMAL sum/sumsq moments (partitioning-independent, §5 exactSum
+      // rule) + histogram-shaped exact type-1 quartiles (q79's scheme)
+      Relational.describeProfile(T(s, dir, "lineitem"), Seq(
+          "l_quantity" -> col("l_quantity"),
+          "l_extendedprice" -> col("l_extendedprice"),
+          "l_discount" -> col("l_discount"),
+          "l_tax" -> col("l_tax")))
+        .orderBy("column_name")
+    }),
+
+    "q83_lsh_exact_dup" -> ((s, dir) => {
+      // q23's minhash-LSH plumbing in its provably-exact configuration:
+      // rowsPerBand = numPerms ⇒ ONE band whose key is the whole 32-perm
+      // signature, so a pair is emitted iff the full signatures agree.
+      // Raw text would make that only EMPIRICALLY exact — the corpus holds
+      // jaccard ≈ 0.98 near-dups whose 32 mins all collide with
+      // probability j³² ≈ 0.5 (measured: 24 such pairs at sf0.01) — so the
+      // twin tags every token with md5(text), a transform both engines
+      // compute identically: distinct texts then share ZERO shingles, and
+      // disjoint shingle sets collide only at the 2⁻⁶⁴ class. Signature
+      // equality ⟺ text equality, provably; the DuckDB oracle derives the
+      // pair set from text equality (q21's rule) over the id-shifted
+      // doubled corpus (one pair per ≥3-token doc, so the checked set is
+      // nonempty). Completes the exact-twin ladder for the minhash family
+      // (fused signature → band keys → bucket join → agreement → pair
+      // dedup, all driver-hash-checked).
+      val tag = md5(col("text"))
+      val tagged = concat_ws(" ",
+        transform(TextFns.tokens(col("text")), t => concat(tag, t)))
+      val docs = T(s, dir, "documents").select(col("doc_id"), tagged.as("text"))
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.minhashLshPairs(doubled, col("doc_id"), col("text"), 3, 32, 32, 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q84_simhash_exact" -> ((s, dir) => {
+      // q24's simhash plumbing in its provably-exact configuration:
+      // numBands = 1 ⇒ the blocking key is the whole 64-bit signature, so
+      // candidates are pairs with EQUAL simhash, and maxHam = 64 passes
+      // every candidate — the emitted set IS the candidate set. As in
+      // q83, raw text is only empirically exact (near-identical token
+      // multisets perturb the 64 sign counters by ±1 and often keep every
+      // sign — measured: 4 cross-text simhash collisions at sf0.01);
+      // md5(text)-tagged tokens make distinct texts fully disjoint
+      // multisets, whose sign vectors coincide only at the 2⁻⁶⁴ class.
+      // Simhash equality ⟺ text equality, provably; oracle = text
+      // equality over the doubled corpus (no token-count filter — simhash
+      // is defined for every doc), every pair at hamming 0.
+      val tag = md5(col("text"))
+      val tagged = concat_ws(" ",
+        transform(TextFns.tokens(col("text")), t => concat(tag, t)))
+      val docs = T(s, dir, "documents").select(col("doc_id"), tagged.as("text"))
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashPairs(doubled, col("doc_id"), col("text"), 64, numBands = 1)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2029,6 +2091,67 @@ object SparkEntry {
         | FROM scored)
         |SELECT doc_id, avg_permille,
         | CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS seq
-        |FROM k ORDER BY doc_id""".stripMargin
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // describe(): decimal-exact moments (the same sum/sumsq formula over
+    // DECIMAL(18,2), cast once to double) + type-1 quartiles via the value
+    // histogram — every double op mirrors the Spark expression bit-for-bit
+    "q82_describe" ->
+      """WITH m AS (
+        | SELECT 'l_quantity' AS c, l_quantity AS v FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem),
+        |mv AS (SELECT c, v FROM m WHERE v IS NOT NULL),
+        |mm AS (SELECT c, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2)) * CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+        |  min(v) AS min_value, max(v) AS max_value
+        | FROM mv GROUP BY 1),
+        |hist AS (SELECT c, v, count(*) AS cnt FROM mv GROUP BY 1, 2),
+        |cum AS (SELECT c, v, sum(cnt) OVER (PARTITION BY c ORDER BY v) AS cum FROM hist),
+        |t AS (SELECT c, n, unnest([25, 50, 75]) AS pct FROM mm),
+        |tr AS (SELECT c, pct, (CAST(pct AS BIGINT) * n + 99) // 100 AS r FROM t),
+        |q AS (SELECT cum.c, tr.pct, min(v) AS qv
+        | FROM cum JOIN tr ON cum.c = tr.c AND cum.cum >= tr.r GROUP BY 1, 2),
+        |qp AS (SELECT c, max(CASE WHEN pct = 25 THEN qv END) AS q25,
+        |  max(CASE WHEN pct = 50 THEN qv END) AS median,
+        |  max(CASE WHEN pct = 75 THEN qv END) AS q75 FROM q GROUP BY 1)
+        |SELECT mm.c AS column_name, n,
+        | floor(s / n * 10000.0 + 0.5) / 10000.0 AS mean,
+        | CASE WHEN n > 1
+        |  THEN floor(sqrt((ss - s * s / n) / (n - 1)) * 10000.0 + 0.5) / 10000.0
+        | END AS stddev,
+        | min_value, q25, median, q75, max_value
+        |FROM mm JOIN qp ON mm.c = qp.c
+        |ORDER BY column_name""".stripMargin,
+
+    // q23's exact twin: md5-tagged tokens make distinct texts share zero
+    // shingles, so full-signature agreement ⇔ text equality (q21's rule)
+    // over the id-shifted doubled corpus; ≥3-token docs only (the
+    // signature's empty-shingle NULL — tagging preserves token count)
+    "q83_lsh_exact_dup" ->
+      """WITH d AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents),
+        |e AS (SELECT doc_id, text FROM d
+        | WHERE len(string_split(trim(text), ' ')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM e a JOIN e b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q24's exact twin: md5-tagged tokens make distinct texts fully
+    // disjoint multisets, so simhash equality ⇔ text equality; every doc
+    // (no token filter) pairs with its doubled copy at hamming 0
+    "q84_simhash_exact" ->
+      """WITH d AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+        |FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -64,8 +64,16 @@ object HashFns {
   /** 16-bit band of a 64-bit simhash (blocking key for hamming search:
     * hamming ≤ 3 bands' worth of difference ⇒ at least one identical band).
     */
-  def simhashBand(sim: Column, band: Int): Column =
-    shiftrightunsigned(sim, band * 16).bitwiseAND(0xFFFFL)
+  def simhashBand(sim: Column, band: Int): Column = simhashBand(sim, band, 16)
+
+  /** `width`-bit band of a 64-bit simhash. width = 64 (one band) makes the
+    * blocking key the WHOLE signature — candidates iff simhashes are equal,
+    * the provably-exact configuration the driver-checked twin runs.
+    */
+  def simhashBand(sim: Column, band: Int, width: Int): Column = {
+    val shifted = shiftrightunsigned(sim, band * width)
+    if (width == 64) shifted else shifted.bitwiseAND((1L << width) - 1L)
+  }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")

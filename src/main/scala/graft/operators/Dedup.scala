@@ -310,17 +310,26 @@ object Dedup {
     if (persistIndex) materializeAndRelease(result, banded) else result
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, 4×16-bit bands as blocking
-    * keys (hamming ≤ 3 guarantees a shared band; we filter hamming ≤ maxHam
-    * after candidate generation).
+  /** SimHash near-dup pairs: 64-bit signature, `numBands` equal-width bands
+    * as blocking keys (at the default 4×16: hamming ≤ 3 guarantees a shared
+    * band; we filter hamming ≤ maxHam after candidate generation).
+    * numBands = 1 makes the blocking key the whole 64-bit signature —
+    * candidates iff simhashes are EQUAL (hamming 0), the provably-exact
+    * configuration whose result set is token-multiset equality (up to
+    * sign-vector collisions between distinct multisets, the documented
+    * ~2⁻⁶⁴-class bound) — the driver-hash-checked twin runs this.
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHam: Int,
-                   persistIndex: Boolean = false): DataFrame = {
+                   persistIndex: Boolean = false,
+                   numBands: Int = 4): DataFrame = {
+    require(numBands >= 1 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    val width = 64 / numBands
     val signed = docs.select(id.as("doc_id"),
       NativeFns.simhash(TextFns.tokens(text)).as("sim"))
     val bandedRaw = signed.select(col("doc_id"), col("sim"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), HashFns.simhashBand(col("sim"), b).as("key"))): _*))
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"), HashFns.simhashBand(col("sim"), b, width).as("key"))): _*))
         .as("bk"))
     val banded = if (persistIndex) bandedRaw.persist() else bandedRaw
     // hamming is computed and filtered BEFORE the pair dedup: identical in

@@ -335,4 +335,61 @@ object Relational {
       .groupBy(col("g"), col("pct"))
       .agg(min(col("v")).as("value"))
   }
+
+  /** pandas `describe()`-parity numeric profile: one row per named column
+    * with (n, mean, stddev, min, q25, median, q75, max) — the per-column EDA
+    * summary the reference notebooks open with (CitiBike-1.ipynb
+    * `df.describe()`). Engine-exact by construction:
+    *
+    *   - n counts NON-NULL values (pandas parity), so nulls influence
+    *     nothing downstream;
+    *   - mean and stddev derive from DECIMAL(18,`scale`) sum and
+    *     sum-of-squares — exact, hence partitioning/order-independent (the
+    *     §5 exactSum rule); the one cast of each exact sum to double and
+    *     every double op after it are IEEE-deterministic, so any engine
+    *     computing the same formula gets bit-identical output. stddev is
+    *     the SAMPLE deviation sqrt((Σx² − (Σx)²/n)/(n−1)) (pandas ddof=1);
+    *     NULL at n = 1, like pandas;
+    *   - quartiles are exact order statistics (least value with cumulative
+    *     count ≥ ceil(pct·n/100)) via the [[groupedQuantiles]] value
+    *     histogram — no interpolation (pandas lerps between neighbors; a
+    *     lerp is a libm-free but grain-hostile divergence surface, and the
+    *     engine's exactness rule trades it for the type-1 quantile).
+    *
+    * Scale shape: the melt explodes each row into #cols (column, value)
+    * pairs, which collapse map-side into a (column, value)-histogram — ONE
+    * corpus shuffle keyed on (column, value) feeds the quantiles and one
+    * aggregate-sized rollup per column feeds the moments; no sort, no
+    * per-column pass. `scale` must cover the decimal grain of every
+    * profiled column (2 for the .01-grained testdata measures).
+    */
+  def describeProfile(df: DataFrame, cols: Seq[(String, Column)],
+                      scale: Int = 2): DataFrame = {
+    require(cols.nonEmpty, "describeProfile needs at least one column")
+    val melted = df
+      .select(explode(array(cols.map { case (name, c) =>
+        struct(lit(name).as("c"), c.cast("double").as("v")) }: _*)).as("m"))
+      .select(col("m.c").as("c"), col("m.v").as("v"))
+      .filter(col("v").isNotNull)
+    val dec = col("v").cast(org.apache.spark.sql.types.DecimalType(18, scale))
+    val moments = melted.groupBy(col("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s"),
+        sum(dec * dec).cast("double").as("ss"),
+        min(col("v")).as("min_value"),
+        max(col("v")).as("max_value"))
+    val quart = groupedQuantiles(melted, col("c"), col("v"), Seq(25, 50, 75))
+      .groupBy(col("g").as("c"))
+      .agg(max(when(col("pct") === 25, col("value"))).as("q25"),
+        max(when(col("pct") === 50, col("value"))).as("median"),
+        max(when(col("pct") === 75, col("value"))).as("q75"))
+    moments.join(quart, "c")
+      .select(col("c").as("column_name"), col("n"),
+        graft.functions.NumFns.roundHalfUp(col("s") / col("n"), 4).as("mean"),
+        when(col("n") > 1,
+          graft.functions.NumFns.roundHalfUp(
+            sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 4))
+          .as("stddev"),
+        col("min_value"), col("q25"), col("median"), col("q75"), col("max_value"))
+  }
 }

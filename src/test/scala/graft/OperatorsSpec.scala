@@ -157,6 +157,60 @@ class OperatorsSpec extends GraftSuite {
     assert(got.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("Dedup.simhashPairs numBands=1: candidates iff the full signatures are equal") {
+    // signature equality is order-INDEPENDENT (token multiset): the
+    // permuted doc pairs with both copies; the disjoint-token doc pairs
+    // with nobody (its sign vector differs); maxHam=64 shows the bucket
+    // alone does the filtering in this configuration
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "delta gamma beta alpha"), (4L, "completely unrelated tokens here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, $"doc_id", $"text", 64, numBands = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)))
+    // the default 4x16 banding on the same corpus finds the same multiset
+    // cliques (identical sims share all four bands)
+    val banded4 = Dedup.simhashPairs(df, $"doc_id", $"text", 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded4 == got)
+  }
+
+  test("Dedup.minhashLshPairs rowsPerBand=numPerms: one band, pairs iff full signatures agree") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, $"doc_id", $"text", 3, 32, 32, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("Relational.describeProfile matches a hand-computed reference (nulls, n=1, quartiles)") {
+    // x: 1..8 plus a null (n=8, type-1 quartiles over sorted values);
+    // y: a single non-null value (stddev must be NULL, like pandas ddof=1);
+    // z: constant column (stddev exactly 0)
+    val rows = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 42.5, 7.0), (2.0, null, 7.0), (3.0, null, 7.0), (4.0, null, 7.0),
+      (5.0, null, 7.0), (6.0, null, 7.0), (7.0, null, 7.0), (8.0, null, 7.0),
+      (null, null, 7.0))
+    val df = rows.toDF("x", "y", "z")
+    val got = Relational.describeProfile(df,
+        Seq("x" -> $"x", "y" -> $"y", "z" -> $"z"))
+      .orderBy("column_name")
+      .as[(String, Long, Double, Option[Double], Double, Double, Double, Double, Double)]
+      .collect()
+    // x: n=8, mean 4.5, sample std sqrt(42/7)=sqrt(6)≈2.4495, quartile
+    // ranks ceil(.25*8)=2, ceil(.5*8)=4, ceil(.75*8)=6 → values 2, 4, 6
+    val x = got(0)
+    assert(x._1 == "x" && x._2 == 8L && x._3 == 4.5 &&
+      x._4.contains(math.floor(math.sqrt(6.0) * 10000.0 + 0.5) / 10000.0) &&
+      x._5 == 1.0 && x._6 == 2.0 && x._7 == 4.0 && x._8 == 6.0 && x._9 == 8.0)
+    val y = got(1)
+    assert(y._1 == "y" && y._2 == 1L && y._3 == 42.5 && y._4.isEmpty &&
+      y._5 == 42.5 && y._6 == 42.5 && y._7 == 42.5 && y._8 == 42.5 && y._9 == 42.5)
+    val z = got(2)
+    assert(z._1 == "z" && z._2 == 9L && z._3 == 7.0 && z._4.contains(0.0) &&
+      z._6 == 7.0 && z._7 == 7.0 && z._8 == 7.0)
+  }
+
   test("Dedup.connectedComponents labels chains and keeps singleton edges apart") {
     // components: {1,2,3,9} via 1-2, 2-3, 3-9 chain; {5,6}; node 7-8 pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (7L, 8L))
