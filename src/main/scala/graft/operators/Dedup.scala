@@ -207,6 +207,47 @@ object Dedup {
                    n: Int, idName: String = "doc_id"): DataFrame =
     docs.select(id.as(idName), explode(NativeFns.shingleHashes(text, n)).as("sh_h"))
 
+  /** Per-document shingle counts of a standing index — the SECOND index
+    * artifact a production pipeline materializes next to [[shingleIndex]]'s
+    * table (aggregate-sized: one row per corpus doc). Passing it to
+    * [[ngramJaccardAgainstIndex]] as `corpusSizes` removes the only full
+    * index aggregation from the per-ingest plan, which is what allows the
+    * index SCAN itself to be pruned to the batch ([[pruneIndexToBatch]]).
+    */
+  def indexSizes(corpusIndex: DataFrame): DataFrame =
+    corpusIndex.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_c"))
+
+  /** Prune a materialized (range-sorted) corpus index scan down to the
+    * batch's own shingle hashes, when the batch is small enough to inline:
+    * collect the batch's distinct sh_h values (one bounded action — at most
+    * `maxHashes` longs reach the driver) and push them into the index scan
+    * as an IN filter. On a [[graft.sources.Writers.writeSorted]] layout the
+    * parquet reader then skips every row group whose [min, max] covers none
+    * of the values — the point-lookup regime of the nightly ingest (a
+    * handful of arriving docs against a huge standing index), where the
+    * join would otherwise scan the full index. Semantically a no-op: the
+    * equi-join on sh_h keeps only those hashes anyway (spec-asserted).
+    *
+    * Returns the index unchanged when the batch exceeds `maxHashes` —
+    * beyond the inline regime the full columnar scan IS the baseline.
+    * NOTE: Spark pushes an IN of more than
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) values
+    * down as a [min, max] RANGE filter, which prunes nothing on a uniform
+    * hash key — raise that conf to at least `maxHashes` so the point
+    * predicates reach the parquet reader as such (the pruning spec pins
+    * this). Sizes must come from [[indexSizes]]' artifact, never from the
+    * pruned index — see `corpusSizes` in [[ngramJaccardAgainstIndex]].
+    */
+  def pruneIndexToBatch(corpusIndex: DataFrame, batch: DataFrame,
+                        batchId: Column, batchText: Column, n: Int,
+                        maxHashes: Int = 128): DataFrame = {
+    val hashes = shingleIndex(batch, batchId, batchText, n, "batch_id")
+      .select(col("sh_h")).distinct().limit(maxHashes + 1)
+      .collect().map(_.getLong(0))
+    if (hashes.length > maxHashes) corpusIndex
+    else corpusIndex.filter(col("sh_h").isin(hashes.toIndexedSeq: _*))
+  }
+
   /** [[ngramJaccardAgainst]] against a PRE-MATERIALIZED corpus index (the
     * output of [[shingleIndex]] with idName = "corpus_id", typically read
     * back from parquet). The nightly-ingest fast path: only the incoming
@@ -219,13 +260,20 @@ object Dedup {
   def ngramJaccardAgainstIndex(corpusIndex: DataFrame,
                                batch: DataFrame, batchId: Column, batchText: Column,
                                n: Int, minJaccard: Double,
-                               persistIndex: Boolean = false): DataFrame = {
+                               persistIndex: Boolean = false,
+                               corpusSizes: Option[DataFrame] = None): DataFrame = {
     val ci = corpusIndex
     // the batch index feeds two branches; the gate persists only the batch —
     // the corpus side is the caller's artifact (already cached or on disk)
     val biRaw = shingleIndex(batch, batchId, batchText, n, "batch_id")
     val bi = if (persistIndex) biRaw.persist() else biRaw
-    val cSizes = ci.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_c"))
+    // per-corpus-doc shingle counts: from the sizes artifact when provided
+    // (REQUIRED whenever `corpusIndex` was prefiltered, e.g. by
+    // [[pruneIndexToBatch]] — sizes derived from a pruned index would
+    // undercount n_c and inflate every jaccard), else from the index
+    val cSizes = corpusSizes
+      .map(_.select(col("corpus_id"), col("n_c")))
+      .getOrElse(ci.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_c")))
     val bSizes = bi.groupBy(col("batch_id")).agg(count(lit(1)).as("n_b"))
     val common = bi.join(ci, "sh_h")
       .groupBy(col("batch_id"), col("corpus_id"))

@@ -146,4 +146,68 @@ class PipelineSpec extends GraftSuite {
     val files2 = Readers.table(spark, sf, "lineitem").inputFiles.toSet
     assert(files1 == files2 && files1.size >= cores / 2)
   }
+
+  test("materialized index point-lookup: the batch IN prefilter SKIPS row groups via parquet min/max") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // standing corpus: 64 docs x 6 shingles = 384 index rows, range-sorted
+    // on sh_h into 8 files (one row group each, ~48 rows per file)
+    val corpus = (0 until 64).map { i =>
+      (i.toLong, (0 until 8).map(j => s"tok${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_prune_idx")
+    val idxPath = root.resolve("index").toString
+    val sizesPath = root.resolve("sizes").toString
+    Writers.writeSorted(
+      Dedup.shingleIndex(corpus, $"doc_id", $"text", 3, idName = "corpus_id"),
+      idxPath, Seq("sh_h"), numFiles = 8)
+    Dedup.indexSizes(spark.read.parquet(idxPath)).write.parquet(sizesPath)
+    val idx = spark.read.parquet(idxPath)
+    val totalRows = idx.count()
+    assert(idx.inputFiles.length == 8 && totalRows == 384L)
+    // the arriving "nightly" batch: ONE 3-token doc (a single shingle hash,
+    // matching corpus doc 7's first shingle) — the point-lookup regime
+    val batch = Seq((9001L, "tok7w0 tok7w1 tok7w2")).toDF("doc_id", "text")
+    val sizes = spark.read.parquet(sizesPath)
+    // AQE off for this query only, so the executed plan exposes the scan
+    // node and its metrics directly
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = Dedup.pruneIndexToBatch(idx, batch, $"doc_id", $"text", 3)
+      val res = Dedup.ngramJaccardAgainstIndex(pruned, batch,
+        $"doc_id", $"text", 3, 0.1, corpusSizes = Some(sizes))
+        .as[(Long, Long, Double)]
+      val rows = res.collect().toSet
+      // jaccard vs corpus doc 7: 1 common of (1 + 6 - 1) shingles
+      assert(rows == Set((9001L, 7L,
+        math.floor(1.0 / 6.0 * 10000.0 + 0.5) / 10000.0)))
+      // the IN predicate reached the parquet reader...
+      val scans = res.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("index")) => s
+      }
+      assert(scans.nonEmpty, "no parquet scan of the index in the plan")
+      // (a one-value IN folds to EqualTo; larger inline lists push as In)
+      assert(scans.exists(_.metadata.get("PushedFilters").exists(f =>
+          f.contains("In(sh_h") || f.contains("EqualTo(sh_h"))),
+        s"batch hashes not pushed: ${scans.map(_.metadata.get("PushedFilters"))}")
+      // ...and min/max stats actually skipped row groups: only the one file
+      // whose [min, max] range covers the single hash emits rows (48 of
+      // 384; assert with slack for range-boundary ties)
+      val scanned = scans.map(_.metrics("numOutputRows").value).sum
+      assert(scanned > 0 && scanned <= totalRows / 4,
+        s"expected ~1 of 8 row groups read, scan emitted $scanned of $totalRows rows")
+      // pruning is semantically free: identical result via the full index
+      // with sizes derived inline
+      val full = Dedup.ngramJaccardAgainstIndex(idx, batch,
+        $"doc_id", $"text", 3, 0.1)
+      assert(full.as[(Long, Long, Double)].collect().toSet == rows)
+      // oversized batches pass through unpruned (the inline regime gate)
+      val big = Dedup.pruneIndexToBatch(idx, corpus, $"doc_id", $"text", 3,
+        maxHashes = 16)
+      assert(big.queryExecution.analyzed.toString == idx.queryExecution.analyzed.toString,
+        "a batch over maxHashes must return the index unchanged")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
