@@ -1516,6 +1516,7 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS sample_rate,
         |  CAST(NULL AS BIGINT) AS channels,
         |  checksum,
+        |  CAST(NULL AS BIGINT) AS content_checksum,
         |  CAST(NULL AS VARCHAR) AS format
         |FROM m ORDER BY doc_id""".stripMargin,
 

@@ -120,6 +120,150 @@ object Multimodal {
     None
   }
 
+  /** Rolling content checksum — the same 31-fold mod 1e9+7 the payload
+    * checksum uses, over DECODED content bytes (PNG pixels / WAV PCM).
+    */
+  private def rollsum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xFF)) % 1000000007L; i += 1 }
+    acc
+  }
+
+  /** Cap on decompressed pixel-buffer size per blob (64 MiB): a PNG header
+    * declaring absurd dimensions must degrade to header-only metadata, not
+    * allocate executor memory on attacker-controlled numbers.
+    */
+  private final val MaxPixelBytes = 64L << 20
+
+  /** REAL PNG pixel decode, JDK-only: concatenate the IDAT chunks' zlib
+    * stream, inflate it with `java.util.zip.Inflater`, and reconstruct the
+    * scanlines through the five standard PNG filters (None/Sub/Up/Average/
+    * Paeth — plain byte arithmetic). Returns the unfiltered pixel bytes in
+    * scanline order (the exact byte layout the IHDR declares: `channels ×
+    * bit-depth` bits per pixel, rows padded to whole bytes), or None for
+    * anything outside the decodable envelope — interlaced images (Adam7
+    * needs seven sub-image passes; out of scope), declared buffers over
+    * [[MaxPixelBytes]], truncated/corrupt zlib streams — so bad blobs
+    * degrade to header-only metadata, never throw. Chunk CRCs are not
+    * verified: corruption surfaces as an inflate failure, and a CRC pass
+    * over every blob would double the per-byte cost for no extra signal.
+    */
+  private[operators] def pngPixelBytes(p: Array[Byte]): Option[Array[Byte]] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def u32(i: Int): Long =
+      ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+        ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+    if (p.length < 33) return None
+    val width = u32(16)
+    val height = u32(20)
+    val depth = u8(24)
+    val colorType = u8(25)
+    val interlace = u8(28)
+    if (interlace != 0 || width < 1 || height < 1) return None
+    val channels = colorType match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette indices (the pixel bytes ARE the indices)
+      case 4 => 2 // grey + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => return None
+    }
+    if (!Set(1, 2, 4, 8, 16).contains(depth)) return None
+    val bitsPerPixel = channels * depth
+    val rowBytes = (width * bitsPerPixel + 7) / 8
+    val bpp = math.max(1, bitsPerPixel / 8) // filter step, whole bytes
+    val rawSize = (rowBytes + 1) * height // +1 filter byte per scanline
+    if (rawSize > MaxPixelBytes) return None
+    // gather the IDAT zlib stream (IDAT chunks must be consecutive per the
+    // spec, but the walk tolerates interleaved ancillary chunks)
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8L
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= p.length) {
+      val ii = i.toInt
+      val len = u32(ii)
+      if (i + 12 + len > p.length) return None // truncated chunk
+      val typ = new String(p, ii + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(p, ii + 8, len.toInt)
+      else if (typ == "IEND") sawEnd = true
+      i += 12 + len
+    }
+    val z = idat.toByteArray
+    if (z.isEmpty) return None
+    val raw = new Array[Byte](rawSize.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(z)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        // truncated stream, or a preset-dictionary stream (illegal in PNG)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place into the pixel buffer (filter bytes dropped)
+    val out = new Array[Byte]((rowBytes * height).toInt)
+    val rb = rowBytes.toInt
+    var r = 0
+    while (r < height) {
+      val filter = raw(r * (rb + 1)) & 0xFF
+      val src = r * (rb + 1) + 1
+      val dst = r * rb
+      var x = 0
+      while (x < rb) {
+        val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0 // left
+        val b = if (r > 0) out(dst - rb + x) & 0xFF else 0 // up
+        val c = if (r > 0 && x >= bpp) out(dst - rb + x - bpp) & 0xFF else 0
+        val rec = filter match {
+          case 0 => raw(src + x) & 0xFF
+          case 1 => (raw(src + x) & 0xFF) + a
+          case 2 => (raw(src + x) & 0xFF) + b
+          case 3 => (raw(src + x) & 0xFF) + ((a + b) >> 1)
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (raw(src + x) & 0xFF) + pred
+          case _ => return None // invalid filter type
+        }
+        out(dst + x) = (rec & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** REAL WAV sample extraction: the PCM bytes of the `data` chunk, found
+    * by the same range-checked RIFF walk as [[parseWavHeader]]. None when
+    * the chunk is missing or its declared size runs past the payload.
+    */
+  private[operators] def wavPcmBytes(p: Array[Byte]): Option[Array[Byte]] = {
+    def u32le(i: Int): Long =
+      (p(i) & 0xFFL) | ((p(i + 1) & 0xFFL) << 8) |
+        ((p(i + 2) & 0xFFL) << 16) | ((p(i + 3) & 0xFFL) << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + 3 < p.length && p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12L
+    while (i + 8 <= p.length) {
+      val ii = i.toInt
+      val size = u32le(ii + 4)
+      if (tag(ii, "data")) {
+        if (i + 8 + size > p.length) return None // declared size overruns
+        return Some(java.util.Arrays.copyOfRange(p, ii + 8, (i + 8 + size).toInt))
+      }
+      i += 8L + size + (size & 1L)
+    }
+    None
+  }
+
   /** STUB decoder: deterministic fake for payloads [[parseImageHeader]] /
     * [[parseWavHeader]] cannot handle (unknown containers, pixel-level
     * features). A real pipeline swaps this for the codec call; everything
@@ -136,22 +280,35 @@ object Multimodal {
   }
 
   /** Header parse first (image, then audio), stub fallback:
-    * (width, height, sample_rate, channels, checksum, format). `format` is
-    * the parsed container ("png"/"jpeg"/"wav") or null when the metadata
-    * came from the stub — downstream can filter on real decodes. Image
-    * rows carry null audio fields and vice versa (a metadata table over a
-    * mixed corpus is sparse by nature; readers select their modality).
+    * (width, height, sample_rate, channels, checksum, content_checksum,
+    * format). `format` is the parsed container ("png"/"jpeg"/"wav") or null
+    * when the metadata came from the stub — downstream can filter on real
+    * decodes. `content_checksum` is the rolling checksum of the DECODED
+    * content — PNG unfiltered pixel bytes ([[pngPixelBytes]]: real IDAT
+    * inflate + scanline reconstruction) or WAV PCM data bytes
+    * ([[wavPcmBytes]]) — null for JPEG (entropy decode needs a codec) and
+    * for payloads outside the decodable envelope; the header fields keep
+    * whatever the container parse produced either way. Image rows carry
+    * null audio fields and vice versa (a metadata table over a mixed
+    * corpus is sparse by nature; readers select their modality).
     */
   private def decodeOne(payload: Array[Byte])
-      : (java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long, Long, String) = {
+      : (java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long, Long, java.lang.Long, String) = {
     val checksum = payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
     parseImageHeader(payload) match {
-      case Some((w, h, fmt)) => (w, h, null, null, checksum, fmt)
+      case Some((w, h, fmt)) =>
+        val cc: java.lang.Long =
+          if (fmt == "png") pngPixelBytes(payload).map(b => Long.box(rollsum(b))).orNull
+          else null
+        (w, h, null, null, checksum, cc, fmt)
       case None => parseWavHeader(payload) match {
-        case Some((sr, ch)) => (null, null, sr, ch, checksum, "wav")
+        case Some((sr, ch)) =>
+          val cc: java.lang.Long =
+            wavPcmBytes(payload).map(b => Long.box(rollsum(b))).orNull
+          (null, null, sr, ch, checksum, cc, "wav")
         case None =>
           val (w, h) = decodeStub(checksum)
-          (w, h, null, null, checksum, null)
+          (w, h, null, null, checksum, null, null)
       }
     }
   }
@@ -165,6 +322,7 @@ object Multimodal {
     StructField("sample_rate", LongType),
     StructField("channels", LongType),
     StructField("checksum", LongType),
+    StructField("content_checksum", LongType),
     StructField("format", StringType)))
 
   /** Batched decode: one stub call per row, executed per partition — no
@@ -184,11 +342,11 @@ object Multimodal {
           if (payload == null) {
             // null passthrough: missing blobs keep their row, metadata null
             Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-              raw(r, "n_bytes"), null, null, null, null, null, null)
+              raw(r, "n_bytes"), null, null, null, null, null, null, null)
           } else {
-            val (w, h, sr, ch, cs, fmt) = decodeOne(payload)
+            val (w, h, sr, ch, cs, cc, fmt) = decodeOne(payload)
             Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-              raw(r, "n_bytes"), w, h, sr, ch, cs, fmt)
+              raw(r, "n_bytes"), w, h, sr, ch, cs, cc, fmt)
           }
         }
       }(enc)
@@ -210,12 +368,12 @@ object Multimodal {
             Option(r.getAs[Array[Byte]]("payload")).map(decodeOne)
           }
           batch.iterator.zip(decoded.iterator).map {
-            case (r, Some((w, h, sr, ch, cs, fmt))) =>
+            case (r, Some((w, h, sr, ch, cs, cc, fmt))) =>
               Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-                raw(r, "n_bytes"), w, h, sr, ch, cs, fmt)
+                raw(r, "n_bytes"), w, h, sr, ch, cs, cc, fmt)
             case (r, None) =>
               Row(raw(r, "doc_id"), r.getAs[String]("media_type"),
-                raw(r, "n_bytes"), null, null, null, null, null, null)
+                raw(r, "n_bytes"), null, null, null, null, null, null, null)
           }
         }
       }(enc)

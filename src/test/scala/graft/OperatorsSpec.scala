@@ -235,7 +235,7 @@ class OperatorsSpec extends GraftSuite {
     val got = Multimodal.decode(Multimodal.asMediaTable(docs, "doc_id", "text"))
     assert(got.schema.fieldNames.toSeq ==
       Seq("doc_id", "media_type", "n_bytes", "width", "height",
-        "sample_rate", "channels", "checksum", "format"))
+        "sample_rate", "channels", "checksum", "content_checksum", "format"))
     val rows = got.orderBy("doc_id").collect()
     assert(rows.length == 2)
     assert(rows(0).getAs[String]("media_type") == "image") // even id
@@ -324,6 +324,76 @@ class OperatorsSpec extends GraftSuite {
       assert(rows(1).getAs[Long]("sample_rate") == 16000L, "JUNK-first chunk walk")
       assert(rows(1).getAs[Long]("channels") == 1L)
       assert(rows(2).getAs[Any]("format") == null, "truncated fmt must not parse")
+    }
+  }
+
+  test("Multimodal: PNG content decode — IDAT inflate + unfilter reproduces the true pixel bytes") {
+    import org.apache.spark.sql.functions.{col, octet_length}
+    // a REAL png, encoded by the JDK's own ImageIO (which applies scanline
+    // filters, so the unfilter path is genuinely exercised), with
+    // deterministic RGB pixels
+    val w = 5; val h = 3
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40 + y) << 16) | ((y * 70 + x) << 8) | (x * x + y * 30))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos), "JDK PNG encoder unavailable")
+    val png = baos.toByteArray
+    // expected content: unfiltered scanlines of a color-type-2 depth-8 PNG
+    // are rows of R,G,B triplets
+    val expected = (for (y <- 0 until h; x <- 0 until w) yield {
+      val rgb = img.getRGB(x, y)
+      Seq(((rgb >> 16) & 0xFF).toByte, ((rgb >> 8) & 0xFF).toByte, (rgb & 0xFF).toByte)
+    }).flatten.toArray
+    val expectedSum = expected.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
+    // corrupt twin: same header, IDAT bytes zeroed mid-stream — header
+    // metadata must survive, content checksum must be null, no throw
+    val corrupt = png.clone()
+    val idatAt = corrupt.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    for (k <- idatAt + 8 until math.min(idatAt + 16, corrupt.length))
+      corrupt(k) = 0x55.toByte
+    val media = Seq((1L, "image", png), (2L, "image", corrupt))
+      .toDF("doc_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    for (decoded <- Seq(Multimodal.decode(media), Multimodal.decodeBatched(media, 2))) {
+      val rows = decoded.orderBy("doc_id").collect()
+      assert(rows(0).getAs[String]("format") == "png")
+      assert(rows(0).getAs[Long]("width") == w && rows(0).getAs[Long]("height") == h)
+      assert(rows(0).getAs[Long]("content_checksum") == expectedSum,
+        "decoded pixel bytes must match the encoder's input pixels")
+      assert(rows(1).getAs[String]("format") == "png", "header survives corrupt IDAT")
+      assert(rows(1).getAs[Any]("content_checksum") == null,
+        "corrupt zlib stream must degrade to header-only, not garbage")
+    }
+  }
+
+  test("Multimodal: WAV content decode — the data chunk's PCM bytes are checksummed") {
+    import org.apache.spark.sql.functions.{col, octet_length}
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le32(v: Long): Array[Byte] =
+      b((v & 0xFF).toInt, ((v >> 8) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt, ((v >> 24) & 0xFF).toInt)
+    def le16(v: Int): Array[Byte] = b(v & 0xFF, (v >> 8) & 0xFF)
+    val pcm = (0 until 32).map(i => ((i * 37 + 11) & 0xFF).toByte).toArray
+    def wavWith(dataSize: Long, data: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+        le32(176400) ++ le16(4) ++ le16(16) ++ "data".getBytes ++ le32(dataSize) ++ data
+    val good = wavWith(pcm.length.toLong, pcm)
+    // declared data size overruns the payload: header fields still parse,
+    // content must be null (never a partial/garbage checksum)
+    val overrun = wavWith(1000L, pcm)
+    val expectedSum = pcm.foldLeft(0L)((a, x) => (a * 31 + (x & 0xFF)) % 1000000007L)
+    val media = Seq((1L, "audio", good), (2L, "audio", overrun))
+      .toDF("doc_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    for (decoded <- Seq(Multimodal.decode(media), Multimodal.decodeBatched(media, 2))) {
+      val rows = decoded.orderBy("doc_id").collect()
+      assert(rows(0).getAs[Long]("sample_rate") == 44100L)
+      assert(rows(0).getAs[Long]("content_checksum") == expectedSum,
+        "PCM byte checksum must match the data chunk content")
+      assert(rows(1).getAs[String]("format") == "wav")
+      assert(rows(1).getAs[Any]("content_checksum") == null,
+        "overrunning data size must not checksum partial bytes")
     }
   }
 
