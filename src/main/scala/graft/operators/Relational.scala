@@ -297,24 +297,38 @@ object Relational {
         col("n_distinct"))
   }
 
-  /** EXACT per-group quantiles of an integer-valued column, as a value
-    * histogram — the distributed shape that needs no per-group sort: the
-    * corpus collapses to an aggregate-sized (group, value, count) table in
-    * ONE shuffle, cumulative counts run over that SMALL table (window
-    * partitions bounded by per-group value cardinality, not row count),
-    * and the pct-quantile is the least value whose cumulative count
-    * reaches rank ceil(pct·n/100). All-integer arithmetic (rank =
-    * (pct·n + 99) div 100), so results are engine-exact — unlike
-    * interpolated `percentile`, whose lerp is a libm-shaped portability
-    * trap. At 100 TB a 10^12-row group with ~10^6 distinct lengths costs
-    * one count-shuffle; a sort-based rank would shuffle every row.
+  /** EXACT per-group quantiles of a numeric column, as a value histogram —
+    * the distributed shape that needs no per-group sort: the corpus
+    * collapses to an aggregate-sized (group, value, count) table in ONE
+    * shuffle, cumulative counts run over that table, and the pct-quantile
+    * is the least value whose cumulative count reaches rank
+    * ceil(pct·n/100). All-integer rank arithmetic ((pct·n + 99) div 100),
+    * so results are engine-exact — unlike interpolated `percentile`, whose
+    * lerp is a libm-shaped portability trap.
+    *
+    * The cumulative count is TWO-LEVEL (round 7): a single per-group
+    * window would sort a group's whole distinct-value histogram on one
+    * task — fine for q79's token lengths (~10³ distinct), a serial
+    * bottleneck for near-continuous measures (a price column at sf0.1
+    * already holds ~10⁵ distinct doubles; at 100 TB, billions). Instead:
+    * (1) each distinct value gets an ORDER-PRESERVING range bucket
+    * (`numBuckets` equal value-spans between the group's min and max —
+    * the bucketing only has to be monotone, never exact, because the
+    * final answer is still the exact least-value-reaching-rank); (2)
+    * per-(group, bucket) count sums → exclusive offsets, a window over
+    * ≤ numBuckets rows per group; (3) the intra-bucket cumulative window,
+    * whose partitions hold only that bucket's distinct values. Bucket
+    * population is bounded under roughly-uniform value spread (outlier-
+    * stretched ranges degrade toward fewer effective buckets, never
+    * toward wrong answers; raise numBuckets for heavy-tailed measures).
     *
     * `pcts` are integer percents (e.g. 10..90 by 10 for deciles).
     */
   def groupedQuantiles(df: DataFrame, group: Column, value: Column,
-                       pcts: Seq[Int]): DataFrame = {
+                       pcts: Seq[Int], numBuckets: Int = 1024): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percents in 1..100, got $pcts")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     // NULL values carry no rank: without this filter a null `value` row
     // survives the histogram groupBy, the window's orderBy sorts nulls
     // FIRST, and every cumulative count (hence every quantile) for that
@@ -323,11 +337,32 @@ object Relational {
     val hist = df.filter(value.isNotNull)
       .groupBy(group.as("g"), value.as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val sizes = hist.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
-    val cum = hist.withColumn("cum",
-      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("g")).orderBy(col("v"))))
-    val targets = sizes.select(col("g"), col("n"),
+    val stats = hist.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n"),
+        min(col("v")).as("_vmin"), max(col("v")).as("_vmax"))
+    val span = col("_vmax").cast("double") - col("_vmin").cast("double")
+    val withB = hist.join(broadcast(stats.select(col("g").as("_sg"),
+        col("_vmin"), col("_vmax"))), col("g") <=> col("_sg"))
+      .withColumn("_bkt",
+        when(span <= 0.0, lit(0L)).otherwise(least(
+          floor((col("v").cast("double") - col("_vmin").cast("double"))
+            / (span / numBuckets)).cast("long"),
+          lit(numBuckets - 1L))))
+      .select(col("g"), col("v"), col("cnt"), col("_bkt"))
+    val bucketSums = withB.groupBy(col("g").as("_og"), col("_bkt").as("_obkt"))
+      .agg(sum(col("cnt")).as("_bsum"))
+    val offsets = bucketSums
+      .withColumn("_off",
+        sum(col("_bsum")).over(Window.partitionBy(col("_og")).orderBy(col("_obkt")))
+          - col("_bsum"))
+      .select(col("_og"), col("_obkt"), col("_off"))
+    val cum = withB
+      .join(offsets, col("g") <=> col("_og") && col("_bkt") === col("_obkt"))
+      .withColumn("cum",
+        col("_off") + sum(col("cnt")).over(
+          Window.partitionBy(col("g"), col("_bkt")).orderBy(col("v"))))
+      .select(col("g"), col("v"), col("cum"))
+    val targets = stats.select(col("g"), col("n"),
       explode(array(pcts.map(lit(_)): _*)).as("pct"))
       .withColumn("r", expr("(CAST(pct AS BIGINT) * n + 99) DIV 100"))
     cum.join(targets, "g")

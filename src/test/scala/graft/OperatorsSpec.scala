@@ -585,6 +585,35 @@ class OperatorsSpec extends GraftSuite {
     assert(got(("b", 50)) == 7L && got(("b", 100)) == 7L)
   }
 
+  test("groupedQuantiles: two-level bucketing is invariant across widths, on doubles, skew, and dup-heavy values") {
+    // the range bucketing only has to be ORDER-PRESERVING — any numBuckets
+    // must give the identical exact quantile. Continuous-ish doubles (the
+    // q82 price shape), a constant group (span 0), a two-value group, and
+    // a heavily duplicated value all in one corpus.
+    val rows =
+      (1 to 400).map(i => ("cont", math.sqrt(i.toDouble) * 17.31 - 3.0)) ++
+      (1 to 50).map(_ => ("const", 42.42)) ++
+      (1 to 30).map(i => ("dup", if (i < 25) 1.5 else 99.25)) ++
+      Seq(("neg", -8.25), ("neg", -1.0), ("neg", 4.75))
+    val df = rows.toDF("g", "v")
+    val pcts = Seq(1, 10, 25, 50, 75, 90, 100)
+    val reference = Relational.groupedQuantiles(df, $"g", $"v", pcts, numBuckets = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // numBuckets=1 degenerates to the plain single-window scheme (one
+    // bucket per group) — the pre-round-7 formulation, our reference
+    val sortedRef = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, p) <- reference.keys) {
+      val vs = sortedRef(g)
+      val r = ((p.toLong * vs.length + 99) / 100).toInt
+      assert(reference((g, p)) == vs(r - 1), s"reference wrong at ($g, $p)")
+    }
+    for (b <- Seq(2, 7, 64, 1024)) {
+      val got = Relational.groupedQuantiles(df, $"g", $"v", pcts, numBuckets = b)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got == reference, s"numBuckets=$b diverged from the plain window")
+    }
+  }
+
   test("corpusDupStats counts exact dups per source") {
     val docs = Seq(
       (1L, "a", "same text"), (2L, "a", "same text"), (3L, "a", "other"),
