@@ -173,6 +173,10 @@ object Multimodal {
     val bitsPerPixel = channels * depth
     val rowBytes = (width * bitsPerPixel + 7) / 8
     val bpp = math.max(1, bitsPerPixel / 8) // filter step, whole bytes
+    // cap each factor BEFORE multiplying: 2^31-scale declared dimensions
+    // would overflow the Long product, wrap negative, and sail past the
+    // size cap into a garbage allocation
+    if (rowBytes > MaxPixelBytes || height > MaxPixelBytes) return None
     val rawSize = (rowBytes + 1) * height // +1 filter byte per scanline
     if (rawSize > MaxPixelBytes) return None
     // gather the IDAT zlib stream (IDAT chunks must be consecutive per the

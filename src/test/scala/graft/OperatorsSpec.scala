@@ -365,6 +365,21 @@ class OperatorsSpec extends GraftSuite {
       assert(rows(1).getAs[Any]("content_checksum") == null,
         "corrupt zlib stream must degrade to header-only, not garbage")
     }
+    // absurd declared dimensions (2^30 x 2^30): the Long size product
+    // would overflow without the per-factor cap — must degrade to
+    // header-only metadata, never allocate or throw
+    def bb(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val huge = bb(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 13) ++
+      "IHDR".getBytes("US-ASCII") ++
+      bb(0x40, 0, 0, 0, 0x40, 0, 0, 0, 8, 6, 0, 0, 0) ++ bb(0, 0, 0, 0) ++
+      bb(0, 0, 0, 2) ++ "IDAT".getBytes("US-ASCII") ++ bb(1, 2) ++ bb(0, 0, 0, 0) ++
+      bb(0, 0, 0, 0) ++ "IEND".getBytes("US-ASCII") ++ bb(0, 0, 0, 0)
+    val hugeMedia = Seq((1L, "image", huge)).toDF("doc_id", "media_type", "payload")
+      .withColumn("n_bytes", org.apache.spark.sql.functions.octet_length($"payload").cast("long"))
+    val hugeRow = Multimodal.decode(hugeMedia).collect().head
+    assert(hugeRow.getAs[Long]("width") == 0x40000000L)
+    assert(hugeRow.getAs[Any]("content_checksum") == null,
+      "overflow-scale dimensions must not reach the allocation")
   }
 
   test("Multimodal: WAV content decode — the data chunk's PCM bytes are checksummed") {
