@@ -683,6 +683,38 @@ object Dedup {
       .select(col(idCol), col("cell_id"), col("drop_id").isNull.as("is_kept"))
   }
 
+  /** [[semanticDedup]] with EXACT-duplicate collapse first — the guard the
+    * 500k staged measurement proved out (SURVEY §5): byte-identical
+    * vectors land in the same cell by construction, so a w-wide exact-dup
+    * clique costs w(w−1)/2 within-cell cosine pairs that NO cell count
+    * can remove (218 s at 500k/250-wide cliques; 6.3 s with this
+    * composition, same keepers). Stage 1 is one linear hash-groupBy on
+    * the vector bytes (the q23 pattern applied to embeddings); stage 2
+    * runs the quadratic cluster-blocked pass over unique vectors only.
+    *
+    * Per-vector verdict like [[semanticDedup]]: is_kept is true only for
+    * each clique's minimum-id member when its unique vector survives the
+    * semantic pass; every copy carries its representative's cell_id.
+    * Exact-equality is the 8-byte hash of the vector bytes — the same
+    * documented 2⁻⁶⁴-class collision bound the text dedup family carries.
+    */
+  def semanticDedupExactFirst(embs: DataFrame, idCol: String, vecCol: String,
+                              k: Int, iters: Int, minCos: Double): DataFrame = {
+    val reps = embs
+      .groupBy(xxhash64(col(vecCol)).as("_vh"))
+      .agg(min(col(idCol)).as("_rep_id"))
+    val uniq = embs.join(reps, embs(idCol) === reps("_rep_id"))
+      .select(col(idCol), col(vecCol))
+    val sem = semanticDedup(uniq, idCol, vecCol, k, iters, minCos)
+      .select(col(idCol).as("_rep_id"), col("cell_id"),
+        col("is_kept").as("_rep_kept"))
+    embs.select(col(idCol), xxhash64(col(vecCol)).as("_vh"))
+      .join(reps, "_vh")
+      .join(sem, "_rep_id")
+      .select(col(idCol), col("cell_id"),
+        (col(idCol) === col("_rep_id") && col("_rep_kept")).as("is_kept"))
+  }
+
   /** Exact-substring duplication profile: for each document, how much of it
     * is character n-gram content that also appears in ANOTHER document —
     * the ExactSubstr signal (char-level, tokenization-blind) that catches

@@ -179,6 +179,43 @@ object EventsStream {
     * TIMESTAMP, so NTZ inputs are cast through it and the window bound is
     * cast back.
     */
+  /** Streaming twin of q82's moment half: per tumbling window, the
+    * count / mean / sample-stddev / min / max of a measure — the live EDA
+    * dashboard over an arriving stream. Moments use the identical
+    * DECIMAL sum/sum-of-squares formulation as
+    * [[graft.operators.Relational.describeProfile]] (exact, hence
+    * micro-batch-order-independent), so a window's row equals the batch
+    * profile of that window's rows bit-for-bit (spec-asserted). The sums
+    * are plain streaming-aggregatable state — each window holds five
+    * scalars regardless of event volume. Quantiles are deliberately
+    * absent: an exact type-1 quantile needs the window's full value
+    * histogram in state; run the batch profile for those.
+    */
+  def windowedMomentProfile(events: DataFrame, valueExpr: Column,
+                            windowDuration: String, watermark: String,
+                            scale: Int = 2): DataFrame = {
+    val ntzIn = events.schema("ts").dataType == TimestampNTZType
+    val start =
+      if (ntzIn) col("window.start").cast("timestamp_ntz") else col("window.start")
+    val v = valueExpr.cast("double")
+    val dec = v.cast(DecimalType(18, scale))
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(count(v).as("n"),
+        sum(dec).cast("double").as("_s"),
+        sum(dec * dec).cast("double").as("_ss"),
+        min(v).as("min_value"), max(v).as("max_value"))
+      .select(start.as("window_start"), col("n"),
+        graft.functions.NumFns.roundHalfUp(col("_s") / col("n"), 4).as("mean"),
+        when(col("n") > 1,
+          graft.functions.NumFns.roundHalfUp(
+            sqrt((col("_ss") - col("_s") * col("_s") / col("n")) / (col("n") - 1)), 4))
+          .as("stddev"),
+        col("min_value"), col("max_value"))
+  }
+
   def windowedHeavyHitters(events: DataFrame, keyExpr: Column,
                            windowDuration: String, watermark: String,
                            k: Int): DataFrame = {

@@ -326,6 +326,31 @@ class ScaleOpsSpec extends GraftSuite {
       "minCos=-1 must keep exactly the min-id vector per cell")
   }
 
+  test("semanticDedupExactFirst: same keepers as the plain pass on a clique-heavy corpus") {
+    import graft.operators.Dedup
+    // 5 id-shifted copies of the corpus: every vector is in a 5-wide
+    // exact-dup clique. The exact-first composition must keep exactly the
+    // plain operator's keeper set (the lowest-id copy is the
+    // representative, identical vectors always share cell and cosine 1),
+    // while running its quadratic stage on 1/5th of the rows.
+    val base = Readers.table(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val staged = (0 until 5).map(i =>
+        base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"embedding"))
+      .reduce(_ unionByName _)
+    val fast = Dedup.semanticDedupExactFirst(staged, "vec_id", "embedding",
+      k = 16, iters = 0, minCos = 0.35)
+    val plain = Dedup.semanticDedup(staged, "vec_id", "embedding",
+      k = 16, iters = 0, minCos = 0.35)
+    assert(fast.count() == staged.count(), "every input row keeps a verdict row")
+    val fastKeep = fast.filter($"is_kept").select($"vec_id")
+    val plainKeep = plain.filter($"is_kept").select($"vec_id")
+    assert(fastKeep.exceptAll(plainKeep).isEmpty && plainKeep.exceptAll(fastKeep).isEmpty,
+      "exact-first must keep exactly the plain operator's keeper set")
+    // keepers are all original-corpus ids (the clique minimum)
+    assert(fastKeep.filter($"vec_id" >= 1000000L).count() == 0,
+      "a non-minimum clique member survived")
+  }
+
   test("LSH ANN: zero hyperplanes reproduces brute force exactly") {
     import graft.operators.Similarity
     val embs = Readers.table(spark, sf, "embeddings")

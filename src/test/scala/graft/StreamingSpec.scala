@@ -382,6 +382,31 @@ class StreamingSpec extends GraftSuite {
       "routeToCells must match kmeansAssign on identical centroids")
   }
 
+  test("streaming windowed moment profile equals the one-shot batch profile bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val staged = java.nio.file.Files.createTempDirectory("graft-mp").toString
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+    // several files + one file per trigger: the decimal moment state must
+    // MERGE exactly across micro-batches, not just within one
+    ev.repartition(4).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema(EventsStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val q = EventsStream.windowedMomentProfile(stream, col("value"), "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("mp_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mp_out")
+      assert(got.count() > 0)
+      // the same operator applied to the batch frame (watermark is a no-op
+      // in batch): exact decimal sums make the micro-batched and one-shot
+      // evaluations bit-identical, stddev's double arithmetic included
+      val expected = EventsStream.windowedMomentProfile(ev, col("value"), "1 hour", "2 hours")
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        "micro-batched moments must equal the one-shot batch profile")
+      assert(got.filter(col("stddev").isNull && col("n") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming windowed heavy hitters: candidates contain every true in-window hitter") {
     import org.apache.spark.sql.functions.{col, get_json_object, window => fwindow, count => fcount, lit => flit, explode}
     val staged = java.nio.file.Files.createTempDirectory("graft-hh").toString
