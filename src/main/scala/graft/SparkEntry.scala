@@ -1186,6 +1186,63 @@ object SparkEntry {
         docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Dedup.simhashPairs(doubled, col("doc_id"), col("text"), 64, numBands = 1)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "q85_correlation" -> ((s, dir) => {
+      // pandas df.corr() parity — the EDA opener next to q82's describe():
+      // pairwise Pearson correlation over the fact measures in ONE corpus
+      // pass (pandas loops column pairs driver-side). DECIMAL-exact
+      // sufficient moments cast to double once, then a fixed IEEE tree —
+      // bit-exact under any partitioning (§5 exactSum rule).
+      Relational.correlationMatrix(T(s, dir, "lineitem"), Seq(
+          "l_quantity" -> col("l_quantity"),
+          "l_extendedprice" -> col("l_extendedprice"),
+          "l_discount" -> col("l_discount"),
+          "l_tax" -> col("l_tax")))
+        .orderBy("x_col", "y_col")
+    }),
+
+    "q86_semantic_decontaminate" -> ((s, dir) => {
+      // embedding-space decontamination: train vectors too close to the
+      // held-out slice (every 20th vec_id) are dropped — catches the
+      // paraphrase leakage n-gram overlap (q49/q56) misses. iters = 0
+      // pins centroids to the 16 lowest-id TRAIN vectors, so assignment,
+      // cross-split cosines, and the verdict are all SQL-expressible
+      // (the q71 oracle pattern).
+      val embs = T(s, dir, "embeddings")
+      val held = embs.filter(pmod(col("vec_id"), lit(20L)) === 0L)
+      val train = embs.filter(pmod(col("vec_id"), lit(20L)) =!= 0L)
+      Dedup.semanticDecontaminate(train, held, "vec_id", "embedding",
+          k = 16, iters = 0, minCos = 0.35)
+        .orderBy("vec_id")
+    }),
+
+    "q87_containment_dup" -> ((s, dir) => {
+      // asymmetric near-dup: containment |A∩B| / min(|A|,|B|) over 3-gram
+      // shingles — the quote/excerpt signal jaccard's union denominator
+      // dilutes (a paragraph inside a 100× article scores ~0.01 jaccard
+      // but 1.0 containment). Same inverted-index blocking as q22.
+      Dedup.ngramContainmentPairs(T(s, dir, "documents"), col("doc_id"),
+          col("text"), 3, 0.6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q88_filter_sweep" -> ((s, dir) => {
+      // filter-threshold calibration: for every observed LM-quality score,
+      // the docs and tokens surviving "keep score >= s" — the one-pass
+      // menu a token-budget decision reads ("the slice above X"). Corpus
+      // collapses to a score histogram; the cumulative runs over the
+      // histogram, not the corpus.
+      val docs = T(s, dir, "documents")
+      val model = Scoring.trainCharBigramLm(docs, col("text"))
+      val scored = Scoring.scoreCharBigramLm(docs, col("doc_id"), col("text"), model)
+        .select(col("_sid").as("doc_id"), col("avg_permille"))
+      val weighted = scored.join(
+        docs.select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_toks")),
+        "doc_id")
+      Scoring.thresholdSweep(weighted, col("avg_permille"), col("n_toks"))
+        .orderBy("score")
     })
   )
 
@@ -2153,6 +2210,121 @@ object SparkEntry {
         | SELECT doc_id + 1000000, text FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
         |FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Pearson r from DECIMAL-exact moments cast once to double — the same
+    // fixed IEEE tree as the Spark expression, term for term; NULL when a
+    // side has zero variance
+    "q85_correlation" ->
+      """WITH m AS (
+        | SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+        |  l_quantity AS x, l_extendedprice AS y FROM lineitem
+        | UNION ALL SELECT 'l_quantity', 'l_discount', l_quantity, l_discount FROM lineitem
+        | UNION ALL SELECT 'l_quantity', 'l_tax', l_quantity, l_tax FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', 'l_discount', l_extendedprice, l_discount FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', 'l_tax', l_extendedprice, l_tax FROM lineitem
+        | UNION ALL SELECT 'l_discount', 'l_tax', l_discount, l_tax FROM lineitem),
+        |mv AS (SELECT * FROM m WHERE x IS NOT NULL AND y IS NOT NULL),
+        |s AS (SELECT x_col, y_col, count(*) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        | FROM mv GROUP BY 1, 2)
+        |SELECT x_col, y_col, n,
+        | CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        |  THEN floor((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 10000.0 + 0.5)
+        |   / 10000.0
+        | END AS corr
+        |FROM s ORDER BY x_col, y_col""".stripMargin,
+
+    // q71's assignment argmax run on BOTH sides of the train/held-out
+    // split (centroids = 16 lowest-id TRAIN vectors), then cross-split
+    // within-cell cosines at the q25 round-3 compare and the dropped-iff-
+    // any-held-out-neighbor verdict
+    "q86_semantic_decontaminate" ->
+      """WITH tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+        |ho AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+        |cent AS (SELECT vec_id AS cell_id, embedding AS cvec
+        |  FROM tr ORDER BY vec_id LIMIT 16),
+        |prt AS (SELECT v.vec_id, c.cell_id, v.embedding AS ve, c.cvec
+        |  FROM tr v CROSS JOIN cent c),
+        |ext AS (SELECT vec_id, cell_id, CAST(unnest(ve) AS DOUBLE) AS x,
+        |  CAST(unnest(cvec) AS DOUBLE) AS y FROM prt),
+        |st AS (SELECT vec_id, cell_id,
+        |  sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        | FROM ext GROUP BY 1, 2),
+        |rt AS (SELECT vec_id, cell_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+        | FROM st WHERE isfinite(cos)),
+        |asgt AS (SELECT v.vec_id, r.cell_id, v.embedding FROM tr v
+        | LEFT JOIN rt r ON v.vec_id = r.vec_id AND r.rn = 1),
+        |prh AS (SELECT v.vec_id, c.cell_id, v.embedding AS ve, c.cvec
+        |  FROM ho v CROSS JOIN cent c),
+        |exh AS (SELECT vec_id, cell_id, CAST(unnest(ve) AS DOUBLE) AS x,
+        |  CAST(unnest(cvec) AS DOUBLE) AS y FROM prh),
+        |sh AS (SELECT vec_id, cell_id,
+        |  sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        | FROM exh GROUP BY 1, 2),
+        |rh AS (SELECT vec_id, cell_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+        | FROM sh WHERE isfinite(cos)),
+        |asgh AS (SELECT v.vec_id, r.cell_id, v.embedding FROM ho v
+        | LEFT JOIN rh r ON v.vec_id = r.vec_id AND r.rn = 1),
+        |p AS (SELECT t.vec_id, h.vec_id AS h_id, t.embedding AS te,
+        |  h.embedding AS he
+        | FROM asgt t JOIN asgh h ON t.cell_id = h.cell_id),
+        |ex2 AS (SELECT vec_id, h_id, CAST(unnest(te) AS DOUBLE) AS x,
+        |  CAST(unnest(he) AS DOUBLE) AS y FROM p),
+        |s2 AS (SELECT vec_id,
+        |  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 3) AS cos
+        | FROM ex2 GROUP BY vec_id, h_id),
+        |dirty AS (SELECT DISTINCT vec_id FROM s2 WHERE cos >= 0.35)
+        |SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS is_kept
+        |FROM asgt a LEFT JOIN dirty d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
+    // q22's inverted-index pair CTE with the containment denominator:
+    // |A∩B| / min(|A|,|B|) — subset relationships score ~1 regardless of
+    // the length ratio
+    "q87_containment_dup" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, containment FROM (
+        | SELECT doc_a, doc_b,
+        |  floor(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) * 10000.0 + 0.5) / 10000.0 AS containment
+        | FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id)
+        |WHERE containment >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q74's LM-score CTE joined to per-doc whitespace token counts, then a
+    // score histogram with >=-threshold cumulative docs/tokens
+    "q88_filter_sweep" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+        |pos AS (SELECT doc_id, text,
+        |  unnest(generate_series(1, length(text) - 1)) AS i FROM d),
+        |bg AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 2) AS bg FROM pos),
+        |bc AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1),
+        |pc AS (SELECT substring(bg, 1, 1) AS a, sum(c) AS pc FROM bc GROUP BY 1),
+        |m AS (SELECT bg, (1000 * c) // (pc + 1) AS p
+        |  FROM bc JOIN pc ON substring(bc.bg, 1, 1) = pc.a),
+        |sc AS (SELECT doc_id,
+        |  CAST(CAST(sum(m.p) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS score
+        | FROM bg JOIN m USING (bg) GROUP BY doc_id),
+        |wt AS (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks
+        | FROM documents),
+        |h AS (SELECT score, count(*) AS n_docs_at, sum(n_toks) AS w_at
+        | FROM sc JOIN wt USING (doc_id) GROUP BY 1)
+        |SELECT score, n_docs_at,
+        | CAST(sum(n_docs_at) OVER (ORDER BY score DESC) AS BIGINT) AS n_docs_kept,
+        | CAST(sum(w_at) OVER (ORDER BY score DESC) AS BIGINT) AS weight_kept
+        |FROM h ORDER BY score""".stripMargin
   )
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructField, StructType}
 
 /** BPE merge training (Sennrich et al. 2016, arXiv:1508.07909) as a
   * distributed iterative operator — the learn-the-vocabulary step a
@@ -21,11 +21,17 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * merge, textbook semantics), and a localCheckpoint with explicit block
   * release to keep lineage flat across rounds.
   *
-  * The merge-application (encode) side is deliberately NOT a corpus
-  * operator here: applying N merge rules per document is a CPU-bound
-  * per-row transform that production pipelines run in the data loader /
-  * tokenizer; the distributed-value part is the corpus-scale counting this
-  * operator does.
+  * The merge-application (encode) side runs at the VOCABULARY grain too
+  * ([[encodeVocab]] / [[bpeEncode]]): each distinct word is encoded once
+  * against the broadcast merge table and the result joins back to the
+  * corpus on the word — per-document re-encoding would repeat the same
+  * CPU-bound scan for every instance of "the". Applying N ranked merge
+  * rules is an inherently iterative per-row transform with no Catalyst
+  * builtin (the training-side fold works for ONE rule; chaining hundreds
+  * explodes the expression tree past codegen limits), so encodeVocab is a
+  * `mapPartitions` over the distinct-word table — the Multimodal rule:
+  * imperative per-row logic only where no Expression can express it, and
+  * never over the raw corpus.
   */
 object Bpe {
 
@@ -101,5 +107,92 @@ object Bpe {
       StructField("merged", StringType, nullable = false)))
     val rows = merges.toSeq.map { case (k, l, r, m) => Row(k, l, r, m) }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** [[applyMerge]]'s exact in-memory twin — one greedy left-to-right scan
+    * applying the single merge (l, r) → l+r; a freshly merged symbol is
+    * never reconsidered as a LEFT partner, same as the Catalyst fold.
+    */
+  private def applyMergeLocal(symbols: Array[String], l: String,
+                              r: String): Array[String] = {
+    if (symbols.length < 2) return symbols
+    val out = scala.collection.mutable.ArrayBuffer[String](symbols(0))
+    var i = 1
+    while (i < symbols.length) {
+      val x = symbols(i)
+      if (out(out.length - 1) == l && x == r) out(out.length - 1) = l + r
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
+  private val encodedSchema = StructType(Seq(
+    StructField("word", StringType, nullable = true),
+    StructField("symbols", ArrayType(StringType, containsNull = false),
+      nullable = true)))
+
+  /** Encode each distinct word of `words` (column `word`) with a trained
+    * merge table: split to characters + `</w>`, then apply every merge in
+    * rank order with the same greedy left-to-right scan training used —
+    * so for any word the TRAINING corpus contained, encode reproduces the
+    * final training-vocabulary symbols exactly (spec-asserted). The merge
+    * table collects to the driver and broadcasts: it is ≤ numMerges rows
+    * by construction (the kmeansCentroids tiny-model pattern). Returns
+    * (word, symbols).
+    */
+  def encodeVocab(words: DataFrame, merges: DataFrame): DataFrame = {
+    val ranked: Array[(String, String)] = merges
+      .orderBy(col("merge_rank"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bc = words.sparkSession.sparkContext.broadcast(ranked)
+    val enc = org.apache.spark.sql.Encoders.row(encodedSchema)
+    words.select(col("word").cast(StringType).as("word")).distinct()
+      .mapPartitions { rows =>
+        val ms = bc.value
+        rows.map { row =>
+          val w = row.getString(0)
+          var syms = (w.map(_.toString) :+ "</w>").toArray
+          var i = 0
+          while (i < ms.length) {
+            syms = applyMergeLocal(syms, ms(i)._1, ms(i)._2)
+            i += 1
+          }
+          Row(w, syms.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Corpus BPE tokenization profile under a trained merge table: per
+    * document, whitespace words, BPE tokens, and the per-doc fertility
+    * (tokens/word, the tokenizer-efficiency metric corpus audits track —
+    * a language whose fertility is 2× pays 2× the context budget).
+    * Returns (doc_id, n_words, n_tokens, fertility); empty documents get
+    * (0, 0, NULL).
+    *
+    * Scale shape: the corpus explodes to (doc_id, word) and aggregates per
+    * doc — the q37 exchange; the ENCODING work happens once per distinct
+    * word in [[encodeVocab]] (vocab-sized, corpus-size-independent) and
+    * joins back on the word, which AQE broadcasts when the vocabulary is
+    * small.
+    */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+                merges: DataFrame): DataFrame = {
+    val words = docs.select(id.as("doc_id"),
+        explode(TextFns.tokens(text)).as("word"))
+      .filter(length(col("word")) > 0)
+    val encoded = encodeVocab(words.select(col("word")), merges)
+      .select(col("word"), size(col("symbols")).cast("long").as("_n_sym"))
+    val perDoc = words.join(encoded, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("_n_sym")).as("n_tokens"))
+    docs.select(id.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_words") > 0, graft.functions.NumFns.roundHalfUp(
+          col("n_tokens").cast("double") / col("n_words").cast("double"), 4))
+          .as("fertility"))
   }
 }

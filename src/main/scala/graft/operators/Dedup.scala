@@ -168,6 +168,57 @@ object Dedup {
     if (persistIndex) materializeAndRelease(result, sh) else result
   }
 
+  /** N-gram CONTAINMENT near-dup pairs — the asymmetric companion to
+    * [[ngramJaccardPairs]]: score = |A∩B| / min(|A|, |B|), the fraction of
+    * the SMALLER document's shingles that the pair shares. Jaccard's union
+    * denominator dilutes subset relationships (a paragraph quoted inside a
+    * 100× longer article scores |p|/|article| ≈ 0.01 jaccard but 1.0
+    * containment), so containment is the right signal for quote/excerpt/
+    * wrapper duplication — the Broder (1997) resemblance-vs-containment
+    * split, and what suffix-array ExactSubstr dedup approximates at the
+    * passage level. Pairs with containment >= `minContainment` surface as
+    * (doc_a, doc_b, containment), a < b by id.
+    *
+    * Scale shape: identical to the jaccard family — the fused 8-byte
+    * shingle-hash inverted index is the blocking key, candidate generation
+    * is the index self-join (never all-pairs), sizes join back on the
+    * 8-byte id. `maxDocFreq` caps per-shingle fan-out exactly like
+    * [[ngramJaccardPairsCapped]] (df-capped n_common is a provable lower
+    * bound of the true intersection, so every emitted pair is a true
+    * >=-threshold pair; cap >= corpus size restores exactness —
+    * spec-asserted). Same 2⁻⁶⁴ hash-collision class as the rest of the
+    * shingle family.
+    */
+  def ngramContainmentPairs(docs: DataFrame, id: Column, text: Column,
+                            n: Int, minContainment: Double,
+                            maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = docs
+      .select(id.as("doc_id"),
+        explode(NativeFns.shingleHashes(text, n)).as("sh_h"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // df cap bounds per-shingle candidate fan-out (the 100 TB guard); the
+    // DENOMINATOR still uses full sizes, so capping only lowers n_common —
+    // the emitted score is a lower bound and survivors are true positives
+    val blocked =
+      if (maxDocFreq >= Long.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select(col("sh_h")), "sh_h")
+    val pairs = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.NumFns.roundHalfUp(col("n_common").cast("double") /
+          least(col("sa.n_sh"), col("sb.n_sh")).cast("double"), 4)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Incremental near-dup check — the production ingest shape: every NEW
     * (batch) document is scored against every EXISTING (corpus) document
     * sharing at least one word n-gram shingle, and pairs with
@@ -713,6 +764,47 @@ object Dedup {
       .join(sem, "_rep_id")
       .select(col(idCol), col("cell_id"),
         (col(idCol) === col("_rep_id") && col("_rep_kept")).as("is_kept"))
+  }
+
+  /** SEMANTIC decontamination — the embedding-space twin of the n-gram
+    * benchmark decontamination pair (q49 exact / q56 Bloom): a training
+    * vector is contaminated iff some HELD-OUT vector scores
+    * round(cos, 3) >= `minCos` against it. N-gram overlap misses
+    * paraphrases and translations; embedding proximity is how modern
+    * pipelines catch eval-set leakage that survives surface rewrites (the
+    * SemDeDup machinery pointed across the train/eval split instead of
+    * within the corpus). Returns one row per TRAIN vector:
+    * (`idCol`, cell_id, is_kept) — zero-norm vectors (NULL cell) never
+    * join, hence are kept, matching [[semanticDedup]]'s contract.
+    *
+    * Scale shape: centroids train on the train side ([[Similarity
+    * .kmeansCentroids]], O(sample)); BOTH sides then take the zero-shuffle
+    * broadcast-argmax assignment, and candidate pairs are generated only
+    * where cells collide — an equi-join on cell_id whose build side is the
+    * (small) held-out slice, which AQE broadcasts; the train corpus is
+    * scanned, never all-paired (held-out × train brute force is the
+    * pandas-loop shape this replaces). Cross-cell leakage is the same
+    * approximation SemDeDup accepts within-corpus: raise `k` until cells
+    * are partition-sized, probe-adjacent cells if the margin matters.
+    * iters = 0 pins centroids to the k lowest-id train vectors, making the
+    * whole pipeline (assignment argmax, cross-side cosines, verdict)
+    * SQL-expressible — the q71 oracle pattern.
+    */
+  def semanticDecontaminate(train: DataFrame, heldOut: DataFrame,
+                            idCol: String, vecCol: String,
+                            k: Int, iters: Int, minCos: Double): DataFrame = {
+    val centroids = Similarity.kmeansCentroids(train, idCol, vecCol, k, iters)
+    val trainIdx = Similarity.cellIndex(train, centroids, idCol, vecCol)
+    val heldIdx = Similarity.cellIndex(heldOut, centroids, idCol, vecCol)
+      .select(col(idCol).as("_h_id"), col("cell_id").as("_h_cell"),
+        col(vecCol).as("_h_vec"))
+    val dirty = trainIdx.join(heldIdx, col("cell_id") === col("_h_cell"))
+      .filter(round(NativeFns.cosineSim(col(vecCol), col("_h_vec")), 3)
+        >= minCos)
+      .select(col(idCol).as("_dirty_id")).distinct()
+    trainIdx.join(dirty, col(idCol) === col("_dirty_id"), "left")
+      .select(col(idCol), col("cell_id"),
+        col("_dirty_id").isNull.as("is_kept"))
   }
 
   /** Exact-substring duplication profile: for each document, how much of it

@@ -474,4 +474,54 @@ object Relational {
     hist.unpersist(false)
     out
   }
+
+  /** Pairwise Pearson correlation matrix over named numeric columns — the
+    * other half of the pandas EDA opener ([[describeProfile]] is
+    * `df.describe()`; this is `df.corr()`). One row per unordered column
+    * pair (i < j): (x_col, y_col, n, corr), with pandas' pairwise deletion
+    * (a row counts for a pair only when BOTH values are non-null).
+    *
+    * Engine-exact by the same §5 rule as describe: the five sufficient
+    * moments (Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL(18,`scale`)
+    * products — exact, hence partitioning/order-independent — and are cast
+    * to double ONCE; the correlation
+    *   r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+    * is then a fixed tree of IEEE double ops any engine reproduces
+    * bit-for-bit. NULL when a side is constant (zero variance — pandas
+    * emits NaN there; NULL is this engine's SQL-portable spelling).
+    * `scale` must cover every profiled column's decimal grain.
+    *
+    * Scale shape: ONE corpus pass — each row melts into #pairs (x, y)
+    * structs that collapse map-side into per-pair partial sums; the one
+    * shuffle carries #pairs aggregate rows, the corpus never re-scans per
+    * pair (the pandas formulation is a column-quadratic driver loop).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Column)],
+                        scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val melted = df
+      .select(explode(array(pairs.map { case ((xn, xc), (yn, yc)) =>
+        struct(lit(xn).as("x_col"), lit(yn).as("y_col"),
+          xc.cast("double").as("x"), yc.cast("double").as("y")) }: _*)).as("m"))
+      .select(col("m.x_col").as("x_col"), col("m.y_col").as("y_col"),
+        col("m.x").as("x"), col("m.y").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val dt = org.apache.spark.sql.types.DecimalType(18, scale)
+    val (dx, dy) = (col("x").cast(dt), col("y").cast(dt))
+    val sums = melted.groupBy(col("x_col"), col("y_col"))
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast("double").as("sx"), sum(dy).cast("double").as("sy"),
+        sum(dx * dy).cast("double").as("sxy"),
+        sum(dx * dx).cast("double").as("sxx"),
+        sum(dy * dy).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val den2 = (nD * col("sxx") - col("sx") * col("sx")) *
+      (nD * col("syy") - col("sy") * col("sy"))
+    sums.select(col("x_col"), col("y_col"), col("n"),
+      when(den2 > 0.0, graft.functions.NumFns.roundHalfUp(
+        (nD * col("sxy") - col("sx") * col("sy")) / sqrt(den2), 4)).as("corr"))
+  }
 }

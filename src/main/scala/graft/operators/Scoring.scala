@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFns
 import graft.plans.NativeFns
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based corpus filters — the two scoring stages a modern
@@ -203,5 +204,37 @@ object Scoring {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit((k + 1).toLong) > col("n"))
       .select(col("token"), col("cnt"))
+  }
+
+  /** Filter-threshold calibration curve: for every OBSERVED score value s,
+    * how much survives the filter "keep docs with score >= s" — docs kept
+    * and weight (tokens/chars/bytes) kept. Choosing a quality-filter
+    * cutoff is a budget decision ("the 1.1T-token slice above X"); this is
+    * the whole menu in one pass, for any integer-scored filter (q29
+    * heuristic, q73 classifier, q74 LM — anything with a score column).
+    * Output: (score, n_docs_at, n_docs_kept, weight_kept), one row per
+    * distinct score; n_docs_kept/weight_kept are the >=-threshold
+    * cumulative totals.
+    *
+    * Scale shape: the corpus collapses map-side into a (score, count,
+    * weight-sum) histogram — one shuffle of |score domain| aggregate rows
+    * (an integer per-mille filter has <= ~2000 of them). The descending
+    * cumulative runs as a window over that HISTOGRAM, partitioned by the
+    * [[Relational]] global-window-key idiom: bounded by the score domain,
+    * not the corpus — the same aggregate-sized-window rule as q79/q82.
+    * NULL scores (e.g. an LM score on an empty doc) are excluded — a
+    * threshold filter can't keep them.
+    */
+  def thresholdSweep(scored: DataFrame, score: Column,
+                     weight: Column): DataFrame = {
+    val hist = scored.filter(score.isNotNull)
+      .groupBy(score.as("score"))
+      .agg(count(lit(1)).as("n_docs_at"), sum(weight).as("_w_at"))
+    val w = Window.partitionBy(pmod(xxhash64(col("score")), lit(1L)))
+      .orderBy(col("score").desc)
+    hist
+      .select(col("score"), col("n_docs_at"),
+        sum(col("n_docs_at")).over(w).as("n_docs_kept"),
+        sum(col("_w_at")).over(w).as("weight_kept"))
   }
 }

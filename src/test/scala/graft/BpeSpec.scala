@@ -79,4 +79,74 @@ class BpeSpec extends GraftSuite {
     assert(a == b, "merge table must not depend on partitioning")
     assert(a.size == 5)
   }
+
+  /** Reference encode: chars + </w>, then each merge in rank order with the
+    * same greedy left-to-right non-overlapping scan training used.
+    */
+  private def refEncode(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ "</w>"
+    for ((l, r) <- merges) {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      syms = b.result()
+    }
+    syms
+  }
+
+  test("encodeVocab matches the in-memory reference and reproduces training's final vocabulary") {
+    val corpus = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val docs = corpus.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.bpeTrain(docs, $"text", 8)
+    val mergeRules = merges.orderBy("merge_rank")
+      .as[(Int, String, String, String)].collect().toSeq.map(m => (m._2, m._3))
+    val got = Bpe.encodeVocab(docs.select($"text".as("word")), merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(got.keySet == corpus.keySet)
+    for (w <- corpus.keys)
+      assert(got(w) == refEncode(w, mergeRules), s"word $w")
+    // encode(word) must equal the final TRAINING vocabulary symbols for
+    // every word the training corpus contained — the consistency invariant
+    // that makes train-side counts and encode-side tokens the same model
+    var vocabRef: Map[String, Vector[String]] =
+      corpus.keys.map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+    for ((l, r) <- mergeRules)
+      vocabRef = vocabRef.map { case (w, syms) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        w -> b.result()
+      }
+    for (w <- corpus.keys) assert(got(w) == vocabRef(w), s"vocab drift on $w")
+  }
+
+  test("bpeEncode: per-doc token counts, fertility, empty docs; vocab-grain encode equals per-doc encode") {
+    val docs = Seq((0L, "low low newest"), (1L, "lower widest"), (2L, ""),
+        (3L, "newest newest newest")).toDF("doc_id", "text")
+    val merges = Bpe.bpeTrain(docs, $"text", 6)
+    val mergeRules = merges.orderBy("merge_rank")
+      .as[(Int, String, String, String)].collect().toSeq.map(m => (m._2, m._3))
+    val got = Bpe.bpeEncode(docs, $"doc_id", $"text", merges)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def toks(s: String): Seq[String] =
+      s.split(" ").filter(_.nonEmpty).toSeq
+    for ((id, text) <- Seq(0L -> "low low newest", 1L -> "lower widest",
+        3L -> "newest newest newest")) {
+      val ws = toks(text)
+      val nTok = ws.map(w => refEncode(w, mergeRules).size.toLong).sum
+      val fert = math.floor(nTok.toDouble / ws.size * 10000.0 + 0.5) / 10000.0
+      assert(got(id) == ((ws.size.toLong, nTok, Some(fert))), s"doc $id")
+    }
+    assert(got(2L) == ((0L, 0L, None)), "empty doc: zero counts, NULL fertility")
+  }
 }

@@ -639,4 +639,125 @@ class OperatorsSpec extends GraftSuite {
     assert(got("a") == ((3L, 2L, 0.3333)))
     assert(got("b") == ((2L, 2L, 0.0)))
   }
+
+  test("correlationMatrix matches a direct computation; pairwise deletion; zero variance is NULL") {
+    // y = 2x exactly (r = 1), z = -x (r = -1 with both), c constant (NULL
+    // against everything), and one row where y is NULL (pairwise deletion:
+    // the (x, z) pair still counts it)
+    val df = Seq(
+      (1.0, Some(2.0), -1.0, 7.0),
+      (2.0, Some(4.0), -2.0, 7.0),
+      (3.0, None, -3.0, 7.0),
+      (4.0, Some(8.0), -4.0, 7.0)).toDF("x", "y", "z", "c")
+    val got = Relational.correlationMatrix(df, Seq(
+        "x" -> $"x", "y" -> $"y", "z" -> $"z", "c" -> $"c"), scale = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(("x", "y")) == ((3L, Some(1.0))), "perfect positive")
+    assert(got(("x", "z")) == ((4L, Some(-1.0))), "perfect negative, all 4 rows")
+    assert(got(("y", "z")) == ((3L, Some(-1.0))))
+    assert(got(("x", "c")) == ((4L, None)), "constant column has no correlation")
+    assert(got(("y", "c"))._2.isEmpty && got(("z", "c"))._2.isEmpty)
+    assert(got.size == 6, "all unordered pairs present")
+  }
+
+  test("correlationMatrix agrees with the textbook formula on real data, any partitioning") {
+    val li = graft.sources.Readers.table(spark, sf, "lineitem")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.correlationMatrix(d, Seq(
+          "l_quantity" -> $"l_quantity", "l_extendedprice" -> $"l_extendedprice",
+          "l_discount" -> $"l_discount"), scale = 2)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val got = run(li)
+    assert(got == run(li.repartition(13)), "partitioning changed the bits")
+    // independent driver-side reference on the same rounded-double inputs
+    val rows = li.select($"l_quantity".cast("double"),
+      $"l_extendedprice".cast("double")).as[(Double, Double)].collect()
+    val n = rows.length.toDouble
+    val (sx, sy) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    val sxy = rows.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (rows.map(p => p._1 * p._1).sum, rows.map(p => p._2 * p._2).sum)
+    val want = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    // the operator emits round-half-up to 4 digits; the double-summed
+    // reference can sit a few ulps off the exact-decimal moments, so
+    // compare at the emitted grain with a half-grain tolerance
+    assert(math.abs(got(("l_quantity", "l_extendedprice")) - want) < 5e-5,
+      s"got ${got(("l_quantity", "l_extendedprice"))} want ~$want")
+  }
+
+  test("ngramContainmentPairs: a quoted subset scores 1.0 where jaccard dilutes; cap >= corpus is exact") {
+    val quote = "alpha beta gamma delta epsilon"
+    val article = quote + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, article), (2L, quote), (3L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, $"doc_id", $"text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont == Map((1L, 2L) -> 1.0),
+      "the quote's every shingle is in the article; unrelated docs absent")
+    val jac = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text", 3, 0.5).count()
+    assert(jac == 0, "jaccard at the same threshold misses the subset pair")
+    val capped = Dedup.ngramContainmentPairs(docs, $"doc_id", $"text", 3, 0.5,
+      maxDocFreq = 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == cont, "cap >= corpus must equal the uncapped result")
+  }
+
+  test("ngramContainmentPairs df cap only lowers scores (lower-bound contract)") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+    val exact = Dedup.ngramContainmentPairs(docs, $"doc_id", $"text", 3, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramContainmentPairs(docs, $"doc_id", $"text", 3, 0.0,
+        maxDocFreq = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.nonEmpty && capped.keySet.subsetOf(exact.keySet))
+    for ((k, v) <- capped)
+      assert(v <= exact(k) + 1e-12, s"cap raised the score for $k")
+  }
+
+  test("semanticDecontaminate drops the vectors the held-out slice duplicates, keeps the rest") {
+    // cell seeds are the 2 lowest-id TRAIN vectors (k=2, iters=0): e1/e2
+    // axes. Train 1,2,3 + a zero vector; held-out 100 == train 3 (same
+    // cell, cos 1.0 -> train 3 dropped). Nearby non-duplicates stay:
+    // cos(train 1, held 100) = .9/sqrt(.82) -> 0.994 and
+    // cos(train 2, held 101) = .9/sqrt(.83) -> 0.988, both under the
+    // 0.995 bar
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val held = Seq(
+      (100L, Seq(0.9f, 0.1f, 0.0f)),
+      (101L, Seq(0.1f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(train, held, "vec_id", "embedding",
+        k = 2, iters = 0, minCos = 0.995)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2)))).toMap
+    assert(got(3L)._2 == false, "exact held-out duplicate must be dropped")
+    assert(got(1L)._2 && got(2L)._2, "sub-threshold train vectors kept")
+    assert(got(4L) == ((None, true)), "zero-norm: NULL cell, kept")
+    assert(got.size == 4, "one verdict per train vector, held-out not in output")
+  }
+
+  test("thresholdSweep equals per-threshold brute force; NULL scores excluded") {
+    val df = Seq((1L, Some(10L), 5L), (2L, Some(20L), 7L), (3L, Some(10L), 1L),
+        (4L, Some(30L), 2L), (5L, None, 99L))
+      .toDF("doc_id", "score", "w")
+    val got = Scoring.thresholdSweep(df, $"score", $"w")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      30L -> ((1L, 1L, 2L)),
+      20L -> ((1L, 2L, 9L)),
+      10L -> ((2L, 4L, 15L))), s"got $got")
+    // brute force: each observed threshold's filter must agree
+    val base = df.filter($"score".isNotNull)
+    for (t <- Seq(10L, 20L, 30L)) {
+      val kept = base.filter($"score" >= t)
+      assert(got(t)._2 == kept.count())
+      assert(got(t)._3 == kept.agg(sum($"w")).head().getLong(0))
+    }
+  }
 }

@@ -58,7 +58,10 @@ class PlanSpec extends GraftSuite {
       // — the same by-design shape as the ANN assignment paths above
       // (q71's pair join and verdict join are equi-joins; only the 1-row
       // centroid packing is nested-loop)
-      "q70_cluster_assign", "q71_semantic_dedup",
+      // q86: the q71 shape across the train/held-out split — TWO packed-
+      // centroid 1-row broadcasts (one per side); the cross-split pair join
+      // and the verdict join are equi-joins on cell_id / vec_id
+      "q70_cluster_assign", "q71_semantic_dedup", "q86_semantic_decontaminate",
       // q75: tf table × TWO broadcast 1-row stats (N/Σdl, per-term dfs) —
       // the q61 threshold shape again; the tokenize/tf/df sides are all
       // equi-joined or aggregated
