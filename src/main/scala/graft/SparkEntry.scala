@@ -1022,9 +1022,12 @@ object SparkEntry {
       // the corpus, score each document by the integer sum/mean of
       // per-mille bigram probabilities — improbable character sequences
       // score low and get dropped. Model <= |charset|^2 rows -> broadcast.
+      // Both halves run the round-7 fused kernels (CharBigramCounts /
+      // CharLmScore — one UTF-8 walk per doc instead of a per-position
+      // explode), spec-proven bit-identical to the composed pipeline.
       val docs = T(s, dir, "documents")
-      val model = Scoring.trainCharBigramLm(docs, col("text"))
-      Scoring.scoreCharBigramLm(docs, col("doc_id"), col("text"), model)
+      val model = Scoring.trainCharBigramLmFused(docs, col("text"))
+      Scoring.scoreCharBigramLmFused(docs, col("doc_id"), col("text"), model)
         .withColumnRenamed("_sid", "doc_id")
         .orderBy("doc_id")
     }),
@@ -1115,8 +1118,8 @@ object SparkEntry {
       // the global sequence with bounded window partitions — no
       // single-task corpus sort, no RNG.
       val docs = T(s, dir, "documents")
-      val model = Scoring.trainCharBigramLm(docs, col("text"))
-      val scored = Scoring.scoreCharBigramLm(docs, col("doc_id"), col("text"), model)
+      val model = Scoring.trainCharBigramLmFused(docs, col("text"))
+      val scored = Scoring.scoreCharBigramLmFused(docs, col("doc_id"), col("text"), model)
         .select(col("_sid").as("doc_id"), col("avg_permille"))
       val h = pmod(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L), lit(1000003L))
       val keyed = scored.withColumn("_key", h - col("avg_permille") * lit(1048576L))
@@ -1234,8 +1237,8 @@ object SparkEntry {
       // collapses to a score histogram; the cumulative runs over the
       // histogram, not the corpus.
       val docs = T(s, dir, "documents")
-      val model = Scoring.trainCharBigramLm(docs, col("text"))
-      val scored = Scoring.scoreCharBigramLm(docs, col("doc_id"), col("text"), model)
+      val model = Scoring.trainCharBigramLmFused(docs, col("text"))
+      val scored = Scoring.scoreCharBigramLmFused(docs, col("doc_id"), col("text"), model)
         .select(col("_sid").as("doc_id"), col("avg_permille"))
       val weighted = scored.join(
         docs.select(col("doc_id"),

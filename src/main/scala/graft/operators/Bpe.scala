@@ -148,7 +148,8 @@ object Bpe {
       .collect().map(r => (r.getString(0), r.getString(1)))
     val bc = words.sparkSession.sparkContext.broadcast(ranked)
     val enc = org.apache.spark.sql.Encoders.row(encodedSchema)
-    words.select(col("word").cast(StringType).as("word")).distinct()
+    words.select(col("word").cast(StringType).as("word"))
+      .filter(col("word").isNotNull).distinct()
       .mapPartitions { rows =>
         val ms = bc.value
         rows.map { row =>

