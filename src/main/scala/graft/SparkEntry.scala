@@ -1006,11 +1006,14 @@ object SparkEntry {
       // linear classifier on a labeled seed (here: lang='en' as the
       // label), then score and threshold the corpus. All-integer per-mille
       // weights so the result is bit-exact under any partitioning. The
-      // model is <= 4096 rows -> broadcast; scoring is one corpus pass.
+      // model is <= 4096 rows; scoring runs the round-7 fused
+      // HashedLinearScore kernel (dense weight array inside the
+      // expression, one walk per doc), spec-proven bit-identical to the
+      // composed explode+join pipeline.
       val docs = T(s, dir, "documents")
       val model = Scoring.trainHashedLinear(
         docs, col("text"), col("lang") === lit("en"), numBuckets = 4096)
-      Scoring.scoreHashedLinear(docs, col("doc_id"), col("text"), model,
+      Scoring.scoreHashedLinearFused(docs, col("doc_id"), col("text"), model,
           numBuckets = 4096)
         .withColumnRenamed("_sid", "doc_id")
         .withColumnRenamed("pred", "pred_en")

@@ -80,6 +80,36 @@ object Scoring {
       .select(col("_sid"), col("n_tok"), col("score_sum"),
         (col("score_sum") * 2 > col("n_tok") * 1000).as("pred"))
 
+  /** [[scoreHashedLinear]] fused into one codegen'd walk per document
+    * (native [[graft.plans.HashedLinearScore]]): the ≤ `numBuckets`-row
+    * model collects to a DENSE weight array riding inside the expression
+    * (−1 = absent bucket, preserving the inner-join semantics), replacing
+    * the token explode + broadcast join + per-doc re-aggregation. Output
+    * is column-for-column [[scoreHashedLinear]] (docs whose every token
+    * falls in an absent bucket are absent; empty/all-space documents hash
+    * their single empty token to bucket 0, as `split(trim, " ")` does) —
+    * bit-parity spec-asserted on corpus + adversarial strings.
+    */
+  def scoreHashedLinearFused(docs: DataFrame, id: Column, text: Column,
+                             model: DataFrame, numBuckets: Int): DataFrame = {
+    val weights = Array.fill(numBuckets)(-1)
+    model.select(col("bucket").cast("int"), col("weight").cast("int"))
+      .collect().foreach { r =>
+        val b = r.getInt(0)
+        require(b >= 0 && b < numBuckets,
+          s"model bucket $b outside [0, $numBuckets)")
+        weights(b) = r.getInt(1)
+      }
+    docs
+      .select(id.as("_sid"),
+        NativeFns.hashedLinearScore(text, weights).as("_s"))
+      .select(col("_sid"), col("_s").getItem(0).as("n_tok"),
+        col("_s").getItem(1).as("score_sum"))
+      .filter(col("n_tok") > 0)
+      .select(col("_sid"), col("n_tok"), col("score_sum"),
+        (col("score_sum") * 2 > col("n_tok") * 1000).as("pred"))
+  }
+
   /** Character-bigram counts with positions exploded arithmetically
     * (sequence + substr — one corpus pass, no UDF, no per-char array
     * materialization). Documents shorter than 2 chars have no bigrams and

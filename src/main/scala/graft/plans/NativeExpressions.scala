@@ -895,6 +895,45 @@ case class CharBigramCounts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused hashed-linear (fastText-shape) document score
+  * ([[ShingleOps.hashedLinearScore]]): the ≤ numBuckets-entry model rides
+  * in the expression as a DENSE weight array (−1 = bucket absent → the
+  * inner-join semantics: such tokens count nothing), and the whole
+  * tokenize → fingerprint → bucket → join → per-doc aggregate pipeline
+  * collapses to one walk per document. Returns `array<long>`
+  * [matched_tokens, weight_sum]; bit-parity with the composed
+  * [[graft.operators.Scoring.scoreHashedLinear]] is spec-asserted
+  * (incl. empty-token and all-space-document hashing to bucket 0).
+  * Not SQL-registered: the weight array comes from a collected model.
+  */
+case class HashedLinearScore(child: Expression, weights: Array[Int])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hashed_linear_score expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hashed_linear_score"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleOps.hashedLinearScore(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], weights))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("hlWeights", weights, "int[]")
+    nullSafeCodeGen(ctx, ev, t => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad($ops.hashedLinearScore($t, $wRef));"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column =
@@ -926,4 +965,6 @@ object NativeFns {
     ColumnBridge.column(CharLmScore(ex(text), sortedKeys, permille))
   def charBigramCounts(text: Column): Column =
     ColumnBridge.column(CharBigramCounts(ex(text)))
+  def hashedLinearScore(text: Column, weights: Array[Int]): Column =
+    ColumnBridge.column(HashedLinearScore(ex(text), weights))
 }

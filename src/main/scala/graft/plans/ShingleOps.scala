@@ -240,6 +240,71 @@ object ShingleOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Fused hashed-linear document scoring: one pass over the trimmed text,
+    * computing each whitespace token's rolling fingerprint (the EXACT
+    * [[RollingFingerprint]] walk — *31 mod 1e9+7 over codepoints, with its
+    * own lead-byte decode — so `fingerprint(token) % numBuckets` parity is
+    * bit-for-bit) and folding the dense per-bucket weight table riding in
+    * `weights` (−1 = bucket absent from the model, the inner-join
+    * semantics: such tokens count nothing). Split semantics match
+    * `split(trim(text), " ")` exactly, INCLUDING empty tokens from doubled
+    * spaces and the single empty token of an all-space document (both hash
+    * to bucket 0, as the composed path does). Returns {matched-token
+    * count, weight sum}.
+    */
+  def hashedLinearScore(text: UTF8String, weights: Array[Int]): Array[Long] = {
+    val nb = text.numBytes
+    val numBuckets = weights.length
+    // trim: the token walk covers [s, e], both ends non-space
+    var s = 0
+    while (s < nb && text.getByte(s) == 0x20) s += 1
+    var e = nb - 1
+    while (e >= s && text.getByte(e) == 0x20) e -= 1
+    var n = 0L
+    var sum = 0L
+    def scoreToken(from: Int, until: Int): Unit = {
+      // RollingFingerprint's own decode (invalid lead bytes take the
+      // 4-byte branch); continuation reads clamp at the TOKEN end — the
+      // composed path fingerprints each token string in isolation, so the
+      // clamp boundary is the next space, exactly `until`
+      var j = from
+      var acc = 0L
+      while (j < until) {
+        val lead = text.getByte(j) & 0xFF
+        var cp = 0
+        var len = 1
+        if (lead < 0x80) cp = lead
+        else if ((lead & 0xE0) == 0xC0) { len = 2; cp = lead & 0x1F }
+        else if ((lead & 0xF0) == 0xE0) { len = 3; cp = lead & 0x0F }
+        else { len = 4; cp = lead & 0x07 }
+        var k = 1
+        while (k < len && j + k < until) {
+          cp = (cp << 6) | (text.getByte(j + k) & 0x3F)
+          k += 1
+        }
+        acc = (acc * 31 + cp) % 1000000007L
+        j += len
+      }
+      val w = weights((acc % numBuckets).toInt)
+      if (w >= 0) { n += 1L; sum += w }
+    }
+    if (e < s) scoreToken(0, 0) // split("") = [""]: ONE empty token
+    else {
+      // tokens = segments between spaces over [s, e]; adjacent spaces
+      // yield EMPTY segments, exactly split(trim(text), " ")
+      var tokStart = s
+      var i = s
+      while (i <= e + 1) {
+        if (i == e + 1 || text.getByte(i) == 0x20) {
+          scoreToken(tokStart, i)
+          tokStart = i + 1
+        }
+        i += 1
+      }
+    }
+    Array(n, sum)
+  }
+
   /** Driver-side twin of [[charLmScore]]'s in-place range hash: the key a
     * model bigram STRING contributes — same bytes, same seed, so string
     * hashes and kernel range hashes coincide exactly.

@@ -290,6 +290,19 @@ class PropertySpec extends GraftSuite {
         val expect = math.max(0, t.codePointCount(0, t.length) - 1)
         assert(cnts.sum == expect, s"count conservation broke on '$t'")
       }
+      // and the hashed-linear pair on the same corpus: fused == composed
+      // under a corpus model AND a mostly-absent-bucket foreign model
+      val labeled = df.withColumn("y", length($"text") % 2 === 0)
+      for (model <- Seq(
+          Scoring.trainHashedLinear(labeled, $"text", $"y", 64),
+          Scoring.trainHashedLinear(
+            Seq((0L, "qq", true)).toDF("doc_id", "text", "y"), $"text", $"y", 64))) {
+        val c = Scoring.scoreHashedLinear(df, $"doc_id", $"text", model, 64)
+          .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+        val f = Scoring.scoreHashedLinearFused(df, $"doc_id", $"text", model, 64)
+          .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+        assert(f == c, s"hashed-linear diverged on $texts")
+      }
     }
   }
 
@@ -312,6 +325,12 @@ class PropertySpec extends GraftSuite {
         assert(ShingleOps.charLmScore(view, keys, w).toSeq ==
           ShingleOps.charLmScore(exact, keys, w).toSeq,
           s"LM-score kernel read past payload for bytes=${a.toSeq}")
+        // hashed-linear walk: bucket-dependent sums expose any byte
+        // misread; weights = bucket index for maximum signal
+        val hw = Array.tabulate(64)(identity)
+        assert(ShingleOps.hashedLinearScore(view, hw).toSeq ==
+          ShingleOps.hashedLinearScore(exact, hw).toSeq,
+          s"hashed-linear kernel read past payload for bytes=${a.toSeq}")
       }
     }
   }

@@ -84,6 +84,19 @@ object ScaleStageR7b {
       noop(Scoring.thresholdSweep(scoredStaged, $"avg_permille", $"n_toks"))
     }
 
+    // hashed-linear (fastText-shape) filter at 500k docs: composed
+    // explode+join vs the fused dense-weight walk — same train both times
+    // (train is one explode + aggregate-sized groupBy, the q37 exchange)
+    val labeled = docsStaged.withColumn("y", pmod($"doc_id", lit(2L)) === 0L)
+    val hlModel = Scoring.trainHashedLinear(labeled, $"text", $"y", 4096)
+      .localCheckpoint()
+    time("hashed-linear COMPOSED score 500k docs") {
+      noop(Scoring.scoreHashedLinear(docsStaged, $"doc_id", $"text", hlModel, 4096))
+    }
+    time("hashed-linear FUSED score 500k docs (native HashedLinearScore)") {
+      noop(Scoring.scoreHashedLinearFused(docsStaged, $"doc_id", $"text", hlModel, 4096))
+    }
+
     // bpeEncode at 500k docs: the encode itself is VOCAB-sized (distinct
     // words are identical across the 100 copies), so cost is the corpus
     // tokenize + join-back, not 100x the encode work

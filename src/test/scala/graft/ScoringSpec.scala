@@ -102,6 +102,36 @@ class ScoringSpec extends GraftSuite {
     assert(fusedF == composedF)
   }
 
+  test("fused hashed-linear scorer is bit-identical to the composed pipeline, incl. absent buckets") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang")
+    val adversarial = Seq(
+      (200000L, "", "en"), (200001L, "  ", "en"), (200002L, "a  b", "en"),
+      (200003L, "héllo wörld 汉字", "zh"), (200004L, "𐍈x y𐍈", "en"))
+      .toDF("doc_id", "text", "lang")
+    val all = docs.unionByName(adversarial)
+    for (buckets <- Seq(64, 4096)) {
+      val model = Scoring.trainHashedLinear(all, $"text", $"lang" === "en", buckets)
+      val composed = Scoring.scoreHashedLinear(all, $"doc_id", $"text", model, buckets)
+        .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+      val fused = Scoring.scoreHashedLinearFused(all, $"doc_id", $"text", model, buckets)
+        .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+      assert(fused == composed, s"buckets=$buckets first diff: " +
+        s"${fused.zip(composed).find(p => p._1 != p._2)}")
+    }
+    // model trained on a small FOREIGN slice: most buckets absent, so the
+    // inner-join drop semantics (tokens count nothing, all-absent docs
+    // vanish) are actually exercised
+    val tiny = Seq((0L, "qq ww", true)).toDF("doc_id", "text", "y")
+    val foreign = Scoring.trainHashedLinear(tiny, $"text", $"y", 4096)
+    val composedF = Scoring.scoreHashedLinear(all, $"doc_id", $"text", foreign, 4096)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val fusedF = Scoring.scoreHashedLinearFused(all, $"doc_id", $"text", foreign, 4096)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(fusedF == composedF)
+    assert(composedF.size < all.count(), "foreign model must drop all-absent docs")
+  }
+
   test("scores are partition-independent and total on the real corpus") {
     val docs = graft.sources.Readers.table(spark, sf, "documents")
     val model = Scoring.trainHashedLinear(docs, $"text", $"lang" === "en", 4096)
