@@ -1249,6 +1249,40 @@ object SparkEntry {
         "doc_id")
       Scoring.thresholdSweep(weighted, col("avg_permille"), col("n_toks"))
         .orderBy("score")
+    }),
+
+    "q89_blocklist_filter" -> ((s, dir) => {
+      // C4-style blocklist cleaner: one fused codegen'd walk per document
+      // (blocklist rides inside the expression, byte-confirmed matches) —
+      // no token explode, no join, a pure map pass. Rate threshold 25‰
+      // instead of C4's drop-on-any: the synthetic vocab makes blocked
+      // words common, and a rate keeps the flag split informative.
+      Scoring.blocklistFilter(T(s, dir, "documents"), col("doc_id"),
+          col("text"), Seq("slow", "dup", "bogus"), 25)
+        .orderBy("doc_id")
+    }),
+
+    "q90_editdist_dup" -> ((s, dir) => {
+      // fuzzy-dedup confirm stage: shingle blocking proposes (6-token
+      // shingles, >= 2 shared), banded threshold-levenshtein confirms —
+      // the DP runs only on blocked candidates that survive the
+      // char-length prefilter, never all-pairs.
+      Dedup.editDistancePairs(T(s, dir, "documents"), col("doc_id"),
+          col("text"), 6, 6, minCommon = 2L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q91_describe_object" -> ((s, dir) => {
+      // pandas describe(include='object') parity — the categorical half of
+      // q82: n/n_unique/top/top_freq per string column, deterministic
+      // lexicographic tie-break on top. text exercises the
+      // high-cardinality path (histogram ~ corpus, still one shuffle, no
+      // windows); lang/source the categorical one.
+      Relational.describeObjectProfile(T(s, dir, "documents"), Seq(
+          "lang" -> col("lang"),
+          "source" -> col("source"),
+          "text" -> col("text")))
+        .orderBy("column_name")
     })
   )
 
@@ -2331,6 +2365,54 @@ object SparkEntry {
         |SELECT score, n_docs_at,
         | CAST(sum(n_docs_at) OVER (ORDER BY score DESC) AS BIGINT) AS n_docs_kept,
         | CAST(sum(w_at) OVER (ORDER BY score DESC) AS BIGINT) AS weight_kept
-        |FROM h ORDER BY score""".stripMargin
+        |FROM h ORDER BY score""".stripMargin,
+
+    // blocked-token occurrences / distinct terms via list lambdas; the keep
+    // flag is the same integer per-mille comparison the engine computes
+    "q89_blocklist_filter" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split(trim(text), ' '),
+        |   t -> t IN ('slow', 'dup', 'bogus'))) AS BIGINT) AS n_hits,
+        | CAST(len(list_distinct(list_filter(string_split(trim(text), ' '),
+        |   t -> t IN ('slow', 'dup', 'bogus')))) AS BIGINT) AS n_terms,
+        | (CAST(len(list_filter(string_split(trim(text), ' '),
+        |    t -> t IN ('slow', 'dup', 'bogus'))) AS BIGINT) * 1000
+        |  <= 25 * CAST(len(string_split(trim(text), ' ')) AS BIGINT)) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q22's shingle-blocking CTE at n=6 with a >= 2 shared-shingle cut,
+    // then the textbook levenshtein on the candidate pairs (DuckDB computes
+    // the same char-level edit distance Spark does)
+    "q90_editdist_dup" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+5], ' ') AS shingle
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 4)) AS i) t
+        | WHERE len(words) >= 6),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b,
+        | CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        |FROM cand JOIN documents da ON cand.doc_a = da.doc_id
+        | JOIN documents db ON cand.doc_b = db.doc_id
+        |WHERE abs(length(da.text) - length(db.text)) <= 6
+        |  AND levenshtein(da.text, db.text) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q82's melt shape over string columns: (column, value) histogram →
+    // per-column rollup → tied-at-max filter → lexicographic min
+    "q91_describe_object" ->
+      """WITH m AS (SELECT 'lang' AS c, lang AS v FROM documents
+        | UNION ALL SELECT 'source', source FROM documents
+        | UNION ALL SELECT 'text', text FROM documents),
+        |mv AS (SELECT c, v FROM m WHERE v IS NOT NULL),
+        |h AS (SELECT c, v, count(*) AS cnt FROM mv GROUP BY 1, 2),
+        |s AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_unique, max(cnt) AS mx FROM h GROUP BY 1)
+        |SELECT h.c AS column_name, s.n, s.n_unique, min(h.v) AS top,
+        | CAST(s.mx AS BIGINT) AS top_freq
+        |FROM h JOIN s ON h.c = s.c AND h.cnt = s.mx
+        |GROUP BY 1, 2, 3, 5 ORDER BY column_name""".stripMargin
   )
 }

@@ -219,6 +219,52 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Edit-distance-CONFIRMED near-dup pairs — the fuzzy-dedup confirm
+    * stage: shingle blocking proposes candidates (cheap, high recall), a
+    * banded Levenshtein DP confirms them (precise, expensive — so it runs
+    * ONLY on candidates). Jaccard over shingle SETS is blind to ordering
+    * and multiplicity; edit distance is the character-level ground truth
+    * for "same doc with a few edits".
+    *
+    * Scale shape, outside-in: (1) candidates come from the same fused
+    * 8-byte shingle-hash inverted index as q22 — never all-pairs — with
+    * `minCommon` requiring >= that many distinct shared shingles (each
+    * extra shared shingle multiplies selectivity) and the q52 `maxDocFreq`
+    * cap bounding per-shingle fan-out; (2) a length prefilter discards
+    * pairs whose char-length gap alone exceeds `maxDist` BEFORE any text
+    * moves through the join; (3) the DP is Spark's THRESHOLD levenshtein —
+    * the banded O(len·maxDist) variant, not O(len²) — returning -1 above
+    * `maxDist`. Output: (doc_a, doc_b, edit_dist) for confirmed pairs.
+    */
+  def editDistancePairs(docs: DataFrame, id: Column, text: Column,
+                        n: Int, maxDist: Int, minCommon: Long = 1L,
+                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("_t"))
+    val sh = base.select(col("doc_id"),
+      explode(NativeFns.shingleHashes(col("_t"), n)).as("sh_h"))
+    val blocked =
+      if (maxDocFreq >= Long.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select(col("sh_h")), "sh_h")
+    val cand = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .select(col("doc_a"), col("doc_b"))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("_t").as("_ta")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("_t").as("_tb")), "doc_b")
+      // |len(a) - len(b)| > maxDist already implies dist > maxDist: prune
+      // before the DP runs (chars, the unit levenshtein edits in)
+      .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("_ta"), col("_tb"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
   /** Incremental near-dup check — the production ingest shape: every NEW
     * (batch) document is scored against every EXISTING (corpus) document
     * sharing at least one word n-gram shingle, and pairs with

@@ -475,6 +475,44 @@ object Relational {
     out
   }
 
+  /** pandas `describe(include='object')` parity — the categorical half of
+    * [[describeProfile]]: one row per named string column with (n,
+    * n_unique, top, top_freq). `n` counts non-null values and `n_unique`
+    * distinct non-null values (pandas parity: NaN influences neither);
+    * `top` is the most frequent value with DETERMINISTIC tie-breaking
+    * (lexicographically smallest among the tied — pandas' top under ties
+    * is arbitrary, which an oracle-checked engine cannot be).
+    *
+    * Scale shape: melt → ONE (column, value) histogram shuffle with
+    * map-side collapse (high-cardinality columns degrade to the q21
+    * exact-dedup shape, still one linear shuffle); everything after runs
+    * on the histogram — a per-column rollup, then a filter to the max
+    * count and a min over the tied values. NO windows at all, so a
+    * dominant column can't single-task (the two-level alternative to
+    * `row_number() OVER (PARTITION BY column ORDER BY cnt DESC)`).
+    */
+  def describeObjectProfile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "describeObjectProfile needs at least one column")
+    val melted = df
+      .select(explode(array(cols.map { case (name, c) =>
+        struct(lit(name).as("c"), c.cast("string").as("v")) }: _*)).as("m"))
+      .select(col("m.c").as("c"), col("m.v").as("v"))
+      .filter(col("v").isNotNull)
+    val hist = melted.groupBy(col("c"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hist.groupBy(col("c"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_unique"),
+        max(col("cnt")).as("_mx"))
+    // stats is #cols rows — broadcast by size; only tied-at-max histogram
+    // rows survive into the final min
+    hist.join(broadcast(stats), "c")
+      .filter(col("cnt") === col("_mx"))
+      .groupBy(col("c"), col("n"), col("n_unique"), col("_mx"))
+      .agg(min(col("v")).as("top"))
+      .select(col("c").as("column_name"), col("n"), col("n_unique"),
+        col("top"), col("_mx").as("top_freq"))
+  }
+
   /** Pairwise Pearson correlation matrix over named numeric columns — the
     * other half of the pandas EDA opener ([[describeProfile]] is
     * `df.describe()`; this is `df.corr()`). One row per unordered column

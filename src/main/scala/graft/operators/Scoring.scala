@@ -314,6 +314,60 @@ object Scoring {
     * NULL scores (e.g. an LM score on an empty doc) are excluded — a
     * threshold filter can't keep them.
     */
+  /** Blocklist (bad-word) document filter — the C4-style list-based
+    * cleaner every web-corpus pipeline runs before model-based scoring:
+    * per document, total whitespace tokens, blocked-token occurrences,
+    * DISTINCT blocked terms matched, and a keep flag under an integer
+    * per-mille rate threshold (`maxHitsPerMille = 0` is C4's drop-on-any-
+    * occurrence rule; a rate lets common-word lists keep borderline docs).
+    * All-integer, so the flag is bit-exact under any partitioning.
+    *
+    * Scale shape: the blocklist (hundreds of words) collects ONCE into the
+    * fused [[graft.plans.BlocklistHits]] expression — hash-sorted parallel
+    * arrays, binary-searched per token with byte-confirm — so scoring is
+    * one codegen'd walk per document: no token explode, no join, no
+    * shuffle at all beyond the scan itself. A 100 TB corpus filters in one
+    * embarrassingly-parallel map pass.
+    */
+  def blocklistFilter(docs: DataFrame, id: Column, text: Column,
+                      blocked: Seq[String], maxHitsPerMille: Int): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist filters nothing")
+    require(blocked.forall(_.nonEmpty), "empty-string blocklist entry would match split()'s empty tokens")
+    val words = blocked.distinct
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      .map(w => (graft.plans.ShingleOps.modelKey(w), w))
+      .sortBy(_._1).toArray
+    val hashes = words.map(_._1)
+    val utf8 = words.map(_._2)
+    docs
+      .select(id.as("doc_id"), NativeFns.blocklistHits(text, hashes, utf8).as("_b"))
+      .select(col("doc_id"),
+        col("_b").getItem(0).as("n_tokens"),
+        col("_b").getItem(1).as("n_hits"),
+        col("_b").getItem(2).as("n_terms"))
+      .withColumn("keep",
+        col("n_hits") * 1000 <= lit(maxHitsPerMille.toLong) * col("n_tokens"))
+  }
+
+  /** Composed reference formulation of [[blocklistFilter]] (spec twin):
+    * split + higher-order filter + array_distinct. Interpreted lambdas —
+    * the fused kernel exists precisely to keep this off the hot path.
+    */
+  def blocklistFilterComposed(docs: DataFrame, id: Column, text: Column,
+                              blocked: Seq[String],
+                              maxHitsPerMille: Int): DataFrame = {
+    val list = array(blocked.distinct.map(lit): _*)
+    val toks = TextFns.tokens(text)
+    val hits = filter(toks, t => array_contains(list, t))
+    docs
+      .select(id.as("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(hits).cast("long").as("n_hits"),
+        size(array_distinct(hits)).cast("long").as("n_terms"))
+      .withColumn("keep",
+        col("n_hits") * 1000 <= lit(maxHitsPerMille.toLong) * col("n_tokens"))
+  }
+
   def thresholdSweep(scored: DataFrame, score: Column,
                      weight: Column): DataFrame = {
     val hist = scored.filter(score.isNotNull)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot paths (SURVEY §2c): tight
   * primitive loops in whole-stage codegen instead of `zip_with`/`aggregate`
@@ -934,6 +935,51 @@ case class HashedLinearScore(child: Expression, weights: Array[Int])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused blocklist scan ([[ShingleOps.blocklistHits]]): the ≤-blocklist-size
+  * model (parallel hash/word arrays, hash-sorted) rides in the expression —
+  * the broadcast-a-sketch pattern at expression grain — and the whole
+  * tokenize → hash → membership-confirm → per-doc aggregate pipeline
+  * collapses to one walk per document. Returns `array<long>`
+  * [n_tokens, n_hits, n_terms]; matches are byte-confirmed, so the counts
+  * are exact (no hash-collision class). Bit-parity with the composed
+  * explode + array_contains formulation is spec-asserted. Not
+  * SQL-registered: the word arrays come from a driver-side blocklist.
+  */
+case class BlocklistHits(child: Expression, sortedHashes: Array[Long],
+                         words: Array[UTF8String])
+    extends UnaryExpression {
+
+  require(sortedHashes.length == words.length,
+    "blocklistHits needs parallel hash/word arrays")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_blocklist_hits expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_blocklist_hits"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleOps.blocklistHits(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      sortedHashes, words))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hRef = ctx.addReferenceObj("blHashes", sortedHashes, "long[]")
+    val wRef = ctx.addReferenceObj("blWords", words,
+      classOf[UTF8String].getName + "[]")
+    nullSafeCodeGen(ctx, ev, t => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad($ops.blocklistHits($t, $hRef, $wRef));"
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column =
@@ -967,4 +1013,7 @@ object NativeFns {
     ColumnBridge.column(CharBigramCounts(ex(text)))
   def hashedLinearScore(text: Column, weights: Array[Int]): Column =
     ColumnBridge.column(HashedLinearScore(ex(text), weights))
+  def blocklistHits(text: Column, sortedHashes: Array[Long],
+                    words: Array[UTF8String]): Column =
+    ColumnBridge.column(BlocklistHits(ex(text), sortedHashes, words))
 }

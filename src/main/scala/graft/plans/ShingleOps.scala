@@ -416,6 +416,66 @@ object ShingleOps {
     }
   }
 
+  /** Fused blocklist scan (the C4-style bad-word filter's hot loop): ONE
+    * walk over the text with `split(trim(text), " ")` token semantics —
+    * empty tokens from doubled spaces and the single empty token of an
+    * all-space document are COUNTED (matching `len(string_split(...))`)
+    * though never matched, since a blocklist holds no empty word. Each
+    * token's byte range is hashed in place (XXH64 seed 42, the [[modelKey]]
+    * identity) and membership is CONFIRMED by byte comparison against the
+    * parallel word array (equal-hash runs scanned to their left edge), so
+    * the result is exact — a 2⁻⁶⁴ hash collision can neither fabricate nor
+    * merge a match. Returns [n_tokens, n_hits, n_terms]: total tokens,
+    * blocked-token occurrences, distinct blocked terms matched.
+    */
+  def blocklistHits(text: UTF8String, sortedHashes: Array[Long],
+                    words: Array[UTF8String]): Array[Long] = {
+    val nb = text.numBytes
+    var s = 0
+    while (s < nb && text.getByte(s) == 0x20) s += 1
+    var e = nb - 1
+    while (e >= s && text.getByte(e) == 0x20) e -= 1
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var nTokens = 0L
+    var nHits = 0L
+    var nTerms = 0L
+    var matched: Array[Boolean] = null
+    def scanToken(from: Int, until: Int): Unit = {
+      nTokens += 1L
+      val len = until - from
+      val h = XXH64.hashUnsafeBytes(base, off + from, len, Seed1)
+      var idx = java.util.Arrays.binarySearch(sortedHashes, h)
+      if (idx < 0) return
+      while (idx > 0 && sortedHashes(idx - 1) == h) idx -= 1
+      var i = idx
+      while (i < sortedHashes.length && sortedHashes(i) == h) {
+        val w = words(i)
+        if (w.numBytes == len && org.apache.spark.unsafe.array.ByteArrayMethods
+              .arrayEquals(base, off + from, w.getBaseObject, w.getBaseOffset, len)) {
+          nHits += 1L
+          if (matched == null) matched = new Array[Boolean](words.length)
+          if (!matched(i)) { matched(i) = true; nTerms += 1L }
+          return
+        }
+        i += 1
+      }
+    }
+    if (e < s) scanToken(0, 0) // split("") = [""]: ONE empty token, counted
+    else {
+      var tokStart = s
+      var i = s
+      while (i <= e + 1) {
+        if (i == e + 1 || text.getByte(i) == 0x20) {
+          scanToken(tokStart, i)
+          tokStart = i + 1
+        }
+        i += 1
+      }
+    }
+    Array(nTokens, nHits, nTerms)
+  }
+
   def charLmScore(text: UTF8String, sortedKeys: Array[Long],
                   permille: Array[Int]): Array[Long] = {
     val nb = text.numBytes

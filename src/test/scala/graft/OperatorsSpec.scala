@@ -716,6 +716,68 @@ class OperatorsSpec extends GraftSuite {
       assert(v <= exact(k) + 1e-12, s"cap raised the score for $k")
   }
 
+  test("describeObjectProfile matches a hand-computed reference (nulls, ties, casts)") {
+    // col a: b×2, a×2, null → tie at 2 broken lexicographically ('a');
+    // col b: all distinct → every value tied at 1, top = min;
+    // col c: ints cast to string — '10' sorts BEFORE '9' (string order)
+    val df = Seq(
+      (Option("b"), "x", 9),
+      (Option("b"), "y", 10),
+      (Option("a"), "z", 10),
+      (Option("a"), "w", 10),
+      (None: Option[String], "v", 9))
+      .toDF("a", "b", "c")
+    val got = graft.operators.Relational.describeObjectProfile(df, Seq(
+        "a" -> $"a", "b" -> $"b", "c" -> $"c"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, String, Long)].collect().toSeq
+    val want = Seq(
+      ("a", 4L, 2L, "a", 2L),
+      ("b", 5L, 5L, "v", 1L),
+      ("c", 5L, 2L, "10", 3L))
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
+  test("editDistancePairs confirms blocked candidates at the true edit distance") {
+    // 12 shared tokens block the pair; "gamma"->"gamXa" (1 sub) +
+    // " extra" appended (6 inserts) = distance 7
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " gamma"),
+      (2L, base + " gamXa extra"),
+      (3L, "unrelated words entirely different content here now ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, $"doc_id", $"text", 6, 10, minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 7L), s"got $got")
+    // maxDist below the true distance: the banded DP itself must prune
+    assert(Dedup.editDistancePairs(docs, $"doc_id", $"text", 6, 6,
+      minCommon = 2L).count() == 0)
+  }
+
+  test("editDistancePairs length prefilter cannot drop a confirmable pair") {
+    // doc 2 = doc 1 + 30 appended chars: length gap 30 > maxDist 10 means
+    // the pair is UNCONFIRMABLE (dist >= 30) — pruned before the DP, and
+    // the emitted set equals the unpruned formulation's
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " " + ("x" * 29)), // gap 30
+      (3L, base + " yz")) // gap 3: confirmable at dist 3
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, $"doc_id", $"text", 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 3L)
+    assert(!got.contains((1L, 2L)), "gap > maxDist pair must be pruned")
+    assert(got.contains((2L, 3L)) == (got.get((2L, 3L)).exists(_ <= 10)))
+    // df cap keeps a subset (candidate generation only shrinks)
+    val capped = Dedup.editDistancePairs(docs, $"doc_id", $"text", 5, 10,
+      maxDocFreq = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.keySet.subsetOf(got.keySet))
+    for ((k, v) <- capped) assert(v == got(k), "confirmed distance is cap-independent")
+  }
+
   test("semanticDecontaminate drops the vectors the held-out slice duplicates, keeps the rest") {
     // cell seeds are the 2 lowest-id TRAIN vectors (k=2, iters=0): e1/e2
     // axes. Train 1,2,3 + a zero vector; held-out 100 == train 3 (same

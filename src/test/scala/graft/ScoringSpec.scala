@@ -132,6 +132,49 @@ class ScoringSpec extends GraftSuite {
     assert(composedF.size < all.count(), "foreign model must drop all-absent docs")
   }
 
+  test("fused blocklist filter is bit-identical to the composed pipeline, corpus + adversarial strings") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val adversarial = Seq(
+      (300000L, ""), (300001L, "  "), (300002L, "slow"), (300003L, " slow "),
+      (300004L, "slow  slow"), // doubled space: empty token counted, not matched
+      (300005L, "slowly slow slows"), // substrings must NOT match whole tokens
+      (300006L, "héllo 汉字 slow 𐍈"), (300007L, "dup dup dup DUP Dup"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(adversarial)
+    val blocked = Seq("slow", "dup", "bogus", "汉字")
+    for (thr <- Seq(0, 25, 1000)) {
+      val composed = Scoring.blocklistFilterComposed(all, $"doc_id", $"text", blocked, thr)
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+      val fused = Scoring.blocklistFilter(all, $"doc_id", $"text", blocked, thr)
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+      assert(fused == composed, s"thr=$thr first diff: " +
+        s"${fused.zip(composed).find(p => p._1 != p._2)}")
+    }
+    // pinned reference rows for the adversarial block (thr=0: keep == clean)
+    val got = Scoring.blocklistFilter(all, $"doc_id", $"text", blocked, 0)
+      .filter($"doc_id" >= 300000L)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val want = Seq(
+      (300000L, 1L, 0L, 0L, true), // split("") = [""]: one empty token, clean
+      (300001L, 1L, 0L, 0L, true),
+      (300002L, 1L, 1L, 1L, false),
+      (300003L, 1L, 1L, 1L, false),
+      (300004L, 3L, 2L, 1L, false), // slow, <empty>, slow
+      (300005L, 3L, 1L, 1L, false), // slowly/slows are different tokens
+      (300006L, 4L, 2L, 2L, false), // multi-byte blocked word matches too
+      (300007L, 5L, 3L, 1L, false)) // case-sensitive, one distinct term
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // duplicate blocklist entries must not double-count
+    val dupList = Scoring.blocklistFilter(all, $"doc_id", $"text",
+      Seq("slow", "slow", "dup"), 0)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val plain = Scoring.blocklistFilter(all, $"doc_id", $"text",
+      Seq("slow", "dup"), 0)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(dupList == plain)
+  }
+
   test("scores are partition-independent and total on the real corpus") {
     val docs = graft.sources.Readers.table(spark, sf, "documents")
     val model = Scoring.trainHashedLinear(docs, $"text", $"lang" === "en", 4096)
