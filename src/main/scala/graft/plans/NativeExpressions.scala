@@ -980,6 +980,41 @@ case class BlocklistHits(child: Expression, sortedHashes: Array[Long],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Banded threshold edit distance over pre-decoded codepoint arrays
+  * ([[ShingleOps.editDistance]]): `levenshtein(l, r, threshold)` semantics
+  * (the distance, or -1 above `maxDist`; codepoint edit units — identical
+  * results on valid UTF-8, property-spec'd), but O(len·maxDist) with O(1)
+  * cell access where the builtin re-seeks the UTF-8 byte stream per DP
+  * cell (measured ~100× on ~300-char near-dup confirms, SURVEY §5). The
+  * fuzzy-dedup confirm stage's hot loop.
+  */
+case class EditDistance(left: Expression, right: Expression, maxDist: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_edit_distance expects (string, string), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_edit_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.editDistance(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $ops.editDistance($a, $b, $maxDist);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column =
@@ -1016,4 +1051,6 @@ object NativeFns {
   def blocklistHits(text: Column, sortedHashes: Array[Long],
                     words: Array[UTF8String]): Column =
     ColumnBridge.column(BlocklistHits(ex(text), sortedHashes, words))
+  def editDistance(a: Column, b: Column, maxDist: Int): Column =
+    ColumnBridge.column(EditDistance(ex(a), ex(b), maxDist))
 }

@@ -476,6 +476,90 @@ object ShingleOps {
     Array(nTokens, nHits, nTerms)
   }
 
+  /** Decode a UTF8String to its codepoint array in one walk — the
+    * random-access view the banded DP needs (UTF-8 has no O(1) char
+    * access; Spark's own levenshtein re-seeks the byte stream per DP cell,
+    * which is what makes it ~milliseconds per ~300-char pair). Invalid
+    * lead bytes take the [[hashedLinearScore]] decode's 4-byte branch with
+    * continuation reads clamped at the payload end.
+    */
+  def codepoints(s: UTF8String): Array[Int] = {
+    val nb = s.numBytes
+    val out = new Array[Int](s.numChars())
+    var b = 0
+    var i = 0
+    while (b < nb) {
+      val lead = s.getByte(b) & 0xFF
+      var cp = 0
+      var len = 1
+      if (lead < 0x80) cp = lead
+      else if ((lead & 0xE0) == 0xC0) { len = 2; cp = lead & 0x1F }
+      else if ((lead & 0xF0) == 0xE0) { len = 3; cp = lead & 0x0F }
+      else { len = 4; cp = lead & 0x07 }
+      var k = 1
+      while (k < len && b + k < nb) {
+        cp = (cp << 6) | (s.getByte(b + k) & 0x3F)
+        k += 1
+      }
+      out(i) = cp
+      i += 1
+      b += len
+      if (b > nb) b = nb
+    }
+    if (i == out.length) out else java.util.Arrays.copyOf(out, i)
+  }
+
+  /** Banded threshold Levenshtein over pre-decoded codepoint arrays:
+    * O(min(len)·maxDist) cells, each O(1) — vs Spark's built-in, which
+    * seeks the UTF-8 byte stream per cell comparison (quadratic in
+    * practice; measured ~100× slower on ~300-char docs at maxDist 12,
+    * SURVEY §5). Returns the edit distance, or -1 when it exceeds
+    * `maxDist` — the same contract as `levenshtein(l, r, threshold)`, and
+    * the same codepoint edit unit, so results are identical on valid
+    * UTF-8 (property-spec'd against the builtin).
+    */
+  def editDistance(a: UTF8String, b: UTF8String, maxDist: Int): Int = {
+    if (maxDist < 0) return -1
+    val ca = codepoints(a)
+    val cb = codepoints(b)
+    val n = ca.length
+    val m = cb.length
+    if (n == 0) return if (m <= maxDist) m else -1
+    if (m == 0) return if (n <= maxDist) n else -1
+    if (math.abs(n - m) > maxDist) return -1
+    val inf = maxDist + 1
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var j = 0
+    while (j <= n) { prev(j) = if (j <= maxDist) j else inf; j += 1 }
+    var i = 1
+    while (i <= m) {
+      val from = math.max(1, i - maxDist)
+      val to = math.min(n, i + maxDist)
+      cur(0) = if (i <= maxDist) i else inf
+      if (from > 1) cur(from - 1) = inf // left band edge: unreachable
+      var rowMin = inf
+      j = from
+      while (j <= to) {
+        val cost = if (ca(j - 1) == cb(i - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf // clamp: sentinels must not creep upward
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (to < n) cur(to + 1) = inf // right band edge for the next row
+      if (rowMin >= inf) return -1 // whole band over budget: early abort
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(n) > maxDist) -1 else prev(n)
+  }
+
   def charLmScore(text: UTF8String, sortedKeys: Array[Long],
                   permille: Array[Int]): Array[Long] = {
     val nb = text.numBytes

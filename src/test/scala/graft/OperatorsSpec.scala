@@ -755,6 +755,27 @@ class OperatorsSpec extends GraftSuite {
       minCommon = 2L).count() == 0)
   }
 
+  test("editDistanceConfirm composes over LSH candidates; pairs = confirm(blocked candidates)") {
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " gamma"),
+      (2L, base + " gamXa extra"),
+      (3L, "unrelated words entirely different content here now ok"))
+      .toDF("doc_id", "text")
+    // LSH (near-identical docs collide in some band) as the candidate
+    // generator, confirm unchanged — the wide-family production seam
+    val lshCand = Dedup.minhashLshPairs(docs, $"doc_id", $"text",
+      shingleN = 3, numPerms = 32, rowsPerBand = 4, minEstJaccard = 0.3)
+    val viaLsh = Dedup.editDistanceConfirm(lshCand, docs, $"doc_id", $"text", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaLsh == Map((1L, 2L) -> 7L), s"got $viaLsh")
+    // and the one-call operator IS confirm over its own blocked candidates
+    val direct = Dedup.editDistancePairs(docs, $"doc_id", $"text", 6, 10,
+      minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(direct == viaLsh)
+  }
+
   test("editDistancePairs length prefilter cannot drop a confirmable pair") {
     // doc 2 = doc 1 + 30 appended chars: length gap 30 > maxDist 10 means
     // the pair is UNCONFIRMABLE (dist >= 30) — pruned before the DP, and

@@ -335,6 +335,39 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("fuzz: banded editDistance equals the levenshtein builtin for arbitrary unicode and thresholds") {
+    val uniChar = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("é"),
+      Gen.const("汉"), Gen.const("𐍈"), // non-BMP surrogate pair
+      Gen.const("ß"))
+    val uniStr = Gen.chooseNum(0, 18).flatMap(n =>
+      Gen.listOfN(n, uniChar).map(_.mkString))
+    val pairGen = for { a <- uniStr; b <- uniStr; k <- Gen.chooseNum(0, 25) }
+      yield (a, b, k)
+    forAll(Gen.listOfN(60, pairGen), runs = 6) { triples =>
+      val df = triples.zipWithIndex
+        .map { case ((a, b, k), i) => (i.toLong, a, b, k) }
+        .toDF("id", "a", "b", "k")
+      // group by threshold so each EditDistance literal matches its rows
+      triples.map(_._3).distinct.foreach { k =>
+        val slice = df.filter($"k" === k)
+        val got = slice.select($"id",
+            graft.plans.NativeFns.editDistance($"a", $"b", k).as("d"),
+            levenshtein($"a", $"b", k).as("want"))
+          .as[(Long, Int, Int)].collect()
+        for ((id, d, want) <- got)
+          assert(d == want, s"id=$id k=$k: native $d != builtin $want " +
+            s"for ${triples(id.toInt)}")
+      }
+      // and unbounded parity through a generous threshold
+      val loose = df.select(
+          graft.plans.NativeFns.editDistance($"a", $"b", 100).as("d"),
+          levenshtein($"a", $"b").as("want"))
+        .as[(Int, Int)].collect()
+      for ((d, want) <- loose) assert(d == want)
+    }
+  }
+
   test("fuzz: fused char-gram kernel never reads past the payload on truncated multi-byte tails") {
     // Sentinel proof of bounds safety: hash a view of the payload embedded
     // in a larger array whose following bytes are sentinels, and an

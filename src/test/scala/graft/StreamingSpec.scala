@@ -217,6 +217,38 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming blocklist filter equals the batch operator across micro-batches") {
+    // the blocklist filter is a stateless projection (the list rides inside
+    // the fused expression), so the BATCH operator runs unchanged on a
+    // stream — no state store, no join, the zero-state ingest-cleaning
+    // shape (decontaminateStream's lexical sibling)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-blstream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val blocked = Seq("slow", "dup", "bogus")
+    val q = graft.operators.Scoring
+      .blocklistFilter(stream, col("doc_id"), col("text"), blocked, 25)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("blocklist_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple micro-batches")
+      val streamed = spark.table("blocklist_out")
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+      val batch = graft.operators.Scoring
+        .blocklistFilter(docs, col("doc_id"), col("text"), blocked, 25)
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup equals batch ngramJaccardAgainstIndex across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
