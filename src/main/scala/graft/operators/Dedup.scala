@@ -277,9 +277,22 @@ object Dedup {
   def editDistanceConfirm(candidates: DataFrame, docs: DataFrame,
                           id: Column, text: Column, maxDist: Int): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("_t"))
+    editDistanceConfirmAcross(candidates, base, col("doc_id"), col("_t"),
+      base, col("doc_id"), col("_t"), maxDist)
+  }
+
+  /** Cross-set [[editDistanceConfirm]]: `doc_a` resolves in `leftDocs`,
+    * `doc_b` in `rightDocs` — the ingest shape (arriving batch vs standing
+    * corpus), where the two id spaces are independent and a single union
+    * could alias. Same length prefilter and native banded kernel.
+    */
+  def editDistanceConfirmAcross(candidates: DataFrame,
+                                leftDocs: DataFrame, leftId: Column, leftText: Column,
+                                rightDocs: DataFrame, rightId: Column, rightText: Column,
+                                maxDist: Int): DataFrame =
     candidates.select(col("doc_a"), col("doc_b"))
-      .join(base.select(col("doc_id").as("doc_a"), col("_t").as("_ta")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("_t").as("_tb")), "doc_b")
+      .join(leftDocs.select(leftId.as("doc_a"), leftText.as("_ta")), "doc_a")
+      .join(rightDocs.select(rightId.as("doc_b"), rightText.as("_tb")), "doc_b")
       .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
       // native banded kernel, not the levenshtein builtin: identical
       // result (property-spec'd), ~100× cheaper per pair — the builtin
@@ -288,7 +301,6 @@ object Dedup {
         NativeFns.editDistance(col("_ta"), col("_tb"), maxDist)
           .cast("long").as("edit_dist"))
       .filter(col("edit_dist") >= 0)
-  }
 
   /** Incremental near-dup check — the production ingest shape: every NEW
     * (batch) document is scored against every EXISTING (corpus) document
@@ -479,6 +491,26 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
     if (persistIndex) materializeAndRelease(result, banded) else result
   }
+
+  /** The standing corpus's LSH band-bucket index — the MATERIALIZED
+    * artifact the streaming fuzzy-dedup ingest path
+    * ([[graft.streaming.DocsStream.fuzzyDedupStream]]) joins each
+    * micro-batch against: one (bk, corpus_id) row per band per document,
+    * same fused signature + band keys as [[minhashLshPairs]] so batch and
+    * ingest agree bucket-for-bucket. Write with `Writers.writeSorted` on
+    * `bk` for min/max file pruning (the q57 index pattern); rebuild
+    * whenever the corpus snapshot moves.
+    */
+  def lshBandIndex(docs: DataFrame, id: Column, text: Column,
+                   shingleN: Int, numPerms: Int, rowsPerBand: Int,
+                   idName: String = "corpus_id"): DataFrame =
+    docs
+      .select(id.as(idName),
+        graft.functions.HashFns.bandKeys(
+          NativeFns.minhashText(text, shingleN, numPerms), numPerms, rowsPerBand)
+          .as("_bks"))
+      .filter(col("_bks").isNotNull)
+      .select(col(idName), explode(col("_bks")).as("bk"))
 
   /** SimHash near-dup pairs: 64-bit signature, `numBands` equal-width bands
     * as blocking keys (at the default 4×16: hamming ≤ 3 guarantees a shared

@@ -485,7 +485,11 @@ object ShingleOps {
     */
   def codepoints(s: UTF8String): Array[Int] = {
     val nb = s.numBytes
-    val out = new Array[Int](s.numChars())
+    // sized by BYTES, not numChars(): numChars steps by Spark's lead-byte
+    // table, this walk by its own 4-byte-fallback classification — on
+    // invalid UTF-8 the two can disagree, and an undersized array would
+    // overflow; byte count is an upper bound under any classification
+    val out = new Array[Int](nb)
     var b = 0
     var i = 0
     while (b < nb) {

@@ -119,6 +119,57 @@ object DocsStream {
       .filter(col("cos") >= minCos)
   }
 
+  /** Fuzzy (char-level) dedup at ingest — the edit-distance member of the
+    * ingest ladder (lexical Bloom [[decontaminateStream]], jaccard
+    * [[incrementalDedupStream]], semantic [[semanticDedupStream]]): each
+    * arriving document is signature-banded STATELESSLY (the fused
+    * minhash + band keys ride in the projection — no state store), its
+    * band keys join the MATERIALIZED corpus band index
+    * ([[graft.operators.Dedup.lshBandIndex]], the q57 artifact pattern),
+    * and the surviving (batch, corpus) candidates are confirmed by the
+    * native banded [[graft.operators.Dedup.editDistanceConfirm]] — LSH
+    * candidate generation stacked on char-level ground truth, exactly the
+    * wide-family seam the batch operator documents.
+    *
+    * `foreachBatch`, like the jaccard twin: the cross-band candidate
+    * dedup plus the confirm joins are a multi-aggregation plan, not
+    * expressible as one incremental streaming query. Per micro-batch the
+    * shuffle is driven by BATCH size (bands per arrival × bucket width);
+    * the corpus index side prunes by `bk` file stats when written sorted.
+    * `bandIndex` must expose (bk, corpus_id) and `corpusTexts`
+    * (corpus_id, text) — the two artifacts [[graft.operators.Dedup.lshBandIndex]]
+    * and the corpus snapshot itself provide; the batch/corpus id spaces
+    * stay independent (cross-set confirm, no union aliasing). Emits
+    * (batch_id, corpus_id, edit_dist) via `onHits`.
+    */
+  def fuzzyDedupStream(arrivals: DataFrame, id: Column, text: Column,
+                       bandIndex: DataFrame, corpusTexts: DataFrame,
+                       shingleN: Int, numPerms: Int, rowsPerBand: Int,
+                       maxDist: Int,
+                       onHits: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val keyed = arrivals
+      .select(id.as("batch_id"), text.as("_tb"),
+        graft.functions.HashFns.bandKeys(
+          graft.plans.NativeFns.minhashText(text, shingleN, numPerms),
+          numPerms, rowsPerBand).as("_bks"))
+      .filter(col("_bks").isNotNull)
+      .select(col("batch_id"), col("_tb"), explode(col("_bks")).as("bk"))
+    keyed.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val cand = batch.join(bandIndex, "bk")
+        .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+        .distinct() // a pair sharing several bands confirms once
+      val batchTexts = batch.select(col("batch_id"), col("_tb"))
+        .dropDuplicates("batch_id")
+      onHits(
+        Dedup.editDistanceConfirmAcross(cand,
+            batchTexts, col("batch_id"), col("_tb"),
+            corpusTexts, col("corpus_id"), col("text"), maxDist)
+          .select(col("doc_a").as("batch_id"), col("doc_b").as("corpus_id"),
+            col("edit_dist")),
+        epochId)
+    }
+  }
+
   def incrementalDedupStream(docs: DataFrame, id: Column, text: Column,
                              corpusIndex: DataFrame, n: Int, minJaccard: Double,
                              expectedIndexShingles: Long, numBits: Long,

@@ -368,6 +368,41 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("fuzz: editDistance never reads past the payload and is total on invalid UTF-8") {
+    // sentinel-framed bounds proof (the charGram pattern): a view of the
+    // payload inside a larger sentinel-filled array must decode exactly
+    // like an exact-size copy — any out-of-band read sees different bytes.
+    // Also pins totality: arbitrary invalid bytes must never throw or
+    // overflow the decode buffer (the numChars-vs-own-walk sizing trap).
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(Gen.listOfN(24, Gen.zip(invalidUtf8Bytes, invalidUtf8Bytes)), runs = 6) { pairs =>
+      for ((a, b) <- pairs; k <- Seq(0, 3, 50)) {
+        val framedA = new Array[Byte](a.length + 8)
+        java.util.Arrays.fill(framedA, 0xF5.toByte)
+        System.arraycopy(a, 0, framedA, 0, a.length)
+        val viewA = UTF8String.fromBytes(framedA, 0, a.length)
+        val exactA = UTF8String.fromBytes(a.clone())
+        val eB = UTF8String.fromBytes(b.clone())
+        val dView = graft.plans.ShingleOps.editDistance(viewA, eB, k)
+        val dExact = graft.plans.ShingleOps.editDistance(exactA, eB, k)
+        assert(dView == dExact,
+          s"kernel read past payload: k=$k a=${a.toSeq} b=${b.toSeq}")
+        assert(dExact >= -1 && dExact <= k,
+          s"out-of-contract distance $dExact for k=$k")
+        assert(graft.plans.ShingleOps.editDistance(exactA, exactA, 0) == 0,
+          "self distance must be 0 even on invalid bytes")
+        // same frame proves the blocklist walk's bounds (it token-splits
+        // and range-hashes the identical payload view)
+        val words = Array("slow", "x").map(UTF8String.fromString)
+        val hashes = words.map(graft.plans.ShingleOps.modelKey)
+        val idx = hashes.zip(words).sortBy(_._1)
+        assert(graft.plans.ShingleOps.blocklistHits(viewA, idx.map(_._1), idx.map(_._2)).toSeq ==
+          graft.plans.ShingleOps.blocklistHits(exactA, idx.map(_._1), idx.map(_._2)).toSeq,
+          s"blocklist kernel read past payload for bytes=${a.toSeq}")
+      }
+    }
+  }
+
   test("fuzz: fused char-gram kernel never reads past the payload on truncated multi-byte tails") {
     // Sentinel proof of bounds safety: hash a view of the payload embedded
     // in a larger array whose following bytes are sentinels, and an

@@ -295,6 +295,58 @@ class StreamingSpec extends GraftSuite {
       s"missing=${(expected -- hits.toSet).take(5)} extra=${(hits.toSet -- expected).take(5)}")
   }
 
+  test("streaming fuzzy dedup equals the batch LSH->confirm composition across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.sources.Writers
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // corpus/arrivals split; arrival ids DELIBERATELY renumbered into the
+    // corpus id range to prove the cross-set confirm never aliases them
+    val isArrival = pmod(col("doc_id"), lit(10L)) === 3
+    val corpus = docs.filter(!isArrival)
+    val arrivals = docs.filter(isArrival)
+      .select((col("doc_id") / 10).cast("long").as("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fuzzy")
+    val idxPath = tmp.resolve("bands").toString
+    Writers.writeSorted(
+      Dedup.lshBandIndex(corpus, col("doc_id"), col("text"), 3, 32, 8),
+      idxPath, Seq("bk"), numFiles = 4)
+    val bandIndex = spark.read.parquet(idxPath)
+    val corpusTexts = corpus.select(col("doc_id").as("corpus_id"), col("text"))
+    val staged = tmp.resolve("arrivals").toString
+    arrivals.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val epochs = scala.collection.mutable.Set[Long]()
+    val q = graft.streaming.DocsStream
+      .fuzzyDedupStream(stream, col("doc_id"), col("text"), bandIndex,
+        corpusTexts, 3, 32, 8, maxDist = 200,
+        onHits = (df, epoch) => hits.synchronized {
+          epochs += epoch
+          hits ++= df.as[(Long, Long, Long)].collect()
+        })
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(epochs.size > 1, s"expected multiple micro-batches, got ${epochs.size}")
+    // batch truth: the same band keys on both sides, cross-set join,
+    // cross-set confirm
+    val arrivalKeys = Dedup.lshBandIndex(arrivals, col("doc_id"), col("text"),
+      3, 32, 8, idName = "batch_id")
+    val cand = arrivalKeys.join(bandIndex, "bk")
+      .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      .distinct()
+    val expected = Dedup.editDistanceConfirmAcross(cand,
+        arrivals.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
+        corpusTexts, col("corpus_id"), col("text"), 200)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "degenerate fixture: batch composition found no pairs")
+    assert(hits.toSet == expected,
+      s"missing=${(expected -- hits.toSet).take(5)} extra=${(hits.toSet -- expected).take(5)}")
+  }
+
   test("streaming incremental dedup against an EMPTY index emits no hits and does not invert") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Readers.table(spark, sf, "documents")
