@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{CharGramHashes, CosineSimilarity, LshBucketKey, MinHashSignature, NearestIndex, PqApproxScore, RollingFingerprint, ShingleHashes, ShingleMinHash, SignatureAgreement, SimHash64}
+import graft.plans.{CharGramHashes, CosineSimilarity, EditDistance, LshBucketKey, MinHashSignature, NearestIndex, PqApproxScore, RollingFingerprint, ShingleHashes, ShingleMinHash, SignatureAgreement, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -130,6 +130,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("graft_sig_agree", "(sigA, sigB)", args, 2, 2)
         SignatureAgreement(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_edit_distance"),
+      new ExpressionInfo(classOf[EditDistance].getName, "graft_edit_distance"),
+      (args: Seq[Expression]) => {
+        arity("graft_edit_distance", "(textA, textB, maxDist)", args, 3, 3)
+        EditDistance(args(0), args(1),
+          intLitArg("graft_edit_distance", args(2), "maxDist"))
       }))
   }
 }

@@ -103,6 +103,12 @@ class NativeExprSpec extends GraftSuite {
         |        array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT)))) AS n""".stripMargin)
       .as[Int].head()
     assert(nearest == 1)
+    val ed = spark.sql(
+      "SELECT graft_edit_distance('kitten', 'sitting', 5) AS d").as[Int].head()
+    assert(ed == 3)
+    val edOver = spark.sql(
+      "SELECT graft_edit_distance('kitten', 'sitting', 2) AS d").as[Int].head()
+    assert(edOver == -1)
   }
 
   test("native nearestIndex matches the max_by-over-cosine formulation on real embeddings") {
