@@ -1283,6 +1283,18 @@ object SparkEntry {
           "source" -> col("source"),
           "text" -> col("text")))
         .orderBy("column_name")
+    }),
+
+    "q92_filter_ensemble" -> ((s, dir) => {
+      // the assembled quality gate — q29 heuristic + q40 gopher + q73
+      // classifier + q74 LM as ONE per-doc verdict table with per-filter
+      // flags (the q80 composition pattern applied to the scoring
+      // family); thresholds split the corpus (heur 0.5, clf 430‰, LM
+      // 250‰), docs a model can't score fail that gate conservatively
+      Scoring.filterEnsemble(T(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang") === lit("en"),
+          minQuality = 0.5, clfMinPermille = 430, lmMinPermille = 250)
+        .orderBy("doc_id")
     })
   )
 
@@ -2413,6 +2425,58 @@ object SparkEntry {
         |SELECT h.c AS column_name, s.n, s.n_unique, min(h.v) AS top,
         | CAST(s.mx AS BIGINT) AS top_freq
         |FROM h JOIN s ON h.c = s.c AND h.cnt = s.mx
-        |GROUP BY 1, 2, 3, 5 ORDER BY column_name""".stripMargin
+        |GROUP BY 1, 2, 3, 5 ORDER BY column_name""".stripMargin,
+
+    // the four filter oracles (q29/q40/q73/q74) composed: rule flags from
+    // the merged heuristic/gopher CTE, model flags via LEFT JOIN with
+    // COALESCE(false) — a doc a model cannot score fails that gate
+    "q92_filter_ensemble" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS words FROM documents),
+        |r0 AS (SELECT doc_id, len(words) AS nt,
+        |  CASE WHEN length(text) > 0
+        |   THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+        |   ELSE 0.0 END AS punct,
+        |  CASE WHEN len(words) > 0
+        |   THEN CAST(len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(words)
+        |   ELSE 0.0 END AS stopr,
+        |  (CAST(length(trim(text)) AS DOUBLE) - (len(words) - 1)) / len(words) AS mean_len,
+        |  (CAST(len(words) AS DOUBLE) - len(list_distinct(words))) / len(words) AS rep
+        | FROM t),
+        |r AS (SELECT doc_id,
+        |  floor(least(1.0, nt / 100.0) * (1 - punct) * (1 - 0.5 * stopr) * 10000.0 + 0.5) / 10000.0 >= 0.5 AS heur_pass,
+        |  (mean_len BETWEEN 3.0 AND 10.0) AND rep < 0.6 AS gopher_pass
+        | FROM r0),
+        |tok AS (SELECT doc_id, (lang = 'en') AS y,
+        |   unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |bkt AS (SELECT doc_id, y,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_extract_all(tok, '(?s).'),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |   (acc, cp) -> (acc * 31 + cp) % 1000000007) % 4096 AS bucket
+        | FROM tok),
+        |cm AS (SELECT bucket,
+        |  (1000 * sum(CASE WHEN y THEN 1 ELSE 0 END)) // (count(*) + 1) AS weight
+        | FROM bkt GROUP BY 1),
+        |clf AS (SELECT doc_id,
+        |  CAST(sum(cm.weight) AS BIGINT) >= 430 * CAST(count(*) AS BIGINT) AS clf_pass
+        | FROM bkt JOIN cm USING (bucket) GROUP BY doc_id),
+        |d2 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+        |pos AS (SELECT doc_id, text,
+        |  unnest(generate_series(1, length(text) - 1)) AS i FROM d2),
+        |bgr AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 2) AS bg FROM pos),
+        |bc AS (SELECT bg, count(*) AS c FROM bgr GROUP BY 1),
+        |pc AS (SELECT substring(bg, 1, 1) AS a, sum(c) AS pc FROM bc GROUP BY 1),
+        |lmm AS (SELECT bg, (1000 * c) // (pc + 1) AS p
+        |  FROM bc JOIN pc ON substring(bc.bg, 1, 1) = pc.a),
+        |lm AS (SELECT doc_id,
+        |  CAST(CAST(sum(lmm.p) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) >= 250 AS lm_pass
+        | FROM bgr JOIN lmm USING (bg) GROUP BY doc_id)
+        |SELECT r.doc_id, heur_pass, gopher_pass,
+        | COALESCE(clf_pass, false) AS clf_pass,
+        | COALESCE(lm_pass, false) AS lm_pass,
+        | heur_pass AND gopher_pass AND COALESCE(clf_pass, false)
+        |  AND COALESCE(lm_pass, false) AS keep
+        |FROM r LEFT JOIN clf USING (doc_id) LEFT JOIN lm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

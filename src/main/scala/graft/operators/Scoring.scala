@@ -368,6 +368,59 @@ object Scoring {
         col("n_hits") * 1000 <= lit(maxHitsPerMille.toLong) * col("n_tokens"))
   }
 
+  /** The assembled quality gate — every filter family in ONE per-doc
+    * verdict table: the q29 heuristic (length/punct/stopword product),
+    * the q40 Gopher rules (mean word length + repetition), the q73
+    * hashed-linear classifier (trained on `label`), and the q74
+    * char-bigram LM — plus the conjunction `keep`. This is the table a
+    * curation run actually materializes: per-filter flags make the
+    * rejection REASON queryable (which gate fired), not just the verdict
+    * (the q80 composition pattern applied to the scoring family).
+    *
+    * Documents a MODEL half cannot score (all-absent classifier buckets;
+    * <2-char docs with no bigram) fail that gate conservatively — a
+    * filter that cannot assess a doc must not pass it. Thresholds are a
+    * rounded-double cut for the heuristic (its rounded score is
+    * engine-exact) and integer per-mille cuts for both models, so every
+    * flag is bit-exact under any partitioning.
+    *
+    * Scale shape: one rule-half map pass; two aggregate-sized models
+    * (trained here — at 100 TB pass a sampled `docs` per the class doc)
+    * each scoring in one fused corpus walk; two doc_id-keyed left joins.
+    */
+  def filterEnsemble(docs: DataFrame, id: Column, text: Column, label: Column,
+                     minQuality: Double, clfMinPermille: Int,
+                     lmMinPermille: Int): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("_t"), label.as("_y"))
+    val toks = TextFns.tokens(col("_t"))
+    val n = size(toks).cast("double")
+    val punct = TextFns.punctRatio(col("_t"))
+    val stopr = TextFns.stopwordRatio(col("_t"))
+    val quality = graft.functions.NumFns.roundHalfUp(
+      least(lit(1.0), n / 100.0) * (lit(1.0) - punct) * (lit(1.0) - lit(0.5) * stopr), 4)
+    val meanLen = (length(trim(col("_t"))).cast("double") - (n - lit(1.0))) / n
+    val repetition = (n - size(array_distinct(toks)).cast("double")) / n
+    val rules = base.select(col("doc_id"),
+      (quality >= minQuality).as("heur_pass"),
+      (meanLen.between(3.0, 10.0) && repetition < 0.6).as("gopher_pass"))
+    val clfModel = trainHashedLinear(base, col("_t"), col("_y"), numBuckets = 4096)
+    val clf = scoreHashedLinearFused(base, col("doc_id"), col("_t"), clfModel, 4096)
+      .select(col("_sid").as("doc_id"),
+        (col("score_sum") >= lit(clfMinPermille.toLong) * col("n_tok")).as("clf_pass"))
+    val lmModel = trainCharBigramLmFused(base, col("_t"))
+    val lm = scoreCharBigramLmFused(base, col("doc_id"), col("_t"), lmModel)
+      .select(col("_sid").as("doc_id"),
+        (col("avg_permille") >= lmMinPermille).as("lm_pass"))
+    rules
+      .join(clf, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("heur_pass"), col("gopher_pass"),
+        coalesce(col("clf_pass"), lit(false)).as("clf_pass"),
+        coalesce(col("lm_pass"), lit(false)).as("lm_pass"))
+      .withColumn("keep",
+        col("heur_pass") && col("gopher_pass") && col("clf_pass") && col("lm_pass"))
+  }
+
   def thresholdSweep(scored: DataFrame, score: Column,
                      weight: Column): DataFrame = {
     val hist = scored.filter(score.isNotNull)

@@ -175,6 +175,44 @@ class ScoringSpec extends GraftSuite {
     assert(dupList == plain)
   }
 
+  test("filterEnsemble flags align with the component operators; unscorable docs fail their gate") {
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang")
+      // no bigrams -> the LM cannot score these; the gate must fail closed
+      .unionByName(Seq((900000L, "", "en"), (900001L, "x", "en"))
+        .toDF("doc_id", "text", "lang"))
+    val ens = Scoring.filterEnsemble(docs, $"doc_id", $"text",
+        $"lang" === "en", minQuality = 0.5, clfMinPermille = 430,
+        lmMinPermille = 250)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(ens.size == docs.count(), "one verdict row per document")
+    // keep is exactly the conjunction
+    for ((_, (id, h, g, c, l, k)) <- ens)
+      assert(k == (h && g && c && l), s"keep mismatch for $id")
+    // unscorable docs fail the LM gate, and only that through keep
+    assert(!ens(900000L)._5 && !ens(900001L)._5, "no-bigram docs must fail lm_pass")
+    // model flags equal the standalone operators' thresholded scores
+    val clfModel = Scoring.trainHashedLinear(docs, $"text", $"lang" === "en", 4096)
+    val clfWant = Scoring.scoreHashedLinearFused(docs, $"doc_id", $"text", clfModel, 4096)
+      .select($"_sid", ($"score_sum" >= lit(430L) * $"n_tok").as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    for ((id, (_, _, _, c, _, _)) <- ens)
+      assert(c == clfWant.getOrElse(id, false), s"clf flag mismatch for $id")
+    val lmModel = Scoring.trainCharBigramLmFused(docs, $"text")
+    val lmWant = Scoring.scoreCharBigramLmFused(docs, $"doc_id", $"text", lmModel)
+      .select($"_sid", ($"avg_permille" >= 250).as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    for ((id, (_, _, _, _, l, _)) <- ens)
+      assert(l == lmWant.getOrElse(id, false), s"lm flag mismatch for $id")
+    // every gate both passes and fails someone on the real corpus — the
+    // fixture can't silently degenerate into a constant column
+    for (i <- 1 to 4) {
+      val vals = ens.values.map(t => t.productElement(i).asInstanceOf[Boolean]).toSet
+      assert(vals == Set(true, false), s"flag $i is constant")
+    }
+  }
+
   test("scores are partition-independent and total on the real corpus") {
     val docs = graft.sources.Readers.table(spark, sf, "documents")
     val model = Scoring.trainHashedLinear(docs, $"text", $"lang" === "en", 4096)
