@@ -329,18 +329,35 @@ object Scoring {
     * shuffle at all beyond the scan itself. A 100 TB corpus filters in one
     * embarrassingly-parallel map pass.
     */
-  def blocklistFilter(docs: DataFrame, id: Column, text: Column,
-                      blocked: Seq[String], maxHitsPerMille: Int): DataFrame = {
+  /** The fused [n_tokens, n_hits, n_terms] blocklist scan as a COLUMN —
+    * the building block [[blocklistFilter]] projects and
+    * [[blocklistKeep]] predicates over.
+    */
+  def blocklistHitsCol(text: Column, blocked: Seq[String]): Column = {
     require(blocked.nonEmpty, "empty blocklist filters nothing")
     require(blocked.forall(_.nonEmpty), "empty-string blocklist entry would match split()'s empty tokens")
     val words = blocked.distinct
       .map(org.apache.spark.unsafe.types.UTF8String.fromString)
       .map(w => (graft.plans.ShingleOps.modelKey(w), w))
       .sortBy(_._1).toArray
-    val hashes = words.map(_._1)
-    val utf8 = words.map(_._2)
+    NativeFns.blocklistHits(text, words.map(_._1), words.map(_._2))
+  }
+
+  /** The keep PREDICATE form of [[blocklistFilter]] — for pipelines (incl.
+    * streaming ingest) that filter in place instead of materializing the
+    * per-doc count table: one fused walk, stateless, usable directly in
+    * `df.filter(...)` on a batch or streaming DataFrame.
+    */
+  def blocklistKeep(text: Column, blocked: Seq[String],
+                    maxHitsPerMille: Int): Column = {
+    val b = blocklistHitsCol(text, blocked)
+    b.getItem(1) * 1000 <= lit(maxHitsPerMille.toLong) * b.getItem(0)
+  }
+
+  def blocklistFilter(docs: DataFrame, id: Column, text: Column,
+                      blocked: Seq[String], maxHitsPerMille: Int): DataFrame = {
     docs
-      .select(id.as("doc_id"), NativeFns.blocklistHits(text, hashes, utf8).as("_b"))
+      .select(id.as("doc_id"), blocklistHitsCol(text, blocked).as("_b"))
       .select(col("doc_id"),
         col("_b").getItem(0).as("n_tokens"),
         col("_b").getItem(1).as("n_hits"),

@@ -347,6 +347,97 @@ class StreamingSpec extends GraftSuite {
       s"missing=${(expected -- hits.toSet).take(5)} extra=${(hits.toSet -- expected).take(5)}")
   }
 
+  test("composed ingest pipeline: blocklist -> bloom decontamination -> fuzzy dedup equals batch") {
+    // ONE arriving stream through all three stateless-ingest cleaners in
+    // sequence — the composition a production ingest job runs, asserted
+    // equal to the batch formulation stage by stage and end to end:
+    // admitted = keeps blocklist AND shares no held-out gram AND has no
+    // close edit-distance match in the standing corpus.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Scoring}
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val role = pmod(col("doc_id"), lit(10L))
+    // constructed docs guarantee each gate fires at ANY sf: A1 is
+    // blocklist-dense, A2's text is copied into the held-out set
+    // (contaminated), A3's text is copied into the corpus (fuzzy dup at
+    // distance 0), A4 is clean/unique (must be admitted)
+    val a1 = (800001L, ("slow " * 20).trim)
+    val a2 = (800002L, "held copy alpha beta gamma delta epsilon zeta")
+    val a3 = (800003L, "uniq one two three four five six seven eight nine")
+    val a4 = (800004L, "fresh completely different tokens qrs tuv wxy zab cde fgh")
+    val corpus = docs.filter(role < 7)
+      .unionByName(Seq((800203L, a3._2)).toDF("doc_id", "text"))
+    val heldOut = docs.filter(role === 9)
+      .unionByName(Seq((800102L, a2._2)).toDF("doc_id", "text"))
+    val arrivals = docs.filter(role === 7 || role === 8)
+      .unionByName(Seq(a1, a2, a3, a4).toDF("doc_id", "text"))
+    val blocked = Seq("slow", "dup")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val idxPath = tmp.resolve("bands").toString
+    graft.sources.Writers.writeSorted(
+      Dedup.lshBandIndex(corpus, col("doc_id"), col("text"), 3, 32, 8),
+      idxPath, Seq("bk"), numFiles = 4)
+    val bandIndex = spark.read.parquet(idxPath)
+    val corpusTexts = corpus.select(col("doc_id").as("corpus_id"), col("text"))
+    val staged = tmp.resolve("arrivals").toString
+    arrivals.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+
+    // stages 1+2 are stateless column predicates — they compose on the
+    // stream directly; stage 3 is the foreachBatch fuzzy confirm
+    val s12 = graft.streaming.DocsStream.decontaminateStream(
+      stream.filter(Scoring.blocklistKeep(col("text"), blocked, 25)),
+      col("text"), heldOut, col("text"), 3,
+      expectedItems = 200000L, numBits = 4000000L)
+    val survivors = scala.collection.mutable.Set[Long]()
+    val dupHits = scala.collection.mutable.Set[Long]()
+    val q = graft.streaming.DocsStream
+      .fuzzyDedupStream(s12, col("doc_id"), col("text"), bandIndex,
+        corpusTexts, 3, 32, 8, maxDist = 100,
+        onHits = (df, _) => dupHits.synchronized {
+          dupHits ++= df.select(col("batch_id")).as[Long].collect()
+        })
+      .start()
+    val q2 = s12.select(col("doc_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ingest_survivors").start()
+    try { q.processAllAvailable(); q2.processAllAvailable() }
+    finally { q.stop(); q2.stop() }
+    survivors ++= spark.table("ingest_survivors").as[Long].collect()
+    val admitted = survivors.toSet -- dupHits
+
+    // batch truth, same three stages
+    val clean = arrivals.filter(Scoring.blocklistKeep(col("text"), blocked, 25))
+    val heldPred = pmod(col("doc_id"), lit(10L)) === 9 || col("doc_id") === 800102L
+    val contaminated = Dedup.contaminationHits(
+        clean.unionByName(heldOut), col("doc_id"), col("text"), heldPred, 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val decon = clean.filter(!col("doc_id").isin(contaminated.toSeq: _*))
+    val keys = Dedup.lshBandIndex(decon, col("doc_id"), col("text"), 3, 32, 8,
+      idName = "batch_id")
+    val cand = keys.join(bandIndex, "bk")
+      .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      .distinct()
+    val dupped = Dedup.editDistanceConfirmAcross(cand,
+        decon, col("doc_id"), col("text"),
+        corpusTexts, col("corpus_id"), col("text"), 100)
+      .select(col("doc_a")).as[Long].collect().toSet
+    val admittedBatch = decon.select(col("doc_id")).as[Long].collect().toSet -- dupped
+    // the fixture must exercise every stage: each gate rejects someone
+    assert(clean.count() < arrivals.count(), "blocklist gate never fired")
+    assert(contaminated.nonEmpty, "decontamination gate never fired")
+    assert(dupped.nonEmpty, "fuzzy-dedup gate never fired")
+    // the constructed docs land exactly as designed
+    assert(!admittedBatch(a1._1) && !admittedBatch(a2._1) && !admittedBatch(a3._1),
+      "every constructed reject must be rejected")
+    assert(admittedBatch(a4._1), "the clean constructed doc must be admitted")
+    assert(admitted == admittedBatch,
+      s"missing=${(admittedBatch -- admitted).take(5)} extra=${(admitted -- admittedBatch).take(5)}")
+  }
+
   test("streaming incremental dedup against an EMPTY index emits no hits and does not invert") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Readers.table(spark, sf, "documents")
