@@ -1295,6 +1295,18 @@ object SparkEntry {
           col("text"), col("lang") === lit("en"),
           minQuality = 0.5, clfMinPermille = 430, lmMinPermille = 250)
         .orderBy("doc_id")
+    }),
+
+    "q93_leaked_grams" -> ((s, dir) => {
+      // which grams leak (q49's per-doc view turned per-gram): distinct
+      // train/held doc counts per shared 3-gram, top-50 by train reach —
+      // wide-reach leaks are boilerplate to strip, narrow ones true
+      // benchmark leakage. Hash-grain counting both sides; strings
+      // resolved only for held-side leaked grams.
+      Dedup.contaminationGramReport(T(s, dir, "documents"), col("doc_id"),
+          col("text"),
+          pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95,
+          3, 50)
     })
   )
 
@@ -2477,6 +2489,21 @@ object SparkEntry {
         | heur_pass AND gopher_pass AND COALESCE(clf_pass, false)
         |  AND COALESCE(lm_pass, false) AS keep
         |FROM r LEFT JOIN clf USING (doc_id) LEFT JOIN lm USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q49's shingle CTE turned per-gram: distinct doc counts per side,
+    // inner join = leaked grams, deterministic top-50 (count desc, gram)
+    "q93_leaked_grams" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words,
+        |  ((doc_id % 100003) * 2654435761) % 100 >= 95 AS held FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, held, array_to_string(words[i:i+2], ' ') AS gram
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |tc AS (SELECT gram, count(*) AS n_train_docs FROM sh WHERE NOT held GROUP BY 1),
+        |hc AS (SELECT gram, count(*) AS n_held_docs FROM sh WHERE held GROUP BY 1)
+        |SELECT tc.gram, CAST(n_train_docs AS BIGINT) AS n_train_docs,
+        | CAST(n_held_docs AS BIGINT) AS n_held_docs
+        |FROM tc JOIN hc USING (gram)
+        |ORDER BY n_train_docs DESC, gram LIMIT 50""".stripMargin
   )
 }

@@ -492,6 +492,42 @@ object Dedup {
     if (persistIndex) materializeAndRelease(result, banded) else result
   }
 
+  /** Per-GRAM contamination report — the third angle on benchmark leakage
+    * (q49 reports per-train-doc, q62 per-source-pair; this reports WHICH
+    * grams leak): for every word n-gram shared between the held-out slice
+    * and the train split, the distinct train and held doc counts, top-k by
+    * train reach. This is the actionable artifact — a leaked gram with
+    * thousands of train hits is boilerplate to strip, one with a handful
+    * is true benchmark leakage to drop.
+    *
+    * Scale shape: both sides count at the 8-byte fused-hash grain (one
+    * per-doc-distinct explode each, hash-keyed aggregation — never gram
+    * strings corpus-wide); gram STRINGS are resolved only on the HELD
+    * side (the small one) and only for hashes that actually leak, then
+    * top-k runs as TakeOrderedAndProject (per-partition heaps, no global
+    * sort). Hash→string resolution carries the family's documented
+    * 2⁻⁶⁴-class collision bound.
+    */
+  def contaminationGramReport(docs: DataFrame, id: Column, text: Column,
+                              held: Column, n: Int, k: Int): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("_t"), held.as("_h"))
+    val trainCnt = base.filter(!col("_h"))
+      .select(explode(NativeFns.shingleHashes(col("_t"), n)).as("sh_h"))
+      .groupBy(col("sh_h")).agg(count(lit(1)).as("n_train_docs"))
+    val heldCnt = base.filter(col("_h"))
+      .select(explode(NativeFns.shingleHashes(col("_t"), n)).as("sh_h"))
+      .groupBy(col("sh_h")).agg(count(lit(1)).as("n_held_docs"))
+    val heldStr = base.filter(col("_h"))
+      .select(explode(graft.functions.TextFns.shingles(col("_t"), n)).as("gram"))
+      .distinct()
+      .select(col("gram"), xxhash64(col("gram")).as("sh_h"))
+    heldCnt.join(trainCnt, "sh_h")
+      .join(heldStr, "sh_h")
+      .select(col("gram"), col("n_train_docs"), col("n_held_docs"))
+      .orderBy(col("n_train_docs").desc, col("gram"))
+      .limit(k)
+  }
+
   /** The standing corpus's LSH band-bucket index — the MATERIALIZED
     * artifact the streaming fuzzy-dedup ingest path
     * ([[graft.streaming.DocsStream.fuzzyDedupStream]]) joins each

@@ -738,6 +738,28 @@ class OperatorsSpec extends GraftSuite {
     assert(got == want, s"\ngot:  $got\nwant: $want")
   }
 
+  test("contaminationGramReport counts distinct docs per leaked gram, held-only grams excluded") {
+    // held doc 10 shares "a b c" with train 1 and 2 (boilerplate: wide
+    // reach) and "x y z" with train 3 only (narrow leak); "q r s" exists
+    // only in held -> not leaked; "m n o" only in train -> not leaked
+    val docs = Seq(
+      (1L, "a b c one", false),
+      (2L, "pre a b c", false),
+      (3L, "x y z two", false),
+      (4L, "m n o three", false),
+      (10L, "a b c then x y z and q r s", true),
+      (11L, "a b c again", true))
+      .toDF("doc_id", "text", "held")
+    val got = Dedup.contaminationGramReport(docs, $"doc_id", $"text", $"held", 3, 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.head == ("a b c", 2L, 2L), s"widest leak first: $got")
+    assert(got.contains(("x y z", 1L, 1L)))
+    assert(!got.exists(_._1 == "q r s") && !got.exists(_._1 == "m n o"),
+      "one-sided grams are not leaks")
+    // ordering is total: count desc then gram asc
+    assert(got == got.sortBy(t => (-t._2, t._1)))
+  }
+
   test("editDistancePairs confirms blocked candidates at the true edit distance") {
     // 12 shared tokens block the pair; "gamma"->"gamXa" (1 sub) +
     // " extra" appended (6 inserts) = distance 7

@@ -71,6 +71,15 @@ object ScaleStageR7c {
         maxDist = 12))
     }
 
+    // the assembled four-filter gate on 500k docs: rules map pass + two
+    // model trainings + two fused scoring walks + two doc_id joins — the
+    // charLM train pass (9.1 s standalone, R7b) should dominate
+    time("filterEnsemble (4 gates) on 500k docs") {
+      noop(graft.operators.Scoring.filterEnsemble(docsStaged, $"doc_id",
+        $"text", $"lang" === "en", minQuality = 0.5, clfMinPermille = 430,
+        lmMinPermille = 250))
+    }
+
     // categorical describe on 500k docs; text is the high-cardinality
     // column (5k distinct values, every one tied at cnt=100 — the
     // tied-at-max filter + min runs over ALL of them, no window)
