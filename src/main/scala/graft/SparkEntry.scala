@@ -1307,6 +1307,15 @@ object SparkEntry {
           col("text"),
           pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95,
           3, 50)
+    }),
+
+    "q94_source_drift" -> ((s, dir) => {
+      // per-source token-distribution drift vs the corpus as total
+      // variation distance — the log-free, integer-numerator divergence
+      // (no smoothing, no libm): the mix-audit signal for
+      // off-distribution sources. One tokenize pass; vocab-sized math.
+      Scoring.sourceDriftTV(T(s, dir, "documents"), col("source"), col("text"))
+        .orderBy("source")
     })
   )
 
@@ -2504,6 +2513,26 @@ object SparkEntry {
         |SELECT tc.gram, CAST(n_train_docs AS BIGINT) AS n_train_docs,
         | CAST(n_held_docs AS BIGINT) AS n_held_docs
         |FROM tc JOIN hc USING (gram)
-        |ORDER BY n_train_docs DESC, gram LIMIT 50""".stripMargin
+        |ORDER BY n_train_docs DESC, gram LIMIT 50""".stripMargin,
+
+    // integer TV numerator over present (source, token) pairs + the
+    // absent-token tail as two scalars; ONE double division at the end
+    // (exact-int casts + a single IEEE op reproduce bit-for-bit)
+    "q94_source_drift" ->
+      """WITH tok AS (SELECT source AS src, unnest(string_split(trim(text), ' ')) AS tok
+        | FROM documents),
+        |st AS (SELECT src, tok, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        |t AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |ns AS (SELECT src, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |g AS (SELECT sum(c_st) AS n FROM st),
+        |p AS (SELECT src, n_s, n,
+        |  sum(abs(c_st * n - c_t * n_s)) AS core,
+        |  sum(c_t * n_s) AS cover
+        | FROM st JOIN t USING (tok) JOIN ns USING (src) CROSS JOIN g
+        | GROUP BY 1, 2, 3)
+        |SELECT src AS source, CAST(n_s AS BIGINT) AS n_tokens,
+        | floor(CAST(core + (n * n_s - cover) AS DOUBLE)
+        |   / CAST(2 * n_s * n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS tv
+        |FROM p ORDER BY source""".stripMargin
   )
 }

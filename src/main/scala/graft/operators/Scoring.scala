@@ -438,6 +438,55 @@ object Scoring {
         col("heur_pass") && col("gopher_pass") && col("clf_pass") && col("lm_pass"))
   }
 
+  /** Per-source token-distribution DRIFT vs the whole corpus, as total
+    * variation distance — the off-distribution-source detector a mix
+    * audit runs (a source whose unigram distribution sits far from the
+    * corpus is translated text, spam, or format garbage). TV is the
+    * log-free divergence: TV(s) = ½·Σ_t |p_s(t) − p(t)| ∈ [0, 1] — unlike
+    * KL it needs no smoothing for absent tokens and, crucially, its
+    * numerator is INTEGER-EXACT: with counts c_st, c_t and totals n_s, N,
+    *
+    *   Σ_t |c_st·N − c_t·n_s|
+    *     = Σ_{t∈s} |c_st·N − c_t·n_s| + (N·n_s − Σ_{t∈s} c_t·n_s)
+    *
+    * so the sum runs over PRESENT (source, token) pairs only — the
+    * absent-token tail folds into two scalars — and accumulates in
+    * DECIMAL (products reach c_t·n_s ~ 10²⁵ at 100 TB token counts, past
+    * Long). One exact integer numerator and one exact integer denominator
+    * (2·n_s·N) meet in a single double division + half-up round: bit-exact
+    * under any partitioning, oracle-checkable.
+    *
+    * Scale shape: one corpus tokenize → (source, token) hash aggregation;
+    * everything after runs on vocab-sized tables (per-token totals derive
+    * from the pair counts — the corpus is scanned once).
+    */
+  def sourceDriftTV(docs: DataFrame, source: Column, text: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val st = docs
+      .select(source.as("src"), explode(TextFns.tokens(text)).as("tok"))
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val t = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("src")).agg(sum(col("c_st")).as("n_s"))
+    val g = st.agg(sum(col("c_st")).as("n"))
+    val parts = st
+      .join(t, "tok")
+      .join(broadcast(ns), "src")
+      .crossJoin(broadcast(g))
+      .groupBy(col("src"), col("n_s"), col("n"))
+      .agg(
+        sum(abs(col("c_st").cast(dec) * col("n").cast(dec)
+          - col("c_t").cast(dec) * col("n_s").cast(dec))).as("core"),
+        sum(col("c_t").cast(dec) * col("n_s").cast(dec)).as("cover"))
+    parts
+      .select(col("src").as("source"), col("n_s").as("n_tokens"),
+        graft.functions.NumFns.roundHalfUp(
+          (col("core") + (col("n").cast(dec) * col("n_s").cast(dec) - col("cover")))
+            .cast("double")
+            / (lit(2L).cast(dec) * col("n_s").cast(dec) * col("n").cast(dec))
+              .cast("double"),
+          6).as("tv"))
+  }
+
   def thresholdSweep(scored: DataFrame, score: Column,
                      weight: Column): DataFrame = {
     val hist = scored.filter(score.isNotNull)

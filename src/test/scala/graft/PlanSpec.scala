@@ -65,7 +65,11 @@ class PlanSpec extends GraftSuite {
       // q75: tf table × TWO broadcast 1-row stats (N/Σdl, per-term dfs) —
       // the q61 threshold shape again; the tokenize/tf/df sides are all
       // equi-joined or aggregated
-      "q75_bm25_topk")
+      "q75_bm25_topk",
+      // q94: vocab-sized (source, token) counts × the broadcast 1-ROW
+      // grand-total N — the q61/q75 one-row-stats shape; the token and
+      // source joins are equi-joins
+      "q94_source_drift")
     val offenders = allPlans.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .collect { case (name, plan)

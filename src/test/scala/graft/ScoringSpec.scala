@@ -213,6 +213,25 @@ class ScoringSpec extends GraftSuite {
     }
   }
 
+  test("sourceDriftTV matches hand-computed total variation; bounded; identical sources agree") {
+    // corpus: A="x x", B="x x", C="y y"  =>  N=6, p(x)=2/3, p(y)=1/3.
+    // TV(A)=TV(B)=½(|1−2/3| + |0−1/3|) = 1/3;  TV(C)=½(|0−2/3|+|1−1/3|)=2/3
+    val docs = Seq(("A", "x x"), ("B", "x x"), ("C", "y y"))
+      .toDF("source", "text")
+    val got = Scoring.sourceDriftTV(docs, $"source", $"text")
+      .orderBy("source").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", 2L, 0.333333), ("B", 2L, 0.333333), ("C", 2L, 0.666667)),
+      s"got $got")
+    // bounded on the real corpus, and a single-source corpus drifts zero
+    val real = graft.sources.Readers.table(spark, sf, "documents")
+    val tvs = Scoring.sourceDriftTV(real, $"source", $"text")
+      .as[(String, Long, Double)].collect()
+    assert(tvs.nonEmpty && tvs.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
+    val solo = Scoring.sourceDriftTV(real.filter($"source" === "src0"),
+      $"source", $"text").as[(String, Long, Double)].collect()
+    assert(solo.forall(_._3 == 0.0), "a source IS the corpus when it is alone")
+  }
+
   test("scores are partition-independent and total on the real corpus") {
     val docs = graft.sources.Readers.table(spark, sf, "documents")
     val model = Scoring.trainHashedLinear(docs, $"text", $"lang" === "en", 4096)
