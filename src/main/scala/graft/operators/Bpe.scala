@@ -154,7 +154,12 @@ object Bpe {
         val ms = bc.value
         rows.map { row =>
           val w = row.getString(0)
-          var syms = (w.map(_.toString) :+ "</w>").toArray
+          // split by CODEPOINT, not UTF-16 code unit: training's
+          // split(word, "") yields whole codepoints, and a code-unit
+          // split would start non-BMP words from lone surrogates —
+          // trained merges would never apply (spec: emoji round-trip)
+          var syms = (w.codePoints().toArray
+            .map(cp => new String(Character.toChars(cp))) :+ "</w>")
           var i = 0
           while (i < ms.length) {
             syms = applyMergeLocal(syms, ms(i)._1, ms(i)._2)

@@ -382,10 +382,13 @@ object Relational {
         col("_off") + sum(col("cnt")).over(
           Window.partitionBy(col("g"), col("_bkt")).orderBy(col("v"))))
       .select(col("g"), col("v"), col("cum"))
-    val targets = stats.select(col("g"), col("n"),
+    val targets = stats.select(col("g").as("_tg"), col("n"),
       explode(array(pcts.map(lit(_)): _*)).as("pct"))
       .withColumn("r", expr("(CAST(pct AS BIGINT) * n + 99) DIV 100"))
-    cum.join(targets, "g")
+    // null-SAFE like every join above it: a NULL group key is a real
+    // group (SQL GROUP BY semantics) — a plain equality join here would
+    // silently drop it after the whole cumulative chain carried it
+    cum.join(targets, col("g") <=> col("_tg"))
       .filter(col("cum") >= col("r"))
       .groupBy(col("g"), col("pct"))
       .agg(min(col("v")).as("value"))
@@ -448,6 +451,18 @@ object Relational {
         sum(dec * dec * cntDec).cast("double").as("ss"),
         min(col("v")).as("min_value"),
         max(col("v")).as("max_value"))
+      // fail LOUDLY on out-of-range columns: under non-ANSI semantics the
+      // DECIMAL(12,scale) cast silently NULLs |v| >= 10^(12-scale), which
+      // would drop those rows from the sums while n/min/max still count
+      // them — an internally inconsistent profile. min/max are already
+      // here; the assert rides the aggregate-sized table (filter keeps
+      // every row: assert_true is NULL on success, throws on failure)
+      .filter(assert_true(
+        abs(col("min_value")) < math.pow(10, 12 - scale) &&
+          abs(col("max_value")) < math.pow(10, 12 - scale),
+        concat(lit(s"describeProfile(scale=$scale) supports |v| < 1e${12 - scale}; column "),
+          col("c"), lit(" exceeds it — widen the decimal or profile a scaled column")))
+        .isNull)
     val quart = groupedQuantilesFromHist(
         hist.select(col("c").as("g"), col("v"), col("cnt")),
         moments.select(col("c").as("g"), col("n"),

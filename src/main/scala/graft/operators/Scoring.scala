@@ -98,7 +98,13 @@ object Scoring {
         val b = r.getInt(0)
         require(b >= 0 && b < numBuckets,
           s"model bucket $b outside [0, $numBuckets)")
-        weights(b) = r.getInt(1)
+        val w = r.getInt(1)
+        // -1 is the absent-bucket sentinel inside the kernel: a negative
+        // caller weight would silently become "bucket absent" and diverge
+        // from the composed scorer — reject it loudly (trainHashedLinear
+        // emits [0, 1000) by construction)
+        require(w >= 0, s"fused scorer needs non-negative weights, bucket $b has $w")
+        weights(b) = w
       }
     docs
       .select(id.as("_sid"),
@@ -295,40 +301,6 @@ object Scoring {
       .select(col("token"), col("cnt"))
   }
 
-  /** Filter-threshold calibration curve: for every OBSERVED score value s,
-    * how much survives the filter "keep docs with score >= s" — docs kept
-    * and weight (tokens/chars/bytes) kept. Choosing a quality-filter
-    * cutoff is a budget decision ("the 1.1T-token slice above X"); this is
-    * the whole menu in one pass, for any integer-scored filter (q29
-    * heuristic, q73 classifier, q74 LM — anything with a score column).
-    * Output: (score, n_docs_at, n_docs_kept, weight_kept), one row per
-    * distinct score; n_docs_kept/weight_kept are the >=-threshold
-    * cumulative totals.
-    *
-    * Scale shape: the corpus collapses map-side into a (score, count,
-    * weight-sum) histogram — one shuffle of |score domain| aggregate rows
-    * (an integer per-mille filter has <= ~2000 of them). The descending
-    * cumulative runs as a window over that HISTOGRAM, partitioned by the
-    * [[Relational]] global-window-key idiom: bounded by the score domain,
-    * not the corpus — the same aggregate-sized-window rule as q79/q82.
-    * NULL scores (e.g. an LM score on an empty doc) are excluded — a
-    * threshold filter can't keep them.
-    */
-  /** Blocklist (bad-word) document filter — the C4-style list-based
-    * cleaner every web-corpus pipeline runs before model-based scoring:
-    * per document, total whitespace tokens, blocked-token occurrences,
-    * DISTINCT blocked terms matched, and a keep flag under an integer
-    * per-mille rate threshold (`maxHitsPerMille = 0` is C4's drop-on-any-
-    * occurrence rule; a rate lets common-word lists keep borderline docs).
-    * All-integer, so the flag is bit-exact under any partitioning.
-    *
-    * Scale shape: the blocklist (hundreds of words) collects ONCE into the
-    * fused [[graft.plans.BlocklistHits]] expression — hash-sorted parallel
-    * arrays, binary-searched per token with byte-confirm — so scoring is
-    * one codegen'd walk per document: no token explode, no join, no
-    * shuffle at all beyond the scan itself. A 100 TB corpus filters in one
-    * embarrassingly-parallel map pass.
-    */
   /** The fused [n_tokens, n_hits, n_terms] blocklist scan as a COLUMN —
     * the building block [[blocklistFilter]] projects and
     * [[blocklistKeep]] predicates over.
@@ -354,6 +326,21 @@ object Scoring {
     b.getItem(1) * 1000 <= lit(maxHitsPerMille.toLong) * b.getItem(0)
   }
 
+  /** Blocklist (bad-word) document filter — the C4-style list-based
+    * cleaner every web-corpus pipeline runs before model-based scoring:
+    * per document, total whitespace tokens, blocked-token occurrences,
+    * DISTINCT blocked terms matched, and a keep flag under an integer
+    * per-mille rate threshold (`maxHitsPerMille = 0` is C4's drop-on-any-
+    * occurrence rule; a rate lets common-word lists keep borderline docs).
+    * All-integer, so the flag is bit-exact under any partitioning.
+    *
+    * Scale shape: the blocklist (hundreds of words) collects ONCE into the
+    * fused [[graft.plans.BlocklistHits]] expression — hash-sorted parallel
+    * arrays, binary-searched per token with byte-confirm — so scoring is
+    * one codegen'd walk per document: no token explode, no join, no
+    * shuffle at all beyond the scan itself. A 100 TB corpus filters in one
+    * embarrassingly-parallel map pass.
+    */
   def blocklistFilter(docs: DataFrame, id: Column, text: Column,
                       blocked: Seq[String], maxHitsPerMille: Int): DataFrame = {
     docs
@@ -487,6 +474,25 @@ object Scoring {
           6).as("tv"))
   }
 
+  /** Filter-threshold calibration curve: for every OBSERVED score value s,
+    * how much survives the filter "keep docs with score >= s" — docs kept
+    * and weight (tokens/chars/bytes) kept. Choosing a quality-filter
+    * cutoff is a budget decision ("the 1.1T-token slice above X"); this is
+    * the whole menu in one pass, for any integer-scored filter (q29
+    * heuristic, q73 classifier, q74 LM — anything with a score column).
+    * Output: (score, n_docs_at, n_docs_kept, weight_kept), one row per
+    * distinct score; n_docs_kept/weight_kept are the >=-threshold
+    * cumulative totals.
+    *
+    * Scale shape: the corpus collapses map-side into a (score, count,
+    * weight-sum) histogram — one shuffle of |score domain| aggregate rows
+    * (an integer per-mille filter has <= ~2000 of them). The descending
+    * cumulative runs as a window over that HISTOGRAM, partitioned by the
+    * [[Relational]] global-window-key idiom: bounded by the score domain,
+    * not the corpus — the same aggregate-sized-window rule as q79/q82.
+    * NULL scores (e.g. an LM score on an empty doc) are excluded — a
+    * threshold filter can't keep them.
+    */
   def thresholdSweep(scored: DataFrame, score: Column,
                      weight: Column): DataFrame = {
     val hist = scored.filter(score.isNotNull)

@@ -169,9 +169,19 @@ object Writers {
     // actions, a re-derived manifest would not describe what is on disk —
     // and the manifest is the loader's source of truth. Reading back is
     // also cheap: the aggregate prunes to (shard, sizeCol) columns.
-    df.sparkSession.read.parquet(path)
+    val readBack = df.sparkSession.read.parquet(path)
+    // re-bind caller columns by NAME: a dataframe-bound sizeCol
+    // (df("text")) carries df's resolved exprIds, which the read-back
+    // does not share — without this the manifest aggregation fails
+    // analysis AFTER the (expensive) write completed
+    val rebound = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      org.apache.spark.sql.graftshim.ColumnBridge.expression(sizeCol).transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(readBack(a.name))
+      })
+    readBack
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(octet_length(sizeCol).cast("long")).as("n_bytes"))
+        sum(octet_length(rebound).cast("long")).as("n_bytes"))
   }
 }

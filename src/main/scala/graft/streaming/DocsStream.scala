@@ -147,19 +147,21 @@ object DocsStream {
                        shingleN: Int, numPerms: Int, rowsPerBand: Int,
                        maxDist: Int,
                        onHits: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // ONE row per arriving doc through the stream (text carried once);
+    // the per-band explode happens inside the micro-batch, so the text
+    // never replicates bands-fold through the projection or any shuffle
     val keyed = arrivals
       .select(id.as("batch_id"), text.as("_tb"),
         graft.functions.HashFns.bandKeys(
           graft.plans.NativeFns.minhashText(text, shingleN, numPerms),
           numPerms, rowsPerBand).as("_bks"))
       .filter(col("_bks").isNotNull)
-      .select(col("batch_id"), col("_tb"), explode(col("_bks")).as("bk"))
     keyed.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
-      val cand = batch.join(bandIndex, "bk")
+      val cand = batch.select(col("batch_id"), explode(col("_bks")).as("bk"))
+        .join(bandIndex, "bk")
         .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
         .distinct() // a pair sharing several bands confirms once
       val batchTexts = batch.select(col("batch_id"), col("_tb"))
-        .dropDuplicates("batch_id")
       onHits(
         Dedup.editDistanceConfirmAcross(cand,
             batchTexts, col("batch_id"), col("_tb"),

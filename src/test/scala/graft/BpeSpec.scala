@@ -129,6 +129,20 @@ class BpeSpec extends GraftSuite {
     for (w <- corpus.keys) assert(got(w) == vocabRef(w), s"vocab drift on $w")
   }
 
+  test("encodeVocab splits by codepoint like training: non-BMP words round-trip") {
+    // "😀😀" (U+1F600 twice): training's split(word, "") yields whole
+    // codepoints, so the learned merges are (😀,😀) then (😀😀,</w>); a
+    // UTF-16 code-unit split would start from lone surrogates and never
+    // apply them
+    val docs = Seq.tabulate(4)(i => (i.toLong, "😀😀"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.bpeTrain(docs, $"text", 2)
+    val got = Bpe.encodeVocab(docs.select($"text".as("word")), merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("😀😀") == Seq("😀😀</w>"),
+      s"non-BMP word must fully merge, got ${got.values}")
+  }
+
   test("bpeEncode: per-doc token counts, fertility, empty docs; vocab-grain encode equals per-doc encode") {
     val docs = Seq((0L, "low low newest"), (1L, "lower widest"), (2L, ""),
         (3L, "newest newest newest")).toDF("doc_id", "text")

@@ -592,6 +592,17 @@ class OperatorsSpec extends GraftSuite {
     }
   }
 
+  test("groupedQuantiles: a NULL group key is a real group (SQL GROUP BY semantics)") {
+    val df = Seq((Option("a"), 5L), (Option("a"), 1L),
+      (None: Option[String], 4L), (None: Option[String], 2L), (None: Option[String], 6L))
+      .toDF("g", "v")
+    val got = Relational.groupedQuantiles(df, $"g", $"v", Seq(50, 100))
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((Some("a"), 50)) == 1L && got((Some("a"), 100)) == 5L)
+    assert(got((None, 50)) == 4L && got((None, 100)) == 6L,
+      "the NULL group must be reported, not silently dropped")
+  }
+
   test("groupedQuantiles: pct=100 is the max; singleton group is constant") {
     val df = Seq(("a", 5L), ("a", 1L), ("a", 9L), ("b", 7L)).toDF("g", "v")
     val got = Relational.groupedQuantiles(df, $"g", $"v", Seq(50, 100))

@@ -686,5 +686,14 @@ class StreamingSpec extends GraftSuite {
       .select(col("doc_id"), col("shard").cast("long").as("shard"))
     val orig = back.select(col("doc_id"), col("shard").cast("long").as("shard"))
     assert(back2.exceptAll(orig).isEmpty, "subset re-export moved rows across shards")
+    // dataframe-BOUND columns must work too: the manifest aggregates the
+    // read-back, whose exprIds differ from docs' — the name re-binding
+    // keeps df("text")-style callers from failing analysis post-write
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-shards3").toString
+    val manifest3 = graft.sources.Writers.shardedExport(
+      docs, docs("doc_id"), docs("text"), dir3, numShards = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest3.values.map(_._1).sum == docs.count(),
+      "bound-column manifest must cover every row")
   }
 }
