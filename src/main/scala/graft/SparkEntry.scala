@@ -1316,6 +1316,23 @@ object SparkEntry {
       // off-distribution sources. One tokenize pass; vocab-sized math.
       Scoring.sourceDriftTV(T(s, dir, "documents"), col("source"), col("text"))
         .orderBy("source")
+    }),
+
+    "q95_cluster_balance" -> ((s, dir) => {
+      // per-cluster label balance: q70's deterministic zero-shuffle
+      // assignment feeding the q94 TV core — the cluster-quality audit
+      // (a cluster whose label distribution drifts far from the corpus
+      // is a topic silo; a near-zero TV cluster is unseparated). NULL
+      // cells (zero-norm vectors) are unassessable and excluded.
+      val embs = T(s, dir, "embeddings")
+      val assigned = Similarity.kmeansAssign(embs, "vec_id", "embedding",
+        k = 16, iters = 0)
+      Scoring.groupDriftTV(
+          assigned.filter(col("cell_id").isNotNull)
+            .join(embs.select(col("vec_id"), col("label")), "vec_id"),
+          col("cell_id"), col("label"))
+        .select(col("grp").as("cell_id"), col("n_items").as("n_vecs"), col("tv"))
+        .orderBy("cell_id")
     })
   )
 
@@ -2533,6 +2550,36 @@ object SparkEntry {
         |SELECT src AS source, CAST(n_s AS BIGINT) AS n_tokens,
         | floor(CAST(core + (n * n_s - cover) AS DOUBLE)
         |   / CAST(2 * n_s * n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS tv
-        |FROM p ORDER BY source""".stripMargin
+        |FROM p ORDER BY source""".stripMargin,
+
+    // q70's argmax assignment CTE feeding q94's TV arithmetic, per cell
+    "q95_cluster_balance" ->
+      """WITH cent AS (SELECT vec_id AS cell_id, embedding AS cvec
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |pairs AS (SELECT v.vec_id, c.cell_id, v.embedding AS ve, c.cvec
+        |  FROM embeddings v CROSS JOIN cent c),
+        |ex AS (SELECT vec_id, cell_id, CAST(unnest(ve) AS DOUBLE) AS x,
+        |  CAST(unnest(cvec) AS DOUBLE) AS y FROM pairs),
+        |s AS (SELECT vec_id, cell_id,
+        |  sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        | FROM ex GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cell_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+        | FROM s WHERE isfinite(cos)),
+        |asg AS (SELECT v.vec_id, r.cell_id, v.label FROM embeddings v
+        |  JOIN r ON v.vec_id = r.vec_id AND r.rn = 1),
+        |st AS (SELECT cell_id AS grp, label AS item, count(*) AS c_st
+        |  FROM asg GROUP BY 1, 2),
+        |t AS (SELECT item, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |ns AS (SELECT grp, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |g AS (SELECT sum(c_st) AS n FROM st),
+        |p AS (SELECT grp, n_s, n,
+        |  sum(abs(c_st * n - c_t * n_s)) AS core, sum(c_t * n_s) AS cover
+        | FROM st JOIN t USING (item) JOIN ns USING (grp) CROSS JOIN g
+        | GROUP BY 1, 2, 3)
+        |SELECT grp AS cell_id, CAST(n_s AS BIGINT) AS n_vecs,
+        | floor(CAST(core + (n * n_s - cover) AS DOUBLE)
+        |   / CAST(2 * n_s * n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS tv
+        |FROM p ORDER BY cell_id""".stripMargin
   )
 }

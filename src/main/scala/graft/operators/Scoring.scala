@@ -447,25 +447,37 @@ object Scoring {
     * everything after runs on vocab-sized tables (per-token totals derive
     * from the pair counts — the corpus is scanned once).
     */
-  def sourceDriftTV(docs: DataFrame, source: Column, text: Column): DataFrame = {
+  def sourceDriftTV(docs: DataFrame, source: Column, text: Column): DataFrame =
+    groupDriftTV(
+      docs.select(source.as("src"), explode(TextFns.tokens(text)).as("tok")),
+      col("src"), col("tok"))
+      .select(col("grp").as("source"), col("n_items").as("n_tokens"), col("tv"))
+
+  /** The TV-drift core over ANY (group, item) event table — the
+    * [[sourceDriftTV]] arithmetic with the tokenize step factored out, so
+    * the same integer-exact divergence audits any categorical
+    * decomposition (per-cluster label balance — q95 — per-shard source
+    * mix, ...). Output: (grp, n_items, tv).
+    */
+  def groupDriftTV(events: DataFrame, group: Column, item: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val st = docs
-      .select(source.as("src"), explode(TextFns.tokens(text)).as("tok"))
-      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c_st"))
-    val t = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
-    val ns = st.groupBy(col("src")).agg(sum(col("c_st")).as("n_s"))
+    val st = events
+      .select(group.as("grp"), item.as("item"))
+      .groupBy(col("grp"), col("item")).agg(count(lit(1)).as("c_st"))
+    val t = st.groupBy(col("item")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("grp")).agg(sum(col("c_st")).as("n_s"))
     val g = st.agg(sum(col("c_st")).as("n"))
     val parts = st
-      .join(t, "tok")
-      .join(broadcast(ns), "src")
+      .join(t, "item")
+      .join(broadcast(ns), "grp")
       .crossJoin(broadcast(g))
-      .groupBy(col("src"), col("n_s"), col("n"))
+      .groupBy(col("grp"), col("n_s"), col("n"))
       .agg(
         sum(abs(col("c_st").cast(dec) * col("n").cast(dec)
           - col("c_t").cast(dec) * col("n_s").cast(dec))).as("core"),
         sum(col("c_t").cast(dec) * col("n_s").cast(dec)).as("cover"))
     parts
-      .select(col("src").as("source"), col("n_s").as("n_tokens"),
+      .select(col("grp"), col("n_s").as("n_items"),
         graft.functions.NumFns.roundHalfUp(
           (col("core") + (col("n").cast(dec) * col("n_s").cast(dec) - col("cover")))
             .cast("double")

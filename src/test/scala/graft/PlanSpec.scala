@@ -69,7 +69,10 @@ class PlanSpec extends GraftSuite {
       // q94: vocab-sized (source, token) counts × the broadcast 1-ROW
       // grand-total N — the q61/q75 one-row-stats shape; the token and
       // source joins are equi-joins
-      "q94_source_drift")
+      "q94_source_drift",
+      // q95: BOTH by-design shapes at once — q70's packed-centroid 1-row
+      // broadcast (assignment) and q94's 1-row grand total (TV core)
+      "q95_cluster_balance")
     val offenders = allPlans.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .collect { case (name, plan)
