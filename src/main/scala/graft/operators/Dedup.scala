@@ -56,9 +56,11 @@ object Dedup {
     * CacheManager — unlike localCheckpoint blocks, see [[Checkpoints]].)
     */
   private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
-    caches.foreach(_.unpersist(false))
-    out
+    // try/finally: the checkpoint executes the plan — a mid-run failure
+    // must still release the persisted index (a leaked CacheManager entry
+    // outlives the operator and poisons the session)
+    try result.localCheckpoint()
+    finally caches.foreach(_.unpersist(false))
   }
 
   /** Exact dedup: hash-groupBy on content, keep the minimum id as keeper.

@@ -182,6 +182,10 @@ object Relational {
     */
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
                  saltSource: Column, salts: Int): DataFrame = {
+    // salts=0 would be SILENTLY empty: pmod-by-zero NULLs every fact salt
+    // while sequence(0, -1) emits a descending dim range (the
+    // sequence-default-step trap mixEpochs documents)
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val saltedFacts = facts.withColumn("_salt", pmod(xxhash64(saltSource), lit(salts)))
     val saltedDim = dim
       .withColumn("_salt", explode(sequence(lit(0L), lit((salts - 1).toLong))))
@@ -228,6 +232,16 @@ object Relational {
   def prefixSum(df: DataFrame, part: Column, ord: Column, weight: Column,
                 bucketWidth: Long, cumName: String = "cum"): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // the scheme is exact only for INTEGRAL weights (a double weight would
+    // also make the two-level sum order-sensitive); the long cast below
+    // would silently truncate 0.7 -> 0 — reject fractional types loudly
+    val wType = df.select(weight).schema.head.dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(wType),
+      s"prefixSum needs an integral weight column, got $wType — " +
+        "pre-scale fractional weights to integers (e.g. per-mille)")
     val b = df.withColumn("_bkt", floor(ord / lit(bucketWidth)).cast("long"))
     val bucketSums = b.groupBy(part.as("_p"), col("_bkt").as("_obkt"))
       .agg(sum(weight.cast("long")).as("_bsum"))
@@ -288,7 +302,14 @@ object Relational {
         count_distinct(col(c)).as(s"${c}__distinct"))
     }
     val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stackExpr = cols.map(c => s"'$c', ${c}__nonnull, ${c}__distinct").mkString(", ")
+    // stack() is assembled from raw column names: backtick-quote the
+    // identifiers (spaces/dots would fail analysis) and escape quotes in
+    // the label literal (a name containing ' would break out of it)
+    def ident(c: String): String = "`" + c.replace("`", "``") + "`"
+    def strLit(c: String): String = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val stackExpr = cols
+      .map(c => s"${strLit(c)}, ${ident(c + "__nonnull")}, ${ident(c + "__distinct")}")
+      .mkString(", ")
     total.selectExpr("__n",
         s"stack(${cols.size}, $stackExpr) as (column_name, n_nonnull, n_distinct)")
       .select(col("column_name"),
@@ -330,8 +351,12 @@ object Relational {
     // survives the histogram groupBy, the window's orderBy sorts nulls
     // FIRST, and every cumulative count (hence every quantile) for that
     // group shifts down. Matches SQL percentile functions, which ignore
-    // nulls.
-    val hist = df.filter(value.isNotNull)
+    // nulls. NaN is excluded for the same reason PLUS a scale hazard: a
+    // NaN max makes the bucket span NaN, collapsing the whole group's
+    // histogram into bucket 0 — the single-task window the scheme exists
+    // to avoid (pandas quantile drops NaN too; the double cast makes the
+    // check a no-op for integral values).
+    val hist = df.filter(value.isNotNull && !isnan(value.cast("double")))
       .groupBy(group.as("g"), value.as("v"))
       .agg(count(lit(1)).as("cnt"))
     groupedQuantilesFromHist(hist, pcts, numBuckets)
@@ -484,10 +509,12 @@ object Relational {
     // cumulative chain -- persist it so the corpus melt+shuffle runs once,
     // then cut lineage and release the blocks before returning (the q80
     // pattern: multi-consumer aggregates keep their persist; measured
-    // min-of-3 at sf0.1: 2.75 s persisted vs 3.38 s recomputed)
-    val out = result.localCheckpoint()
-    hist.unpersist(false)
-    out
+    // min-of-3 at sf0.1: 2.75 s persisted vs 3.38 s recomputed).
+    // try/finally: the checkpoint EXECUTES the plan, and the range guard
+    // above may throw mid-run — the persist must not outlive the failure
+    // (a leaked CacheManager entry poisons the whole session)
+    try result.localCheckpoint()
+    finally hist.unpersist(false)
   }
 
   /** pandas `describe(include='object')` parity — the categorical half of
@@ -574,7 +601,22 @@ object Relational {
         sum(dx * dx).cast("double").as(s"_sxx_$i"),
         sum(dy * dy).cast("double").as(s"_syy_$i"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    // fail LOUDLY on out-of-range columns (describeProfile's guard, same
+    // failure class): the non-ANSI double->decimal cast silently NULLs
+    // |v| >= 10^(18-scale), dropping those rows from the moment sums
+    // while the pairwise-deletion count still includes them — a silently
+    // wrong r. One max-abs per column rides the same single aggregate.
+    val rangeAggs = cols.zipWithIndex.map { case ((_, c), i) =>
+      max(abs(c.cast("double"))).as(s"_mx_$i")
+    }
+    val row0 = df.agg((aggs ++ rangeAggs).head, (aggs ++ rangeAggs).tail: _*)
+    val bound = math.pow(10, 18 - scale)
+    val row = cols.zipWithIndex.foldLeft(row0) { case (d, ((name, _), i)) =>
+      d.filter(assert_true(col(s"_mx_$i").isNull || col(s"_mx_$i") < bound,
+        lit(s"correlationMatrix(scale=$scale) supports |v| < 1e${18 - scale}; " +
+          s"column $name exceeds it — widen the decimal or profile a scaled column"))
+        .isNull)
+    }
     val perPair = row.select(explode(array(pairs.zipWithIndex.map {
       case (((xn, _), (yn, _)), i) =>
         struct(lit(xn).as("x_col"), lit(yn).as("y_col"),

@@ -115,13 +115,24 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int, trainSample: Int = 65536): DataFrame = {
-    val trainDf = trainSampleOf(corpus, idCol, trainSample)
+    // the sample feeds EVERY Lloyd round: left lazy, each round's job
+    // would re-run the corpus-sized TakeOrdered from scratch — checkpoint
+    // it once so rounds are O(sample) as documented (released on return)
+    val (trainDf, trainBlocks) =
+      if (iters <= 0) (trainSampleOf(corpus, idCol, trainSample), Seq.empty[org.apache.spark.rdd.RDD[_]])
+      else Checkpoints.tracked(trainSampleOf(corpus, idCol, trainSample))
     // seeds are NOT checkpointed: a k-row TakeOrdered is cheaper to recompute
     // than the extra materialization job a checkpoint costs; per-ROUND
     // results below are checkpointed (that's where lineage would compound)
     var cent = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cell_id"),
         col(vecCol).cast("array<float>").as("cvec"))
+      // a non-numeric id would cast to a NULL cell_id for EVERY seed, and
+      // the per-round isNotNull filter would then silently empty the
+      // centroid table — fail loudly instead (the id must be castable)
+      .filter(assert_true(col("cell_id").isNotNull,
+        lit(s"kmeansCentroids: $idCol must cast to long for cell ids — " +
+          "non-numeric ids would silently empty the centroid table")).isNull)
     var centBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     for (_ <- 0 until iters) {
       val assigned = assignCells(trainDf, cent, idCol, vecCol, carryVec = true)
@@ -142,6 +153,7 @@ object Similarity {
       Checkpoints.release(centBlocks)
       centBlocks = nextBlocks
     }
+    Checkpoints.release(trainBlocks)
     cent
   }
 
@@ -325,7 +337,12 @@ object Similarity {
     *
     * `nProbe >= numCells` together with `candidates >=` corpus size keeps
     * every vector through both filters, so the result provably equals
-    * [[bruteForceTopK]] (spec-asserted).
+    * [[bruteForceTopK]] (spec-asserted) — for corpora WITHOUT zero-norm
+    * vectors: a zero-norm corpus vector has no cell (NULL assignment, no
+    * defined cosine to any centroid) and drops from the inverted list,
+    * while brute force still emits its pairs with NULL cos ranked last —
+    * the row sets diverge when a query has fewer than k defined-cosine
+    * neighbors. Same caveat for [[ivfTopK]].
     *
     * REQUIRES uniform vector dimensions (see [[pqTopK]]): ragged vectors
     * get NULL PQ codes and are silently excluded from the code scan.
@@ -502,6 +519,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int, numTables: Int): DataFrame = {
+    // numTables=0 would explode an empty array -> zero bucketed rows ->
+    // a silently empty top-k; fail loudly like the sibling knobs
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
     def bucketed(df: DataFrame): DataFrame =
       df.select(col(idCol), col(vecCol),
         explode(array((0 until numTables).map(t =>

@@ -44,6 +44,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // Length-mismatched arrays also return NULL (corrupt/ragged embedding data
   // must surface, not silently score as the truncated prefix) — same result
   // as the zip_with formulation, whose null padding nulls the aggregate.
+  // A NULL ELEMENT nulls the result too (the zip_with twin's product is
+  // null, nulling the aggregate) — reading it as 0.0 would silently score.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -52,6 +54,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -75,14 +78,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double xi = (double) $a.getFloat($i);
          |    double yi = (double) $b.getFloat($i);
          |    $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!${ev.isNull}) {
+         |    if ($nx == 0.0 || $ny == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |    }
          |  }
          |}
        """.stripMargin
@@ -120,12 +126,16 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   // is registered for arbitrary SQL use)
   override def nullable: Boolean = true
 
+  // a NULL ELEMENT nulls the whole signature: hashing it would NPE, and
+  // skipping it would silently sign a different shingle set than the
+  // caller passed — surface the corrupt input instead
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     if (arr.numElements() == 0) return null
     val mins = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) return null
       val s = arr.getUTF8String(i)
       val h1 = XXH64.hashUTF8String(s, 42L)
       val h2 = XXH64.hashUTF8String(s, 77L)
@@ -154,6 +164,7 @@ case class MinHashSignature(child: Expression, numPerms: Int)
          |  long[] $mins = new long[$numPerms];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    org.apache.spark.unsafe.types.UTF8String s = $a.getUTF8String($i);
          |    long h1 = $xxh.hashUTF8String(s, 42L);
          |    long h2 = $xxh.hashUTF8String(s, 77L);
@@ -162,7 +173,7 @@ case class MinHashSignature(child: Expression, numPerms: Int)
          |      if (h < $mins[$p]) $mins[$p] = h;
          |    }
          |  }
-         |  ${ev.value} = new $gad($mins);
+         |  if (!${ev.isNull}) ${ev.value} = new $gad($mins);
          |}
        """.stripMargin
     })
@@ -184,12 +195,16 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_simhash"
+  // a NULL element nulls the signature (hashing it would NPE; skipping it
+  // would silently sign a different token multiset)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val counters = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) return null
       val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var b = 0
       while (b < 64) {
@@ -217,16 +232,19 @@ case class SimHash64(child: Expression)
       s"""
          |int[] $cnt = new int[64];
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
          |  for (int $b = 0; $b < 64; $b++) {
          |    if (((h >>> $b) & 1L) == 1L) $cnt[$b]++; else $cnt[$b]--;
          |  }
          |}
-         |long $sim = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  if ($cnt[$b] > 0) $sim |= (1L << $b);
+         |if (!${ev.isNull}) {
+         |  long $sim = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($cnt[$b] > 0) $sim |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sim;
          |}
-         |${ev.value} = $sim;
        """.stripMargin
     })
 
@@ -257,9 +275,17 @@ case class LshBucketKey(child: Expression, numPlanes: Int, seed: Long)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_lsh_key"
+  // a NULL element nulls the key (reading it as 0.0 would silently bucket
+  // a corrupt vector as if the component were zero)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    var i0 = 0
+    while (i0 < v.numElements()) {
+      if (v.isNullAt(i0)) return null
+      i0 += 1
+    }
     var key = 0L
     var p = 0
     while (p < numPlanes) {
@@ -282,20 +308,26 @@ case class LshBucketKey(child: Expression, numPlanes: Int, seed: Long)
       val key = ctx.freshName("key")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
+      val i0 = ctx.freshName("i0")
       val proj = ctx.freshName("proj")
       val xxh = classOf[XXH64].getName
       s"""
-         |long $key = 0L;
-         |for (int $p = 0; $p < $numPlanes; $p++) {
-         |  double $proj = 0.0;
-         |  for (int $i = 0; $i < $a.numElements(); $i++) {
-         |    long h = $xxh.hashLong(((long) $i) * 1315423911L + $p, ${seed}L);
-         |    double comp = (((double) java.lang.Math.floorMod(h, 1000000L)) / 1000000.0) - 0.5;
-         |    $proj += ((double) $a.getFloat($i)) * comp;
-         |  }
-         |  if ($proj >= 0) $key |= (1L << $p);
+         |for (int $i0 = 0; $i0 < $a.numElements(); $i0++) {
+         |  if ($a.isNullAt($i0)) { ${ev.isNull} = true; break; }
          |}
-         |${ev.value} = $key;
+         |if (!${ev.isNull}) {
+         |  long $key = 0L;
+         |  for (int $p = 0; $p < $numPlanes; $p++) {
+         |    double $proj = 0.0;
+         |    for (int $i = 0; $i < $a.numElements(); $i++) {
+         |      long h = $xxh.hashLong(((long) $i) * 1315423911L + $p, ${seed}L);
+         |      double comp = (((double) java.lang.Math.floorMod(h, 1000000L)) / 1000000.0) - 0.5;
+         |      $proj += ((double) $a.getFloat($i)) * comp;
+         |    }
+         |    if ($proj >= 0) $key |= (1L << $p);
+         |  }
+         |  ${ev.value} = $key;
+         |}
        """.stripMargin
     })
 
@@ -346,6 +378,14 @@ case class NearestIndex(left: Expression, right: Expression, metric: String)
     val x = a.asInstanceOf[ArrayData]
     val cs = b.asInstanceOf[ArrayData]
     val n = x.numElements()
+    // a NULL element in the QUERY vector makes every score undefined
+    // (the composed max_by's products are null) — NULL result, not a
+    // silent 0.0 read
+    var i0 = 0
+    while (i0 < n) {
+      if (x.isNullAt(i0)) return null
+      i0 += 1
+    }
     var best = -1
     var bestScore = 0.0
     var j = 0
@@ -354,14 +394,20 @@ case class NearestIndex(left: Expression, right: Expression, metric: String)
         val c = cs.getArray(j)
         if (c.numElements() == n) {
           var dot = 0.0; var nx = 0.0; var nc = 0.0
+          var nullElem = false
           var i = 0
-          while (i < n) {
-            val xi = x.getFloat(i).toDouble
-            val ci = c.getFloat(i).toDouble
-            dot += xi * ci; nx += xi * xi; nc += ci * ci
+          while (i < n && !nullElem) {
+            if (c.isNullAt(i)) nullElem = true
+            else {
+              val xi = x.getFloat(i).toDouble
+              val ci = c.getFloat(i).toDouble
+              dot += xi * ci; nx += xi * xi; nc += ci * ci
+            }
             i += 1
           }
-          if (!isCosine || (nx != 0.0 && nc != 0.0)) {
+          // a candidate with a NULL element has an undefined score:
+          // SKIPPED, like the length-mismatch case (max_by ignores nulls)
+          if (!nullElem && (!isCosine || (nx != 0.0 && nc != 0.0))) {
             val s =
               if (isCosine) dot / (math.sqrt(nx) * math.sqrt(nc))
               else dot - nc / 2
@@ -388,29 +434,40 @@ case class NearestIndex(left: Expression, right: Expression, metric: String)
       val nx = ctx.freshName("nx")
       val nc = ctx.freshName("nc")
       val s = ctx.freshName("s")
+      val i0 = ctx.freshName("i0")
+      val nullElem = ctx.freshName("nullElem")
       val scoreOk =
-        if (isCosine) s"$nx != 0.0 && $nc != 0.0" else "true"
+        if (isCosine) s"!$nullElem && $nx != 0.0 && $nc != 0.0" else s"!$nullElem"
       val score =
         if (isCosine) s"$dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nc))"
         else s"$dot - $nc / 2"
       s"""
          |int $n = $a.numElements();
+         |for (int $i0 = 0; $i0 < $n; $i0++) {
+         |  if ($a.isNullAt($i0)) { ${ev.isNull} = true; break; }
+         |}
          |int $best = -1;
          |double $bestScore = 0.0;
-         |for (int $j = 0; $j < $b.numElements(); $j++) {
-         |  if (!$b.isNullAt($j)) {
-         |    org.apache.spark.sql.catalyst.util.ArrayData $c = $b.getArray($j);
-         |    if ($c.numElements() == $n) {
-         |      double $dot = 0.0, $nx = 0.0, $nc = 0.0;
-         |      for (int $i = 0; $i < $n; $i++) {
-         |        double xi = (double) $a.getFloat($i);
-         |        double ci = (double) $c.getFloat($i);
-         |        $dot += xi * ci; $nx += xi * xi; $nc += ci * ci;
-         |      }
-         |      if ($scoreOk) {
-         |        double $s = $score;
-         |        if ($best < 0 || java.lang.Double.compare($s, $bestScore) > 0) {
-         |          $best = $j; $bestScore = $s;
+         |if (!${ev.isNull}) {
+         |  for (int $j = 0; $j < $b.numElements(); $j++) {
+         |    if (!$b.isNullAt($j)) {
+         |      org.apache.spark.sql.catalyst.util.ArrayData $c = $b.getArray($j);
+         |      if ($c.numElements() == $n) {
+         |        double $dot = 0.0, $nx = 0.0, $nc = 0.0;
+         |        boolean $nullElem = false;
+         |        for (int $i = 0; $i < $n && !$nullElem; $i++) {
+         |          if ($c.isNullAt($i)) { $nullElem = true; }
+         |          else {
+         |            double xi = (double) $a.getFloat($i);
+         |            double ci = (double) $c.getFloat($i);
+         |            $dot += xi * ci; $nx += xi * xi; $nc += ci * ci;
+         |          }
+         |        }
+         |        if ($scoreOk) {
+         |          double $s = $score;
+         |          if ($best < 0 || java.lang.Double.compare($s, $bestScore) > 0) {
+         |            $best = $j; $bestScore = $s;
+         |          }
          |        }
          |      }
          |    }
@@ -777,6 +834,8 @@ case class SignatureAgreement(left: Expression, right: Expression)
   override def prettyName: String = "graft_sig_agree"
   override def nullable: Boolean = true
 
+  // a NULL slot in either signature nulls the estimate (reading it as 0
+  // would fabricate agreement between corrupt signatures)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -785,6 +844,7 @@ case class SignatureAgreement(left: Expression, right: Expression)
     var eq = 0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       if (x.getLong(i) == y.getLong(i)) eq += 1
       i += 1
     }
@@ -803,9 +863,10 @@ case class SignatureAgreement(left: Expression, right: Expression)
          |} else {
          |  int $eq = 0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    if ($a.getLong($i) == $b.getLong($i)) $eq++;
          |  }
-         |  ${ev.value} = ((double) $eq) / $n;
+         |  if (!${ev.isNull}) ${ev.value} = ((double) $eq) / $n;
          |}
        """.stripMargin
     })

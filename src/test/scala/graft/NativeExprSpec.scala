@@ -111,6 +111,39 @@ class NativeExprSpec extends GraftSuite {
     assert(edOver == -1)
   }
 
+  test("null ARRAY ELEMENTS null the result (never a silent 0-read or NPE), both eval paths") {
+    // SQL-registered expressions take arbitrary arrays: a null slot must
+    // surface as a NULL result (cosine/minhash/simhash/lsh_key/sig_agree)
+    // or skip the candidate (nearest), exactly like the composed
+    // formulations whose null products null the aggregate / drop from
+    // max_by. One corrupt row among clean ones exercises BOTH the
+    // codegen'd batch path and per-row nulls.
+    val rows = spark.sql(
+      """SELECT
+        | graft_cosine(array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT)),
+        |              array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS cos_null,
+        | graft_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS cos_ok,
+        | graft_minhash(array('a', CAST(NULL AS STRING)), 4) AS mh_null,
+        | graft_simhash(array('a', CAST(NULL AS STRING))) AS sh_null,
+        | graft_lsh_key(array(CAST(NULL AS FLOAT)), 4) AS lsh_null,
+        | graft_sig_agree(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)),
+        |                 array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS agree_null,
+        | graft_nearest(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |   array(array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT)),
+        |         array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT)))) AS nearest_skip,
+        | graft_nearest(array(CAST(NULL AS FLOAT)),
+        |   array(array(CAST(1.0 AS FLOAT)))) AS nearest_null
+        |""".stripMargin).collect().head
+    assert(rows.isNullAt(0), "null query element must null cosine")
+    assert(rows.getDouble(1) == 1.0)
+    assert(rows.isNullAt(2), "null shingle must null minhash")
+    assert(rows.isNullAt(3), "null token must null simhash")
+    assert(rows.isNullAt(4), "null component must null lsh key")
+    assert(rows.isNullAt(5), "null signature slot must null agreement")
+    assert(rows.getInt(6) == 1, "null-element candidate must be SKIPPED, not scored")
+    assert(rows.isNullAt(7), "null query element must null nearest")
+  }
+
   test("native nearestIndex matches the max_by-over-cosine formulation on real embeddings") {
     val embs = graft.sources.Readers.table(spark, sf, "embeddings")
       .filter($"vec_id" < 80)

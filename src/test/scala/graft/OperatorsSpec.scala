@@ -727,6 +727,37 @@ class OperatorsSpec extends GraftSuite {
       assert(v <= exact(k) + 1e-12, s"cap raised the score for $k")
   }
 
+  test("loud guards: out-of-range profiles, fractional prefix weights, degenerate salts fail fast") {
+    import graft.operators.Relational
+    // epoch-millis-scale values exceed DECIMAL(12,2): the non-ANSI cast
+    // would silently NULL them out of the moment sums — must throw instead
+    val big = Seq(("a", 1.7e12), ("a", 2.0)).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      Relational.describeProfile(big, Seq("v" -> $"v")).collect()
+    }
+    assert(e1.getMessage.contains("describeProfile") ||
+      Option(e1.getCause).exists(_.getMessage.contains("describeProfile")), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Relational.correlationMatrix(
+        Seq((1.0e17, 1.0), (2.0, 2.0)).toDF("x", "y"),
+        Seq("x" -> $"x", "y" -> $"y")).collect()
+    }
+    assert(e2.getMessage.contains("correlationMatrix") ||
+      Option(e2.getCause).exists(_.getMessage.contains("correlationMatrix")), e2.getMessage)
+    // fractional weights would truncate to 0 inside the long cast
+    val frac = Seq(("a", 1L, 0.7)).toDF("p", "o", "w")
+    val e3 = intercept[IllegalArgumentException] {
+      Relational.prefixSum(frac, $"p", $"o", $"w", 64)
+    }
+    assert(e3.getMessage.contains("integral"))
+    // salts=0: pmod-by-zero fact side vs descending dim sequence — the
+    // join would be silently empty
+    val e4 = intercept[IllegalArgumentException] {
+      Relational.saltedJoin(frac, frac, "p", $"o", salts = 0)
+    }
+    assert(e4.getMessage.contains("salts"))
+  }
+
   test("describeObjectProfile matches a hand-computed reference (nulls, ties, casts)") {
     // col a: b×2, a×2, null → tie at 2 broken lexicographically ('a');
     // col b: all distinct → every value tied at 1, top = min;
