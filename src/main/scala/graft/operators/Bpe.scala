@@ -68,11 +68,14 @@ object Bpe {
     */
   def bpeTrain(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
-    var vocab = wordFreq(docs, text)
-      .select(col("freq"),
-        concat(split(col("word"), ""), array(lit("</w>"))).as("symbols"))
-      .localCheckpoint()
-    var blocks: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    // tracked like the per-round checkpoints so round 0's release drops
+    // the INITIAL vocab blocks too (previously left to the ContextCleaner)
+    val (vocab0, blocks0) = Checkpoints.tracked(
+      wordFreq(docs, text)
+        .select(col("freq"),
+          concat(split(col("word"), ""), array(lit("</w>"))).as("symbols")))
+    var vocab = vocab0
+    var blocks: Seq[org.apache.spark.rdd.RDD[_]] = blocks0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String)]
     var exhausted = false
     for (rank <- 0 until numMerges if !exhausted) {
