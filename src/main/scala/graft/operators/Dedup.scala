@@ -64,13 +64,19 @@ object Dedup {
   }
 
   /** Exact dedup: hash-groupBy on content, keep the minimum id as keeper.
-    * One shuffle on the content hash; at scale, group on xxhash64(text)
-    * first so the shuffle key is 8 bytes, not the full document.
+    * The group key is (hash, content) — the hash LEADS so partitioning
+    * stays balanced on 8 bytes, and the content byte-compare removes the
+    * 2⁻⁶⁴ collision class outright (a hash-only group would MERGE two
+    * distinct colliding documents and silently delete one — the
+    * deletion-decision standard [[firstOccurrenceFlags]] documents).
+    * Dup cliques collapse map-side, so each distinct text crosses the
+    * wire once — same traffic as grouping by the text alone.
     */
   def exact(docs: DataFrame, id: Column, content: Column): DataFrame =
     docs
-      .groupBy(xxhash64(content).as("content_hash"))
+      .groupBy(xxhash64(content).as("content_hash"), content.as("_content"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .drop("_content")
 
   /** N-gram Jaccard near-dup pairs via inverted-index self-join: explode
     * distinct shingles, join on the shingle, count common, compute
@@ -325,10 +331,17 @@ object Dedup {
     // the sibling operators (a standing pipeline would instead hand
     // [[ngramJaccardAgainstIndex]] a pre-materialized table)
     val ciRaw = shingleIndex(corpus, corpusId, corpusText, n, "corpus_id")
-    val ci = if (persistIndex) ciRaw.persist() else ciRaw
-    val result = ngramJaccardAgainstIndex(ci, batch, batchId, batchText,
-      n, minJaccard, persistIndex)
-    if (persistIndex) materializeAndRelease(result, ci) else result
+    if (!persistIndex)
+      return ngramJaccardAgainstIndex(ciRaw, batch, batchId, batchText,
+        n, minJaccard, persistIndex = false)
+    val ci = ciRaw.persist()
+    // try/finally: the inner call EAGERLY checkpoints its own result (its
+    // materializeAndRelease), so (a) a failure there must still release
+    // ci, and (b) the returned frame is already materialized — a second
+    // outer checkpoint would just copy the result blocks again
+    try ngramJaccardAgainstIndex(ci, batch, batchId, batchText,
+      n, minJaccard, persistIndex = true)
+    finally ci.unpersist(false)
   }
 
   /** The standing inverted shingle index as a first-class artifact:
@@ -571,6 +584,12 @@ object Dedup {
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"), HashFns.simhashBand(col("sim"), b, width).as("key"))): _*))
         .as("bk"))
+      // NULL signatures (null-text docs) must not band: Spark STRUCT
+      // equality treats null fields as equal, so a clique of null-sig
+      // docs would share every band key and self-join quadratically —
+      // all to emit nothing after the NULL hamming filter (the
+      // minhashLshPairs sig filter, same guard)
+      .filter(col("sim").isNotNull)
     val banded = if (persistIndex) bandedRaw.persist() else bandedRaw
     // hamming is computed and filtered BEFORE the pair dedup: identical in
     // every shared band, so results are unchanged and the dedup exchange
@@ -625,6 +644,11 @@ object Dedup {
     var iter = 0
     var converged = false
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
+    // try/finally over the rounds: the non-convergence throw (and any
+    // mid-round job failure) must still release the edge list and the
+    // current label checkpoint — otherwise up to two corpus-scale block
+    // sets linger until driver GC (the Checkpoints header's failure mode)
+    try {
     while (!converged && iter < maxIters) {
       val t0 = System.nanoTime()
       val neighborMin = edges
@@ -659,7 +683,12 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds " +
           "(component diameter exceeds maxIters) — raise maxIters")
     }
-    Checkpoints.release(edgeBlocks)
+    } finally {
+      // edges are never read after the loop; labelBlocks back the RETURNED
+      // frame on success, so they are released only on the failure path
+      Checkpoints.release(edgeBlocks)
+      if (!converged) Checkpoints.release(labelBlocks)
+    }
     labels.select(col("node"), col("label").as("component"))
   }
 
@@ -768,16 +797,21 @@ object Dedup {
     val grams = docs.select(id.as("doc_id"), isHeldOut.as("held"),
         explode(NativeFns.shingleHashes(text, n)).as("gh"))
       .persist()
-    val heldGrams = grams.filter(col("held")).select(col("gh")).distinct()
-    // a NULL sketch (zero held-out grams) keeps nothing through the
-    // prefilter — the correct degradation here: no held grams, no hits
-    val bf = bloomSketch(heldGrams, "gh", expectedItems, numBits)
-    val result = grams.filter(!col("held"))
-      .filter(bloomMightContain(bf, col("gh")))
-      .join(heldGrams, "gh")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"))
-    materializeAndRelease(result, grams)
+    // try/finally from the persist on: bloomSketch runs an EAGER
+    // corpus-shingling job before materializeAndRelease is ever entered —
+    // a failure there must not leak the corpus-sized cache entry
+    try {
+      val heldGrams = grams.filter(col("held")).select(col("gh")).distinct()
+      // a NULL sketch (zero held-out grams) keeps nothing through the
+      // prefilter — the correct degradation here: no held grams, no hits
+      val bf = bloomSketch(heldGrams, "gh", expectedItems, numBits)
+      val result = grams.filter(!col("held"))
+        .filter(bloomMightContain(bf, col("gh")))
+        .join(heldGrams, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      result.localCheckpoint()
+    } finally grams.unpersist(false)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a

@@ -108,6 +108,11 @@ object ShingleOps {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val m = tokens - n + 1
+    // `m * 2` must not overflow Int (the charBigramCounts guard): a
+    // wrapped-negative size would either throw NegativeArraySize or build
+    // a 4-slot table whose probe loop can never terminate
+    require(m <= (1 << 29),
+      s"distinctHashes supports < ${1 << 29} shingles per document, got $m")
     var cap = Integer.highestOneBit(math.max(4, m * 2) - 1) << 1 // next pow2 >= 2m
     if (cap < 4) cap = 4
     val table = new Array[Long](cap)
@@ -176,6 +181,10 @@ object ShingleOps {
           // total codepoints unknown without a pre-pass; size for the
           // remaining-bytes upper bound (ASCII worst case)
           val maxGrams = nb - n + 1
+          // overflow guard (the charBigramCounts contract): a wrapped
+          // `maxGrams * 2` would build a too-small table and probe forever
+          require(maxGrams <= (1 << 29),
+            s"charGramHashes supports documents < 512 MiB, got $nb bytes")
           out = new Array[Long](math.max(maxGrams, 1))
           var c = Integer.highestOneBit(math.max(4, maxGrams * 2) - 1) << 1
           if (c < 4) c = 4
@@ -479,36 +488,37 @@ object ShingleOps {
   /** Decode a UTF8String to its codepoint array in one walk — the
     * random-access view the banded DP needs (UTF-8 has no O(1) char
     * access; Spark's own levenshtein re-seeks the byte stream per DP cell,
-    * which is what makes it ~milliseconds per ~300-char pair). Invalid
-    * lead bytes take the [[hashedLinearScore]] decode's 4-byte branch with
-    * continuation reads clamped at the payload end.
+    * which is what makes it ~milliseconds per ~300-char pair). The walk
+    * ADVANCES by `UTF8String.numBytesForFirstByte` — Spark's own lead-byte
+    * classification — so the codepoint COUNT always equals `length()` /
+    * `numChars()`: the char-length prefilter upstream of the DP and the
+    * kernel itself then agree on the edit unit even for invalid UTF-8
+    * (an independent classification would let the prefilter prune pairs
+    * the kernel could confirm). Continuation reads clamp at the payload
+    * end; on valid UTF-8 the decode is the standard one.
     */
   def codepoints(s: UTF8String): Array[Int] = {
     val nb = s.numBytes
-    // sized by BYTES, not numChars(): numChars steps by Spark's lead-byte
-    // table, this walk by its own 4-byte-fallback classification — on
-    // invalid UTF-8 the two can disagree, and an undersized array would
-    // overflow; byte count is an upper bound under any classification
-    val out = new Array[Int](nb)
+    val out = new Array[Int](nb) // byte count bounds the codepoint count
     var b = 0
     var i = 0
     while (b < nb) {
       val lead = s.getByte(b) & 0xFF
-      var cp = 0
-      var len = 1
-      if (lead < 0x80) cp = lead
-      else if ((lead & 0xE0) == 0xC0) { len = 2; cp = lead & 0x1F }
-      else if ((lead & 0xF0) == 0xE0) { len = 3; cp = lead & 0x0F }
-      else { len = 4; cp = lead & 0x07 }
+      var len = UTF8String.numBytesForFirstByte(s.getByte(b))
+      if (b + len > nb) len = nb - b // truncated tail: clamp
+      var cp =
+        if (lead < 0x80) lead
+        else if ((lead & 0xE0) == 0xC0) lead & 0x1F
+        else if ((lead & 0xF0) == 0xE0) lead & 0x0F
+        else lead & 0x07
       var k = 1
-      while (k < len && b + k < nb) {
+      while (k < len) {
         cp = (cp << 6) | (s.getByte(b + k) & 0x3F)
         k += 1
       }
       out(i) = cp
       i += 1
       b += len
-      if (b > nb) b = nb
     }
     if (i == out.length) out else java.util.Arrays.copyOf(out, i)
   }

@@ -100,9 +100,14 @@ object Writers {
         .write.partitionBy(partitionCol).parquet(path)
       return
     }
-    val touched = updates.select(partitionCol).distinct()
+    val touched = updates.select(col(partitionCol).as("_tp")).distinct()
     val current = spark.read.parquet(path)
-      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+      // null-SAFE membership: dynamic overwrite rewrites the NULL
+      // partition (__HIVE_DEFAULT_PARTITION__) when the updates touch it,
+      // so its CURRENT rows must join into the merge too — a plain
+      // left_semi on equality would exclude them and the rewrite would
+      // silently delete every pre-existing NULL-partition row
+      .join(broadcast(touched), col(partitionCol) <=> col("_tp"), "left_semi")
       // materialize before the overwrite: dynamic partition-overwrite deletes
       // the very files this branch reads
       .localCheckpoint()

@@ -172,10 +172,19 @@ object DocsStream {
     }
   }
 
+  /** `corpusSizes`: pass the materialized per-doc shingle-count artifact
+    * (`Dedup.indexSizes`) so each micro-batch's plan joins it instead of
+    * re-aggregating the WHOLE corpus index per batch — without it the
+    * per-batch cost includes a corpus-index-sized groupBy even when the
+    * Bloom prefilter passed a handful of candidates, defeating the
+    * prefilter (the sizes table is the second standing artifact a
+    * production ingest materializes next to the index itself).
+    */
   def incrementalDedupStream(docs: DataFrame, id: Column, text: Column,
                              corpusIndex: DataFrame, n: Int, minJaccard: Double,
                              expectedIndexShingles: Long, numBits: Long,
-                             onHits: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+                             onHits: (DataFrame, Long) => Unit,
+                             corpusSizes: Option[DataFrame] = None): DataStreamWriter[Row] = {
     val bf = Dedup.bloomSketch(corpusIndex.select(col("sh_h")).distinct(), "sh_h",
       expectedIndexShingles, numBits)
     docs.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -185,7 +194,7 @@ object DocsStream {
           s => Dedup.bloomMightContain(bf, xxhash64(s))))
       onHits(
         Dedup.ngramJaccardAgainstIndex(corpusIndex, candidates, id, text,
-          n, minJaccard, persistIndex = true),
+          n, minJaccard, persistIndex = true, corpusSizes = corpusSizes),
         epochId)
     }
   }

@@ -780,6 +780,30 @@ class OperatorsSpec extends GraftSuite {
     assert(got == want, s"\ngot:  $got\nwant: $want")
   }
 
+  test("simhashPairs: NULL-text docs never band (no null-sig clique blowup), exact dups still pair") {
+    val docs = Seq(
+      (1L, Option("a b c d")), (2L, Option("a b c d")),
+      (3L, None: Option[String]), (4L, None: Option[String]),
+      (5L, None: Option[String]))
+      .toDF("doc_id", "text")
+    // struct equality treats null fields as equal, so without the sig
+    // filter the three null-text docs would band together and self-join
+    // quadratically; with it they simply emit nothing
+    val got = Dedup.simhashPairs(docs, $"doc_id", $"text", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
+  test("connectedComponents fails loudly (and releases its checkpoints) when the diameter exceeds maxIters") {
+    // a 64-node chain needs ~log2(64) pointer-doubling rounds; maxIters=1
+    // cannot converge — the operator must throw, not return partial labels
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b", maxIters = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("contaminationGramReport counts distinct docs per leaked gram, held-only grams excluded") {
     // held doc 10 shares "a b c" with train 1 and 2 (boilerplate: wide
     // reach) and "x y z" with train 3 only (narrow leak); "q r s" exists

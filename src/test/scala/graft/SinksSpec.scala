@@ -129,6 +129,25 @@ class SinksSpec extends GraftSuite {
     assert(got.filter($"event_type" === "purchase").select("event_id").as[Long].head() == 4L)
   }
 
+  test("upsertPartitioned does not delete existing rows in the NULL partition") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert-null")
+      .resolve("t").toString
+    // partition col NULL holds key 1; the update batch touches the NULL
+    // partition with key 2 — dynamic overwrite rewrites that partition, so
+    // a non-null-safe touched-join would silently drop key 1's row
+    val seed = Seq((1L, 1L, Option("a"), 10L), (9L, 2L, None: Option[String], 10L))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val version = Seq(col("ts"), col("event_id"))
+    Writers.upsertPartitioned(spark, path, seed, Seq("user_id"), version, "event_type")
+    val batch = Seq((8L, 3L, None: Option[String], 11L))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    Writers.upsertPartitioned(spark, path, batch, Seq("user_id"), version, "event_type")
+    val got = spark.read.parquet(path).select($"user_id").as[Long].collect().toSet
+    assert(got == Set(1L, 9L, 8L),
+      s"NULL-partition merge lost rows: got $got")
+  }
+
   test("writeSorted produces disjoint, internally-sorted files covering all rows") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-sorted").toString
