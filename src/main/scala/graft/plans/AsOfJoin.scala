@@ -100,17 +100,21 @@ case class AsOfJoinExec(
             return resultProj(joined(lRow, nullCarry))
           }
           // advance the right side through every row at or before (lk, lt)
+          // lk is fixed for this whole left row: copy it at most ONCE (a
+          // string key clones bytes), not once per consumed right row
+          var lkCopied = false
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val head = rBuf.head
             val rk = rKeyB.eval(head)
-            if (rk == null || rTsB.eval(head) == null) {
+            val rt = rTsB.eval(head) // evaluated once per right row
+            if (rk == null || rt == null) {
               rBuf.next() // unmatched by definition; discard
             } else {
               val cmp = keyOrd.compare(rk, lk)
-              if (cmp < 0 || (cmp == 0 && tsOrd.compare(rTsB.eval(head), lt) <= 0)) {
+              if (cmp < 0 || (cmp == 0 && tsOrd.compare(rt, lt) <= 0)) {
                 if (cmp == 0) {
-                  matchKey = copyVal(lk)
+                  if (!lkCopied) { matchKey = copyVal(lk); lkCopied = true }
                   hasMatch = true
                   matchRow = carryProj(head).copy()
                 }
@@ -147,10 +151,18 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
            carry: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // self-register on sessions built without GraftExtensions
+    // self-register on sessions built without GraftExtensions. The
+    // append is a read-modify-write on a plain var, and Bench warms 16
+    // queries concurrently — synchronize on the experimental holder so
+    // two concurrent registrations can't lose one. (A GraftExtensions
+    // session registers via injectPlannerStrategy, invisible here, so a
+    // harmless duplicate appears there; the strategy returns Nil for
+    // every non-AsOf plan.)
     val exp = left.sparkSession.experimental
-    if (!exp.extraStrategies.contains(AsOfJoinStrategy)) {
-      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(AsOfJoinStrategy)) {
+        exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+      }
     }
     // Re-alias every right column: left and right often derive from the same
     // base relation and then share expression IDs; the analyzer would
@@ -160,9 +172,21 @@ object AsOf {
     val rightAliased = right.select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rightAliased.queryExecution.analyzed
-    def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    // resolve with Spark's own resolver (case-insensitive by default) and
+    // REFUSE ambiguity: a plan carrying two columns of the same name
+    // (common after joins) must fail like Spark's analyzer would, not
+    // silently bind the first and as-of join on the wrong column
+    val resolver = left.sparkSession.sessionState.conf.resolver
+    def attr(plan: LogicalPlan, name: String): Attribute = {
+      val matches = plan.output.filter(a => resolver(a.name, name))
+      matches match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: ${many.map(_.name)} — alias the duplicates first")
+      }
+    }
     val (lk, rk) = (attr(lPlan, key), attr(rPlan, key))
     val (lt, rt) = (attr(lPlan, ts), attr(rPlan, ts))
     // the exec builds key/ts orderings (and hash-partitions both sides) from
