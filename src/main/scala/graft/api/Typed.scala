@@ -51,19 +51,27 @@ object Typed {
       // double `+=` over shuffle-arrival order differs by ±1 ulp across
       // runs — BigDecimal sums are order-independent, cast to double once
       var total = java.math.BigDecimal.ZERO
+      // BigDecimal can't represent NaN/Inf (NumberFormatException) — track
+      // non-finite values separately and emit IEEE semantics (NaN/Inf
+      // poison the sum), matching what double accumulation would produce
+      var nonFinite = 0.0
       var first: java.sql.Timestamp = null
       var last: java.sql.Timestamp = null
       it.foreach { e =>
         n += 1
         if (e.event_type == "error") nErr += 1
-        total = total.add(new java.math.BigDecimal(e.value))
+        if (java.lang.Double.isFinite(e.value))
+          total = total.add(new java.math.BigDecimal(e.value))
+        else nonFinite += e.value
         // a NULL ts must not NPE the task once a non-null one set `first`
         if (e.ts != null) {
           if (first == null || e.ts.before(first)) first = e.ts
           if (last == null || e.ts.after(last)) last = e.ts
         }
       }
-      UserActivity(uid, n, nErr, first, last, total.doubleValue())
+      val totalOut =
+        if (nonFinite == 0.0) total.doubleValue() else total.doubleValue() + nonFinite
+      UserActivity(uid, n, nErr, first, last, totalOut)
     }
   }
 

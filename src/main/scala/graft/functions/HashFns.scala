@@ -38,10 +38,16 @@ object HashFns {
     // a signature shorter than numPerms would slice EMPTY arrays past its
     // end: every row then shares those bands' constant keys and the LSH
     // candidate join degenerates quadratic with no error — fail loudly
-    // (assert_true is NULL on success, so the `when` passes keys through)
-    when(assert_true(size(signature) === numPerms,
-      lit(s"bandKeys: signature length must equal numPerms=$numPerms")).isNull,
-      keys)
+    // (assert_true is NULL on success, so the `when` passes keys through).
+    // NULL signatures (null text, docs with fewer than shingleN tokens —
+    // ShingleMinHash returns NULL for both) must pass through as NULL, not
+    // trip the assert: size(NULL) is -1 under legacy sizeOfNull and callers
+    // (lshBandIndex, fuzzyDedupStream) filter nulls AFTER this projection.
+    when(signature.isNull, lit(null).cast("array<struct<band:int,key:bigint>>"))
+      .otherwise(
+        when(assert_true(size(signature) === numPerms,
+          lit(s"bandKeys: signature length must equal numPerms=$numPerms")).isNull,
+          keys))
   }
 
   /** Fraction of equal signature positions — unbiased Jaccard estimate. */

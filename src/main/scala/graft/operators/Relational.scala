@@ -453,7 +453,11 @@ object Relational {
       .select(explode(array(cols.map { case (name, c) =>
         struct(lit(name).as("c"), c.cast("double").as("v")) }: _*)).as("m"))
       .select(col("m.c").as("c"), col("m.v").as("v"))
-      .filter(col("v").isNotNull)
+      // drop NaN alongside NULL (the groupedQuantiles policy): a NaN cell
+      // would reach max(v) — NaN sorts above every double in Spark — and
+      // abs(NaN) < bound is false, so the range guard below would abort
+      // the whole profile with a misleading "exceeds 1e10" message
+      .filter(col("v").isNotNull && !isnan(col("v")))
     // ONE corpus pass: the (column, value) histogram — the same relation
     // the quantile scheme needs — carries everything else too: n = Σcnt,
     // Σx = Σ cnt·v, Σx² = Σ cnt·v², min/max are histogram min/max. The

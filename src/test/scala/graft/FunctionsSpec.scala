@@ -83,6 +83,29 @@ class FunctionsSpec extends GraftSuite {
     assert(agree == 1.0)
   }
 
+  test("HashFns.bandKeys passes NULL signatures through as NULL (r8 ADVICE fix)") {
+    // ShingleMinHash returns NULL for null text / too-short docs; bandKeys
+    // must propagate that NULL instead of tripping the length assert
+    // (size(NULL) = -1), so lshBandIndex's isNotNull filter can drop them
+    val df = Seq(("ok", "alpha beta gamma delta epsilon"), ("short", "a"),
+      ("nul", null: String)).toDF("id", "text")
+    val got = df.select($"id",
+      HashFns.bandKeys(
+        graft.plans.NativeFns.minhashText($"text", 3, 16), 16, 4).as("bks"))
+      .select($"id", $"bks".isNull.as("isnull")).as[(String, Boolean)]
+      .collect().toMap
+    assert(!got("ok"), "real signature must band")
+    assert(got("short") && got("nul"), "NULL signatures must stay NULL, not throw")
+    // the length assert still fires on a genuinely wrong-length signature
+    val e = intercept[Exception] {
+      df.filter($"id" === "ok").select(
+        HashFns.bandKeys(
+          graft.plans.NativeFns.minhashText($"text", 3, 8), 16, 4)).collect()
+    }
+    assert(e.getMessage.contains("bandKeys") ||
+      Option(e.getCause).exists(_.getMessage.contains("bandKeys")), e.getMessage)
+  }
+
   test("HashFns simhash: identical docs hamming 0; different docs > 0") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
     val got = df.select(HashFns.hamming(

@@ -211,6 +211,21 @@ class OperatorsSpec extends GraftSuite {
       z._6 == 7.0 && z._7 == 7.0 && z._8 == 7.0)
   }
 
+  test("Relational.describeProfile drops NaN cells like NULL (r8 ADVICE fix)") {
+    // a NaN cell used to reach max(v) and abort the profile with a
+    // misleading "exceeds 1e10" range message; the melt now filters NaN
+    // alongside NULL (the groupedQuantiles policy)
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 5.0), (2.0, Double.NaN), (3.0, 6.0), (Double.NaN, 7.0))
+      .toDF("x", "y")
+    val got = Relational.describeProfile(df, Seq("x" -> $"x", "y" -> $"y"))
+      .orderBy("column_name")
+      .select($"column_name", $"n", $"mean", $"min_value", $"max_value")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got(0) == (("x", 3L, 2.0, 1.0, 3.0)))
+    assert(got(1) == (("y", 3L, 6.0, 5.0, 7.0)))
+  }
+
   test("Dedup.connectedComponents labels chains and keeps singleton edges apart") {
     // components: {1,2,3,9} via 1-2, 2-3, 3-9 chain; {5,6}; node 7-8 pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (7L, 8L))

@@ -623,6 +623,33 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("windowed moment profile: all-NULL window emits n=0 row, NaN fails loudly (r8 ADVICE fix)") {
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 00:10:00", 1L), // window 0: all values NULL
+      ("2024-01-01 00:20:00", 2L),
+      ("2024-01-01 01:10:00", 3L)) // window 1: real value
+      .toDF("s", "event_id")
+      .select(to_timestamp($"s").as("ts"), $"event_id",
+        when($"event_id" === 3L, 7.5).otherwise(lit(null).cast("double")).as("value"))
+    // batch evaluation of the streaming operator (watermark is a no-op in
+    // batch): min/max aggregate to NULL for window 0 — the guard must let
+    // that row through as n=0 instead of assert_true(NULL) raising
+    val got = EventsStream.windowedMomentProfile(ev, col("value"), "1 hour", "2 hours")
+      .orderBy("window_start").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 0L && got(0).isNullAt(4), "all-NULL window must emit n=0")
+    assert(got(1).getLong(1) == 1L && got(1).getDouble(4) == 7.5)
+    // a NaN value must still abort loudly (it would NULL out of the
+    // decimal sums while n counts it)
+    val nan = ev.withColumn("value", when($"event_id" === 2L, Double.NaN).otherwise($"value"))
+    val e = intercept[Exception] {
+      EventsStream.windowedMomentProfile(nan, col("value"), "1 hour", "2 hours").collect()
+    }
+    assert(e.getMessage.contains("windowedMomentProfile") ||
+      Option(e.getCause).exists(_.getMessage.contains("windowedMomentProfile")), e.getMessage)
+  }
+
   test("streaming windowed heavy hitters: candidates contain every true in-window hitter") {
     import org.apache.spark.sql.functions.{col, get_json_object, window => fwindow, count => fcount, lit => flit, explode}
     val staged = java.nio.file.Files.createTempDirectory("graft-hh").toString

@@ -27,6 +27,23 @@ class TypedApiSpec extends GraftSuite {
     assert(typed == relational)
   }
 
+  test("typed userActivity survives NaN/Infinite event values (r8 ADVICE fix)") {
+    import graft.api.Event
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ds = Seq(
+      Event(1L, ts, 7L, "view", 1.5, "{}"),
+      Event(2L, ts, 7L, "view", Double.NaN, "{}"),
+      Event(3L, ts, 8L, "view", Double.PositiveInfinity, "{}"),
+      Event(4L, ts, 8L, "view", 2.0, "{}"),
+      Event(5L, ts, 9L, "view", 3.0, "{}")).toDS()
+    val got = Typed.userActivity(ds).collect().map(u => u.user_id -> u.total_value).toMap
+    // BigDecimal can't hold NaN/Inf — the fix accumulates finite values
+    // exactly and lets non-finite ones poison the total IEEE-style
+    assert(got(7L).isNaN, "NaN value must propagate, not crash the task")
+    assert(got(8L).isPosInfinity)
+    assert(got(9L) == 3.0)
+  }
+
   test("typed document filter+map") {
     val got = Typed.longDocTokenCounts(Typed.documents(spark, sf), 300L).collect()
     assert(got.nonEmpty)
