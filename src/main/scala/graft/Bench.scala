@@ -41,6 +41,41 @@ object Bench {
     */
   private val warmupPoolSize = 16
 
+  // defeats dead-code elimination of the canary loop; never read for logic
+  @volatile private var canarySink: Long = 0L
+
+  /** Fixed single-thread CPU canary: a constant xorshift loop timed after a
+    * short untimed JIT warmup. The SAME work every run, so the measured
+    * seconds are a direct probe of this box-hour's effective CPU speed —
+    * round 7's headline "regression" was pure box drift and took two judge
+    * A/B reruns to attribute; with `canary_s` in the metric line the record
+    * proves (or disproves) drift by itself. ~1 s on a quiet modern core.
+    */
+  private def canarySeconds(): Double = {
+    def spin(iters: Long): Long = {
+      var x = 0x9e3779b97f4a7c15L; var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x += i; i += 1 }
+      x
+    }
+    canarySink = spin(40000000L) // untimed: JIT-compile the loop first
+    val t0 = System.nanoTime()
+    canarySink = spin(800000000L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 1/5/15-minute load averages as a JSON array literal ("[]" if
+    * /proc/loadavg is unreadable — non-Linux dev boxes must not crash the
+    * bench over instrumentation).
+    */
+  private def loadavgJson(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try {
+        val p = src.mkString.trim.split("\\s+")
+        s"[${p(0)},${p(1)},${p(2)}]"
+      } finally src.close()
+    } catch { case _: Throwable => "[]" }
+
   def main(args: Array[String]): Unit = {
     // a typo'd query name must fail loudly, not silently bench nothing
     val unknown = args.filterNot(SparkEntry.queries.keySet)
@@ -125,6 +160,12 @@ object Bench {
     // must stay distinguishable) — and carries "queries_done" so a consumer
     // can see it was cut short. Schema is otherwise identical to the
     // full-pass line.
+    // box-state instrumentation (judge r7 #1): every metric line carries the
+    // start-of-run load + canary plus the load at print time, so a cross-
+    // round comparison can normalize for box drift from the record alone
+    val loadStart = loadavgJson()
+    val canaryStart = canarySeconds()
+    var canaryEnd: Option[Double] = None
     def printMetricLine(passesDone: Int, partial: Boolean = false): Unit = {
       val rs =
         if (partial) results.filter { case (k, _, _) => samples.contains(k) || failedSet(k) }
@@ -137,7 +178,9 @@ object Bench {
       val total = rs.collect { case (_, v, _) if v >= 0 => v }.sum
       val failedShort = rs.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
       val done = if (partial) s""","queries_done":${rs.size}""" else ""
-      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs$done,"sf":"$sfDir"}""")
+      val canEnd = canaryEnd.map(c => s""","canary_end_s":${f3(c)}""").getOrElse("")
+      val box = s""","load_start":$loadStart,"load":${loadavgJson()},"canary_s":${f3(canaryStart)}$canEnd"""
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs$done$box,"sf":"$sfDir"}""")
       System.out.flush()
     }
     // pass 0 — untimed warmup of EVERY query, warmupPoolSize at a time (see
@@ -208,6 +251,9 @@ object Bench {
     // bounded tail. A failing stop() must not cost the run its record.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] stop failed: ${e.getMessage}") }
+    // re-measure the canary after the run: start vs end drift is the
+    // "was the box stable over THIS run" signal the final line carries
+    canaryEnd = Some(canarySeconds())
     printMetricLine(reps)
   }
 }
