@@ -10,10 +10,14 @@ import org.apache.spark.sql.types._
   * production). CONTAINER parsing is real — PNG/JPEG dimensions and
   * WAV sample-rate/channels are read from the actual header bytes
   * ([[parseImageHeader]], [[parseWavHeader]]; no external libs needed:
-  * these formats carry their metadata in fixed-layout segments). Full
-  * pixel/sample decoding stays STUBBED — codec libs are not in this
-  * container — with a deterministic fake so the Spark-side schema,
-  * partitioning and batch plumbing are real and testable end-to-end.
+  * these formats carry their metadata in fixed-layout segments). Content
+  * decoding is real too, all JDK-only: PNG pixels via IDAT inflate +
+  * scanline unfiltering ([[pngPixelBytes]]), JPEG pixels via the
+  * `javax.imageio` baseline reader canonicalized to row-major RGB
+  * ([[jpegPixelBytes]]), WAV PCM via the RIFF data chunk
+  * ([[wavPcmBytes]]). The deterministic stub remains only for payloads
+  * OUTSIDE those containers (unknown formats) so the Spark-side schema,
+  * partitioning and batch plumbing stay exercised end-to-end on any corpus.
   */
 object Multimodal {
 
@@ -243,6 +247,56 @@ object Multimodal {
     Some(out)
   }
 
+  /** REAL JPEG pixel decode, JDK-only: `javax.imageio.ImageIO`'s baseline
+    * JPEG reader (the huffman/DCT entropy decode a hand-rolled parser can't
+    * reasonably provide — same public-knowledge JDK class the PNG spec
+    * already uses as its reference encoder). Output is CANONICALIZED to
+    * row-major RGB triplets via `getRGB`, so the checksum does not depend
+    * on the reader's internal raster layout (TYPE_3BYTE_BGR vs banded).
+    * Dimensions are read from the reader BEFORE `read(0)` and checked
+    * against [[MaxPixelBytes]] — attacker-declared dimensions must degrade
+    * to header-only metadata, never allocate. Any decode failure
+    * (truncated entropy stream, CMYK/arithmetic-coded variants the JDK
+    * reader rejects) returns None: bad blobs degrade, never throw.
+    */
+  private[operators] def jpegPixelBytes(p: Array[Byte]): Option[Array[Byte]] = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(p))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      reader = readers.next()
+      reader.setInput(iis, true, true)
+      val w = reader.getWidth(0)
+      val h = reader.getHeight(0)
+      if (w < 1 || h < 1 || 3L * w * h > MaxPixelBytes) return None
+      val img = reader.read(0)
+      val out = new Array[Byte](3 * w * h)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val o = (y * w + x) * 3
+          out(o) = ((rgb >> 16) & 0xFF).toByte
+          out(o + 1) = ((rgb >> 8) & 0xFF).toByte
+          out(o + 2) = (rgb & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    } catch {
+      case _: Exception => None
+    } finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) try iis.close() catch { case _: Exception => () }
+    }
+  }
+
   /** REAL WAV sample extraction: the PCM bytes of the `data` chunk, found
     * by the same range-checked RIFF walk as [[parseWavHeader]]. None when
     * the chunk is missing or its declared size runs past the payload.
@@ -289,9 +343,10 @@ object Multimodal {
     * when the metadata came from the stub — downstream can filter on real
     * decodes. `content_checksum` is the rolling checksum of the DECODED
     * content — PNG unfiltered pixel bytes ([[pngPixelBytes]]: real IDAT
-    * inflate + scanline reconstruction) or WAV PCM data bytes
-    * ([[wavPcmBytes]]) — null for JPEG (entropy decode needs a codec) and
-    * for payloads outside the decodable envelope; the header fields keep
+    * inflate + scanline reconstruction), JPEG canonical RGB raster
+    * ([[jpegPixelBytes]]: the JDK ImageIO entropy decode), or WAV PCM data
+    * bytes ([[wavPcmBytes]]) — null only for payloads outside the
+    * decodable envelope; the header fields keep
     * whatever the container parse produced either way. Image rows carry
     * null audio fields and vice versa (a metadata table over a mixed
     * corpus is sparse by nature; readers select their modality).
@@ -303,7 +358,7 @@ object Multimodal {
       case Some((w, h, fmt)) =>
         val cc: java.lang.Long =
           if (fmt == "png") pngPixelBytes(payload).map(b => Long.box(rollsum(b))).orNull
-          else null
+          else jpegPixelBytes(payload).map(b => Long.box(rollsum(b))).orNull
         (w, h, null, null, checksum, cc, fmt)
       case None => parseWavHeader(payload) match {
         case Some((sr, ch)) =>

@@ -397,6 +397,48 @@ class OperatorsSpec extends GraftSuite {
       "overflow-scale dimensions must not reach the allocation")
   }
 
+  test("Multimodal: JPEG content decode — ImageIO raster parity, truncation degrades (r8)") {
+    import org.apache.spark.sql.functions.{col, octet_length}
+    // a REAL baseline JPEG from the JDK's own encoder, deterministic pixels
+    val w = 6; val h = 4
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 35 + y * 3) << 16) | ((y * 50 + x * 7) << 8) | (x * 11 + y * 19))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", baos), "JDK JPEG encoder unavailable")
+    val jpeg = baos.toByteArray
+    // parity reference: an INDEPENDENT ImageIO.read + getRGB walk in the
+    // test, canonical row-major RGB — lossy coding means the decoded pixels
+    // differ from the encoder input, so the truth is the decoded raster
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    val expected = (for (y <- 0 until h; x <- 0 until w) yield {
+      val rgb = ref.getRGB(x, y)
+      Seq(((rgb >> 16) & 0xFF).toByte, ((rgb >> 8) & 0xFF).toByte, (rgb & 0xFF).toByte)
+    }).flatten.toArray
+    val expectedSum = expected.foldLeft(0L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L)
+    // truncated twin: cut right after the SOF0 segment — the marker-walk
+    // header parser still finds the dimensions, but there is no scan data,
+    // so the content decode must degrade to null, not throw
+    val sofAt = jpeg.indexOfSlice(Array(0xFF.toByte, 0xC0.toByte))
+    assert(sofAt > 0, "baseline SOF0 expected in JDK output")
+    val sofLen = ((jpeg(sofAt + 2) & 0xFF) << 8) | (jpeg(sofAt + 3) & 0xFF)
+    val truncated = jpeg.take(sofAt + 2 + sofLen)
+    val media = Seq((1L, "image", jpeg), (2L, "image", truncated))
+      .toDF("doc_id", "media_type", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    for (decoded <- Seq(Multimodal.decode(media), Multimodal.decodeBatched(media, 2))) {
+      val rows = decoded.orderBy("doc_id").collect()
+      assert(rows(0).getAs[String]("format") == "jpeg")
+      assert(rows(0).getAs[Long]("width") == w && rows(0).getAs[Long]("height") == h)
+      assert(rows(0).getAs[Long]("content_checksum") == expectedSum,
+        "decoded JPEG raster must match an independent ImageIO decode")
+      assert(rows(1).getAs[String]("format") == "jpeg", "header survives truncation")
+      assert(rows(1).getAs[Long]("width") == w)
+      assert(rows(1).getAs[Any]("content_checksum") == null,
+        "scan-less JPEG must degrade to header-only, not throw")
+    }
+  }
+
   test("Multimodal: WAV content decode — the data chunk's PCM bytes are checksummed") {
     import org.apache.spark.sql.functions.{col, octet_length}
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
