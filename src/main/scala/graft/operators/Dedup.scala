@@ -379,13 +379,17 @@ object Dedup {
     *
     * Returns the index unchanged when the batch exceeds `maxHashes` —
     * beyond the inline regime the full columnar scan IS the baseline.
-    * NOTE: Spark pushes an IN of more than
+    * The filter is a balanced OR-tree of equality predicates, NOT `isin`:
+    * Spark pushes an IN of more than
     * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) values
     * down as a [min, max] RANGE filter, which prunes nothing on a uniform
-    * hash key — raise that conf to at least `maxHashes` so the point
-    * predicates reach the parquet reader as such (the pruning spec pins
-    * this). Sizes must come from [[indexSizes]]' artifact, never from the
-    * pruned index — see `corpusSizes` in [[ngramJaccardAgainstIndex]].
+    * hash key — earlier revisions required callers to raise that conf, a
+    * silent footgun (miss the note, lose the pruning with no error). An
+    * Or(EqualTo, …) tree reaches the parquet reader as point predicates
+    * under DEFAULT confs (the pruning spec pins the row-group skip at 16
+    * hashes, above the IN threshold). Sizes must come from [[indexSizes]]'
+    * artifact, never from the pruned index — see `corpusSizes` in
+    * [[ngramJaccardAgainstIndex]].
     */
   def pruneIndexToBatch(corpusIndex: DataFrame, batch: DataFrame,
                         batchId: Column, batchText: Column, n: Int,
@@ -394,7 +398,15 @@ object Dedup {
       .select(col("sh_h")).distinct().limit(maxHashes + 1)
       .collect().map(_.getLong(0))
     if (hashes.length > maxHashes) corpusIndex
-    else corpusIndex.filter(col("sh_h").isin(hashes.toIndexedSeq: _*))
+    else if (hashes.isEmpty) corpusIndex.filter(lit(false)) // shingle-less batch matches nothing
+    else {
+      // balanced so expression depth stays log2(maxHashes) — a left-deep
+      // 128-clause chain would stress codegen and filter evaluation depth
+      def orTree(lo: Int, hi: Int): Column =
+        if (hi - lo == 1) col("sh_h") === lit(hashes(lo))
+        else { val mid = (lo + hi) >>> 1; orTree(lo, mid) || orTree(mid, hi) }
+      corpusIndex.filter(orTree(0, hashes.length))
+    }
   }
 
   /** [[ngramJaccardAgainst]] against a PRE-MATERIALIZED corpus index (the

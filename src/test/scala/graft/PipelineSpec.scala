@@ -208,6 +208,46 @@ class PipelineSpec extends GraftSuite {
         maxHashes = 16)
       assert(big.queryExecution.analyzed.toString == idx.queryExecution.analyzed.toString,
         "a batch over maxHashes must return the index unchanged")
+
+      // ABOVE the IN-pushdown threshold (default 10), with NO conf set by
+      // the caller: a 3-doc batch = 18 distinct shingle hashes. The
+      // isin-based revision collapsed this to a useless [min,max] range
+      // filter unless the caller raised
+      // spark.sql.parquet.pushdown.inFilterThreshold; the Or-of-equalities
+      // tree must push point predicates and still skip row groups (r8)
+      assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold").toInt <= 10,
+        "this spec must run under the DEFAULT IN threshold to pin the fix")
+      // 64-file sorted copy (6 rows per row group): 18 uniform hashes can
+      // touch at most 18 of the 64 groups, so group-level skipping is
+      // visible in the scan metric — a [min,max] range filter over uniform
+      // hashes would leave essentially all 384 rows flowing
+      val idx64Path = root.resolve("index64").toString
+      Writers.writeSorted(
+        Dedup.shingleIndex(corpus, $"doc_id", $"text", 3, idName = "corpus_id"),
+        idx64Path, Seq("sh_h"), numFiles = 64)
+      val idx64 = spark.read.parquet(idx64Path)
+      val batch16 = Seq(
+        (9002L, "tok3w0 tok3w1 tok3w2 tok3w3 tok3w4 tok3w5 tok3w6 tok3w7"),
+        (9003L, "tok11w0 tok11w1 tok11w2 tok11w3 tok11w4 tok11w5 tok11w6 tok11w7"),
+        (9004L, "tok42w0 tok42w1 tok42w2 tok42w3 tok42w4 tok42w5 tok42w6 tok42w7"))
+        .toDF("doc_id", "text")
+      val pruned16 = Dedup.pruneIndexToBatch(idx64, batch16, $"doc_id", $"text", 3)
+      val res16 = Dedup.ngramJaccardAgainstIndex(pruned16, batch16,
+        $"doc_id", $"text", 3, 0.5, corpusSizes = Some(sizes))
+        .as[(Long, Long, Double)]
+      // each batch doc shares all 6 shingles with exactly one corpus doc
+      assert(res16.collect().toSet ==
+        Set((9002L, 3L, 1.0), (9003L, 11L, 1.0), (9004L, 42L, 1.0)))
+      val scans16 = res16.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("index64")) => s
+      }
+      assert(scans16.exists(_.metadata.get("PushedFilters").exists(f =>
+          f.contains("EqualTo(sh_h") || f.contains("In(sh_h"))),
+        s"point predicates not pushed: ${scans16.map(_.metadata.get("PushedFilters"))}")
+      val scanned16 = scans16.map(_.metrics("numOutputRows").value).sum
+      assert(scanned16 > 0 && scanned16 <= 18L * 6L,
+        s"expected <=18 of 64 row groups read, scan emitted $scanned16 of $totalRows rows")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
