@@ -337,9 +337,14 @@ object SparkEntry {
     }),
 
     "q27_ann_lsh" -> ((s, dir) => {
+      // 4 hyperplanes × 16 tables: the r8 retuning — the old 8-plane/1-table
+      // config co-bucketed true neighbors of weakly-correlated embeddings
+      // with probability (1-θ/π)^8 ≈ 0, measured recall@5 = 0.0 at both
+      // driver SFs. Multiple narrow tables are the standard random-projection
+      // LSH recall lever; measured 0.94 @ sf0.1 (RecallFloorSpec pins ≥0.8)
       val embs = T(s, dir, "embeddings")
       Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
-          5, 8, 1)
+          5, 4, 16)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
         .orderBy("query_id", "rnk")
     }),
@@ -851,9 +856,12 @@ object SparkEntry {
       // codebooks train on a deterministic 2048-vector hash sample — the
       // quantizer needs a representative draw, not the corpus (the corpus is
       // still encoded, one pass); at 100 TB training cost is O(sample), flat
+      // candidates = 200 (r8 retuning, was 50): the prescreen depth is THE
+      // PQ recall knob — measured 0.58 → 0.90 recall@5 at sf0.1; re-rank
+      // cost stays O(candidates × k) per query (RecallFloorSpec pins ≥0.8)
       val embs = T(s, dir, "embeddings")
       Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, numSub = 8, numCentroids = 16, candidates = 50, kmeansIters = 1,
+          k = 5, numSub = 8, numCentroids = 16, candidates = 200, kmeansIters = 1,
           trainSample = 2048)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
         .orderBy("query_id", "rnk")
@@ -865,10 +873,12 @@ object SparkEntry {
       // ~nProbe/numCells of the one-byte codes — the two 100 TB levers
       // (probe pruning × 32-byte-to-1-byte compression) stacked. Probe-all +
       // uncapped candidates provably equals q26 (spec-asserted).
+      // candidates = 100 (r8 retuning, was 50): measured 0.74 → 0.88
+      // recall@5 at sf0.1 with nProbe unchanged (RecallFloorSpec pins ≥0.8)
       val embs = T(s, dir, "embeddings")
       Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, numCells = 16, nProbe = 4, numSub = 8, numCentroids = 16,
-          candidates = 50, kmeansIters = 1, trainSample = 2048)
+          candidates = 100, kmeansIters = 1, trainSample = 2048)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
         .orderBy("query_id", "rnk")
     }),
