@@ -459,25 +459,50 @@ object Scoring {
     * decomposition (per-cluster label balance — q95 — per-shard source
     * mix, ...). Output: (grp, n_items, tv).
     */
-  def groupDriftTV(events: DataFrame, group: Column, item: Column): DataFrame = {
+  def groupDriftTV(events: DataFrame, group: Column, item: Column): DataFrame =
+    groupDriftTVFromCounts(
+      events
+        .select(lit(0L).as("part"), group.as("grp"), item.as("item"))
+        .groupBy(col("part"), col("grp"), col("item"))
+        .agg(count(lit(1)).as("c_st")))
+      .drop("part")
+
+  /** The TV core over PRE-AGGREGATED (part, grp, item, c_st) counts — one
+    * independent drift table per `part` value. `part` is the seam the
+    * STREAMING twin needs: a watermarked `groupBy(window, grp, item)`
+    * count is the only stateful aggregation Structured Streaming allows in
+    * one query, so the stream emits this exact counts relation (part =
+    * window start) and this batch finisher turns each completed window
+    * into its drift rows
+    * ([[graft.streaming.DocsStream.windowedSourceTokenCounts]] →
+    * [[graft.streaming.DocsStream.sourceDriftFromCounts]]; spec-asserted
+    * equal to per-window [[groupDriftTV]] — exact DECIMAL arithmetic makes
+    * the micro-batched and one-shot paths bit-identical).
+    * Batch callers use [[groupDriftTV]], which runs everything as one part.
+    */
+  def groupDriftTVFromCounts(counts: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val st = events
-      .select(group.as("grp"), item.as("item"))
-      .groupBy(col("grp"), col("item")).agg(count(lit(1)).as("c_st"))
-    val t = st.groupBy(col("item")).agg(sum(col("c_st")).as("c_t"))
-    val ns = st.groupBy(col("grp")).agg(sum(col("c_st")).as("n_s"))
-    val g = st.agg(sum(col("c_st")).as("n"))
+    val st = counts.select(col("part"), col("grp"), col("item"), col("c_st"))
+    // each aggregate branch re-aliases every column (fresh expression ids):
+    // the three branches self-join st, and over some leaf plans (e.g. a
+    // streaming memory-sink view) the analyzer cannot deduplicate the
+    // conflicting references itself
+    def fresh = st.select(col("part").as("part"), col("grp").as("grp"),
+      col("item").as("item"), col("c_st").as("c_st"))
+    val t = fresh.groupBy(col("part"), col("item")).agg(sum(col("c_st")).as("c_t"))
+    val ns = fresh.groupBy(col("part"), col("grp")).agg(sum(col("c_st")).as("n_s"))
+    val g = fresh.groupBy(col("part")).agg(sum(col("c_st")).as("n"))
     val parts = st
-      .join(t, "item")
-      .join(broadcast(ns), "grp")
-      .crossJoin(broadcast(g))
-      .groupBy(col("grp"), col("n_s"), col("n"))
+      .join(t, Seq("part", "item"))
+      .join(broadcast(ns), Seq("part", "grp"))
+      .join(broadcast(g), Seq("part"))
+      .groupBy(col("part"), col("grp"), col("n_s"), col("n"))
       .agg(
         sum(abs(col("c_st").cast(dec) * col("n").cast(dec)
           - col("c_t").cast(dec) * col("n_s").cast(dec))).as("core"),
         sum(col("c_t").cast(dec) * col("n_s").cast(dec)).as("cover"))
     parts
-      .select(col("grp"), col("n_s").as("n_items"),
+      .select(col("part"), col("grp"), col("n_s").as("n_items"),
         graft.functions.NumFns.roundHalfUp(
           (col("core") + (col("n").cast(dec) * col("n_s").cast(dec) - col("cover")))
             .cast("double")

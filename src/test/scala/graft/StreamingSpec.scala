@@ -650,6 +650,51 @@ class StreamingSpec extends GraftSuite {
       Option(e.getCause).exists(_.getMessage.contains("windowedMomentProfile")), e.getMessage)
   }
 
+  test("streaming source-drift monitor: per-window TV equals batch groupDriftTV bit-for-bit (r8)") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    import graft.operators.Scoring
+    // documents with a synthetic event time: four 1-hour windows keyed off
+    // doc_id, staged as several files so the counts state must MERGE
+    // across micro-batches (not just accumulate within one)
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        expr("timestamp'2024-03-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, cast(doc_id % 4 as int), 0, 0)").as("ts"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    docs.repartition(4).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, source STRING, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val q = DocsStream
+      .windowedSourceTokenCounts(stream, col("source"), col("text"), "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("drift_counts").start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table("drift_counts")
+      assert(counts.select("part").distinct().count() == 4, "four windows expected")
+      val streamed = DocsStream.sourceDriftFromCounts(counts)
+        .orderBy("window_start", "source").collect().toSeq
+      // batch truth: q94's operator run per window over the same docs
+      val batch = (0L until 4L).flatMap { w =>
+        Scoring.sourceDriftTV(docs.filter(pmod(col("doc_id"), lit(4L)) === w),
+            col("source"), col("text"))
+          .select(
+            expr(s"timestamp'2024-03-01 00:00:00' + " +
+              s"make_interval(0, 0, 0, 0, $w, 0, 0)").as("window_start"),
+            col("source"), col("n_tokens"), col("tv"))
+          .collect().toSeq
+      }.sortBy(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+        r.getString(1)))
+      assert(streamed.nonEmpty && streamed.size == batch.size)
+      streamed.zip(batch).foreach { case (a, b) =>
+        assert(a.getString(1) == b.getString(1) &&
+          a.getLong(2) == b.getLong(2) && a.getDouble(3) == b.getDouble(3),
+          s"window drift mismatch: $a vs $b")
+      }
+    } finally q.stop()
+  }
+
   test("streaming windowed heavy hitters: candidates contain every true in-window hitter") {
     import org.apache.spark.sql.functions.{col, get_json_object, window => fwindow, count => fcount, lit => flit, explode}
     val staged = java.nio.file.Files.createTempDirectory("graft-hh").toString
