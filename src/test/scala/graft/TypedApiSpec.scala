@@ -54,4 +54,48 @@ class TypedApiSpec extends GraftSuite {
     val e = Typed.embeddings(spark, sf).head()
     assert(e.embedding.length == 64)
   }
+
+  test("typed exactDedup equals the relational operator (r8)") {
+    val ds = Typed.documents(spark, sf)
+    val typed = Typed.exactDedup(ds)
+      .collect().map(g => (g.content_hash, g.keeper_id, g.n_copies)).toSet
+    val rel = graft.operators.Dedup.exact(ds.toDF(), $"doc_id", $"text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(typed == rel && typed.nonEmpty)
+  }
+
+  test("typed jaccardPairs returns NearDupPair rows (r8)") {
+    // two near-dup docs + one unrelated: typed pairs carry the same
+    // (doc_a, doc_b, jaccard) rows as the relational operator
+    val docs = Seq(
+      graft.api.Document(1L, "the quick brown fox jumps over the lazy dog", "en", "a", 43L),
+      graft.api.Document(2L, "the quick brown fox jumps over the lazy cat", "en", "a", 43L),
+      graft.api.Document(3L, "completely different words here entirely now", "en", "b", 45L)).toDS()
+    val typed = Typed.jaccardPairs(docs, 3, 0.3, Long.MaxValue)
+      .collect().map(p => (p.doc_a, p.doc_b, p.jaccard)).toSet
+    val rel = graft.operators.Dedup.ngramJaccardPairsCapped(docs.toDF(),
+        $"doc_id", $"text", 3, 0.3, Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(typed == rel)
+    assert(typed.exists { case (a, b, _) => a == 1L && b == 2L })
+  }
+
+  test("typed blocklist and qualityEnsemble verdicts line up with q89/q92 operators (r8)") {
+    val ds = Typed.documents(spark, sf)
+    val typedBl = Typed.blocklist(ds, Seq("the", "and"), 100)
+      .collect().map(v => (v.doc_id, v.n_tokens, v.n_hits, v.n_terms, v.keep)).toSet
+    val relBl = graft.operators.Scoring.blocklistFilter(ds.toDF(), $"doc_id",
+        $"text", Seq("the", "and"), 100)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(typedBl == relBl && typedBl.nonEmpty)
+    val typedQ = Typed.qualityEnsemble(ds, "en", 0.5, 430, 250)
+      .collect().map(v =>
+        (v.doc_id, v.heur_pass, v.gopher_pass, v.clf_pass, v.lm_pass, v.keep)).toSet
+    val relQ = graft.operators.Scoring.filterEnsemble(ds.toDF(), $"doc_id",
+        $"text", $"lang" === "en", 0.5, 430, 250)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect().toSet
+    assert(typedQ == relQ && typedQ.nonEmpty)
+    // the verdict conjunction is internally consistent
+    assert(typedQ.forall { case (_, h, g, c, l, k) => k == (h && g && c && l) })
+  }
 }
