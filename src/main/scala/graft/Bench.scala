@@ -162,9 +162,12 @@ object Bench {
     // full-pass line.
     // box-state instrumentation (judge r7 #1): every metric line carries the
     // start-of-run load + canary plus the load at print time, so a cross-
-    // round comparison can normalize for box drift from the record alone
+    // round comparison can normalize for box drift from the record alone.
+    // canaryStart is measured AFTER the bootstrap record prints (see below):
+    // its ~1.4 s spin must not re-open the kill-before-any-record window
+    // the bootstrap print exists to close — until then the line carries -1.
     val loadStart = loadavgJson()
-    val canaryStart = canarySeconds()
+    var canaryStart: Double = -1.0
     var canaryEnd: Option[Double] = None
     def printMetricLine(passesDone: Int, partial: Boolean = false): Unit = {
       val rs =
@@ -192,6 +195,9 @@ object Bench {
     // First, a bootstrap record: even a kill DURING warmup leaves parseable
     // JSON (honest about covering nothing: queries_done:0, empty queries).
     printMetricLine(0, partial = true)
+    // NOW the canary (the bootstrap record above is already on stdout);
+    // every later line carries the real value
+    canaryStart = canarySeconds()
     val w0 = System.nanoTime()
     locally {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(warmupPoolSize)

@@ -108,26 +108,45 @@ object Typed {
   // the façade adds compile-time schemas, not a second implementation)
   // and re-types the result via as[T], which VERIFIES the operator's
   // output schema against the case class at analysis time.
+  //
+  // NULL-text contract: the typed schemas use primitive fields, so the
+  // façades must not surface the NULL cells the relational operators emit
+  // for null-text docs (as[T] would throw "Null value appeared in
+  // non-nullable field" at collect time, not analysis time). They treat a
+  // NULL text as the EMPTY document — same rows out, every field defined:
+  // empty docs group together under exactDedup, shingle nowhere under
+  // jaccardPairs, carry zero tokens (keep = true at any rate) under
+  // blocklist, and fail the quality gates closed under qualityEnsemble.
+  private def textOrEmpty: org.apache.spark.sql.Column =
+    coalesce(col("text"), lit(""))
 
   /** Exact dedup over a typed document set — [[graft.operators.Dedup.exact]]
     * with its (hash, content) group key, typed rows out.
     */
   def exactDedup(ds: Dataset[Document]): Dataset[DedupGroup] = {
     import ds.sparkSession.implicits._
-    graft.operators.Dedup.exact(ds.toDF(), col("doc_id"), col("text"))
+    graft.operators.Dedup.exact(ds.toDF(), col("doc_id"), textOrEmpty)
       .as[DedupGroup]
   }
 
-  /** N-gram Jaccard near-dup pairs with the df-capped candidate generation
-    * ([[graft.operators.Dedup.ngramJaccardPairsCapped]] — the 100 TB
-    * variant; pass `maxDocFreq = Long.MaxValue` for the uncapped form).
+  /** N-gram Jaccard near-dup pairs. `maxDocFreq` caps per-shingle candidate
+    * fan-out ([[graft.operators.Dedup.ngramJaccardPairsCapped]] — the
+    * 100 TB variant); `Long.MaxValue` selects the TRUE uncapped operator
+    * ([[graft.operators.Dedup.ngramJaccardPairs]], a streaming self-join) —
+    * routing MaxValue through the capped form would keep its per-bucket
+    * collect_list, whose memory safety is exactly what the cap provides.
     */
   def jaccardPairs(ds: Dataset[Document], n: Int, minJaccard: Double,
                    maxDocFreq: Long): Dataset[NearDupPair] = {
     import ds.sparkSession.implicits._
-    graft.operators.Dedup.ngramJaccardPairsCapped(ds.toDF(), col("doc_id"),
-        col("text"), n, minJaccard, maxDocFreq)
-      .as[NearDupPair]
+    val df =
+      if (maxDocFreq == Long.MaxValue)
+        graft.operators.Dedup.ngramJaccardPairs(ds.toDF(), col("doc_id"),
+          textOrEmpty, n, minJaccard)
+      else
+        graft.operators.Dedup.ngramJaccardPairsCapped(ds.toDF(), col("doc_id"),
+          textOrEmpty, n, minJaccard, maxDocFreq)
+    df.as[NearDupPair]
   }
 
   /** Blocklist filter, typed ([[graft.operators.Scoring.blocklistFilter]] —
@@ -137,7 +156,7 @@ object Typed {
                 maxHitsPerMille: Int): Dataset[BlocklistVerdict] = {
     import ds.sparkSession.implicits._
     graft.operators.Scoring.blocklistFilter(ds.toDF(), col("doc_id"),
-        col("text"), blocked, maxHitsPerMille)
+        textOrEmpty, blocked, maxHitsPerMille)
       .as[BlocklistVerdict]
   }
 
@@ -150,7 +169,7 @@ object Typed {
                       lmMinPermille: Int): Dataset[QualityVerdict] = {
     import ds.sparkSession.implicits._
     graft.operators.Scoring.filterEnsemble(ds.toDF(), col("doc_id"),
-        col("text"), col("lang") === lit(positiveLang),
+        textOrEmpty, col("lang") === lit(positiveLang),
         minQuality, clfMinPermille, lmMinPermille)
       .as[QualityVerdict]
   }

@@ -263,7 +263,12 @@ object Multimodal {
     var iis: javax.imageio.stream.ImageInputStream = null
     var reader: javax.imageio.ImageReader = null
     try {
-      iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(p))
+      // MemoryCacheImageInputStream DIRECTLY, not ImageIO.createImageInputStream:
+      // the factory defaults to a FileCacheImageInputStream (getUseCache=true),
+      // which spools every in-memory payload to a disk temp file per decode —
+      // doubled I/O and file-handle churn on the executor hot path
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(p))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
       reader = readers.next()

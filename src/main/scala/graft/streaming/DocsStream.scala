@@ -210,6 +210,16 @@ object DocsStream {
     * and everything downstream of it is vocab-sized batch math. Emits the
     * exact counts relation [[graft.operators.Scoring.groupDriftTVFromCounts]]
     * consumes: (part = window start, grp = source, item = token, c_st).
+    *
+    * PRECONDITION: `docs` must carry an event-time `ts` column (TIMESTAMP
+    * or TIMESTAMP_NTZ) — the raw documents table has none; attach arrival
+    * time at the source (`current_timestamp()` at ingest, or the feed's
+    * own event time). Run in APPEND output mode for a long-lived monitor:
+    * the watermark then finalizes and EVICTS each window's state, keeping
+    * total state at (in-flight windows × vocab). Complete mode re-emits
+    * everything and never evicts (watermark cleanup does not apply to it),
+    * so state grows with stream lifetime — acceptable only for bounded
+    * dev/audit runs like the spec's.
     */
   def windowedSourceTokenCounts(docs: DataFrame, source: Column, text: Column,
                                 windowDuration: String, watermark: String): DataFrame = {
@@ -229,9 +239,11 @@ object DocsStream {
   /** Part 2 of 2: the vocab-sized batch finisher over the emitted window
     * counts — one drift table per window, bit-identical to running the
     * batch q94 operator on that window's documents (exact DECIMAL
-    * arithmetic end to end; spec-asserted). Run it per micro-batch in a
-    * `foreachBatch` over a complete-mode [[windowedSourceTokenCounts]]
-    * query for a live dashboard, or once over the sink for an audit.
+    * arithmetic end to end; spec-asserted). Feed it the APPEND-mode
+    * sink's accumulated rows (each watermark-finalized window arrives
+    * once, complete) for the long-lived monitor, or a bounded
+    * complete-mode dev run's table for an audit — see
+    * [[windowedSourceTokenCounts]] on why append is the production mode.
     */
   def sourceDriftFromCounts(windowCounts: DataFrame): DataFrame =
     graft.operators.Scoring.groupDriftTVFromCounts(windowCounts)

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unofficial sf1-scale testdata generator (judge r7 #6): 10 key-shifted
+  * copies of every /root/testdata/sf0.1 row table (dims pass through), so
+  * the full Verify + DuckDB oracle loop can run at ~6M lineitem rows —
+  * multi-row-group scans (16 MiB parquet blocks), real AQE coalescing,
+  * DuckDB-side joins at size. The driver owns /root/testdata (read-only);
+  * this writes /tmp/sf1, one single parquet FILE per table like the driver
+  * layout, so both `graft.Verify` and `scripts/check.py` run unchanged.
+  *
+  * Key shifts stay FK-consistent per copy i (offset i·10⁷ applied to both
+  * sides of every join the contract queries use): customer/orders on
+  * custkey, orders/lineitem on orderkey, part+supplier keys shifted with
+  * lineitem's references; nation/region keys untouched. Text and vector
+  * grain avoid degenerate 10-wide global cliques: copy i>0 documents get a
+  * deterministic hash-order token permutation (multiset preserved, shingle
+  * sets changed), embeddings a per-element jitter < 10⁻³ (breaks exact
+  * cosine ties that would make top-k order ambiguous).
+  *
+  * Run: `sbt "Test/runMain graft.GenSf1"`, then
+  * `sbt "runMain graft.Verify /tmp/sf1 /tmp/verify_sf1"` and
+  * `python3 scripts/check.py /tmp/sf1 /tmp/verify_sf1`. Evidence: SURVEY §6.
+  */
+object GenSf1 {
+  private final val Copies = 10
+  private final val Off = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val s = SparkTestBase.spark
+    s.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dst = if (args.nonEmpty) args(0) else "/tmp/sf1"
+
+    def table(name: String): DataFrame = graft.sources.Readers.table(s, src, name)
+
+    def writeOne(name: String, df: DataFrame): Unit = {
+      val raw = s"$dst/_raw_$name"
+      df.coalesce(1).write.mode("overwrite")
+        // small blocks force MULTIPLE row groups per file at this size —
+        // the scan regime sf0.1's one-group files never exercise
+        .option("parquet.block.size", (16L * 1024 * 1024).toString)
+        .parquet(raw)
+      val dir = java.nio.file.Paths.get(raw)
+      val part = java.nio.file.Files.list(dir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      val target = java.nio.file.Paths.get(s"$dst/$name.parquet")
+      java.nio.file.Files.move(part, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // clean the temp dir (part file already moved out)
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      println(s"[gensf1] wrote $target")
+    }
+
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Copies).map(i => shift(df, i)).reduce(_ unionByName _)
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+
+    // dims pass through unchanged (every copy references the same dims)
+    writeOne("region", table("region"))
+    writeOne("nation", table("nation"))
+
+    writeOne("customer", copies(table("customer")) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * Off))
+    })
+    writeOne("supplier", copies(table("supplier")) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * Off))
+    })
+    writeOne("part", copies(table("part")) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * Off))
+    })
+    writeOne("orders", copies(table("orders")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * Off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * Off))
+    })
+    writeOne("lineitem", copies(table("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * Off))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * Off))
+    })
+    writeOne("events", copies(table("events")) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * Off))
+        .withColumn("user_id", col("user_id") + lit(i * Off))
+    })
+    writeOne("documents", copies(table("documents")) { (df, i) =>
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * Off))
+      if (i == 0) shifted
+      else {
+        // deterministic per-copy token permutation: sort tokens by a
+        // copy-salted hash. Token multiset (and so most corpus statistics)
+        // preserved; shingle sets change, so copies are not near-dups
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        val permuted = concat_ws(" ",
+          transform(
+            array_sort(transform(toks,
+              t => struct(xxhash64(concat(t, lit(s"#$i"))).as("h"), t.as("t")))),
+            st => st.getField("t")))
+        // NULL texts must STAY NULL (concat_ws over a NULL array would
+        // silently yield "") so copies preserve the corpus null profile
+        shifted
+          .withColumn("text",
+            when(col("text").isNull, col("text")).otherwise(permuted))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    })
+    writeOne("embeddings", copies(table("embeddings")) { (df, i) =>
+      val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * Off))
+      if (i == 0) shifted
+      else {
+        // per-element jitter in [0, 1e-3): identical vectors across copies
+        // would tie every cosine and make top-k rank order ill-defined
+        val jittered = zip_with(
+          col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, j) => x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000L))
+            .cast("float") / lit(1000000.0f)))
+        shifted.withColumn("embedding", jittered.cast("array<float>"))
+      }
+    })
+
+    s.stop()
+  }
+}

@@ -6,12 +6,10 @@ package graft
   */
 object RecallMeasureR8 {
   def main(args: Array[String]): Unit = {
-    val s = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // the SAME session config the pinning spec (RecallFloorSpec) runs
+    // under — measured numbers and asserted floors must not come from
+    // differently-configured sessions
+    val s = SparkTestBase.spark
     s.sparkContext.setLogLevel("ERROR")
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -55,6 +55,41 @@ class TypedApiSpec extends GraftSuite {
     assert(e.embedding.length == 64)
   }
 
+  test("typed facades survive null-text documents (null = empty doc contract, r8 review fix)") {
+    import graft.api.Document
+    val docs = Seq(
+      Document(1L, "the quick brown fox jumps over it", "en", "a", 33L),
+      Document(2L, null, "en", "a", 0L),
+      Document(3L, null, "fr", "b", 0L),
+      Document(4L, "", "en", "a", 0L)).toDS()
+    // exactDedup: null and empty texts form ONE group (null = empty)
+    val groups = Typed.exactDedup(docs).collect()
+    val emptyGroup = groups.filter(_.n_copies == 3L)
+    assert(emptyGroup.length == 1 && emptyGroup.head.keeper_id == 2L,
+      s"null+empty docs must group together: ${groups.toSeq}")
+    // jaccardPairs: null texts shingle nowhere — no crash, no pair rows
+    assert(!Typed.jaccardPairs(docs, 3, 0.1, Long.MaxValue).collect()
+      .exists(p => p.doc_a >= 2L && p.doc_a <= 4L))
+    // blocklist: zero tokens/hits keep the doc, all fields defined
+    val bl = Typed.blocklist(docs, Seq("fox"), 0).collect()
+      .map(v => v.doc_id -> v).toMap
+    assert(!bl(1L).keep && bl(2L).keep && bl(2L).n_hits == 0L)
+    // qualityEnsemble: unscoreable docs fail the gates closed
+    val q = Typed.qualityEnsemble(docs, "en", 0.1, 430, 250).collect()
+      .map(v => v.doc_id -> v).toMap
+    assert(!q(2L).keep && !q(3L).keep, "null-text docs must not pass the gate")
+  }
+
+  test("typed jaccardPairs with MaxValue routes to the true uncapped operator (r8 review fix)") {
+    val ds = Typed.documents(spark, sf)
+    val plan = Typed.jaccardPairs(ds, 3, 0.5, Long.MaxValue)
+      .queryExecution.analyzed.toString
+    // the capped form's signature is its per-bucket collect_list; the
+    // uncapped delegate must not contain one
+    assert(!plan.contains("collect_list"),
+      "MaxValue must select the streaming self-join, not the capped collect_list path")
+  }
+
   test("typed exactDedup equals the relational operator (r8)") {
     val ds = Typed.documents(spark, sf)
     val typed = Typed.exactDedup(ds)
