@@ -695,6 +695,49 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("source-drift monitor in APPEND mode: watermark finalizes windows, state evicts (r8)") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    // append mode is the prescribed long-lived deployment (complete mode
+    // never evicts window state): a window's counts must arrive exactly
+    // once, complete, after the watermark passes its end
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-app").toString
+    def write(rows: Seq[(Long, String, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text", "s")
+        .selectExpr("doc_id", "source", "text", "CAST(s AS TIMESTAMP) AS ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((1L, "a", "x y x", "2024-03-01 00:10:00"),
+      (2L, "b", "x z", "2024-03-01 00:20:00")))
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, source STRING, text STRING, ts TIMESTAMP")
+      .parquet(dir)
+    val q = DocsStream
+      .windowedSourceTokenCounts(stream, col("source"), col("text"), "1 hour", "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("drift_app").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("drift_app").count() == 0,
+        "window 00 must not emit while the watermark can still admit rows")
+      // an event far past window 00 + the 30-min watermark closes it
+      write(Seq((3L, "a", "w", "2024-03-01 03:00:00")))
+      q.processAllAvailable()
+      val counts = spark.table("drift_app")
+      val w0 = counts.filter(col("part") === to_timestamp(lit("2024-03-01 00:00:00")))
+      assert(w0.count() == 4, s"window 00 must emit its 4 (source, token) rows once, complete")
+      // the finisher over the append sink equals batch drift on the window
+      val drift = DocsStream.sourceDriftFromCounts(w0)
+        .select("source", "n_tokens", "tv").as[(String, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(drift("a")._1 == 3L && drift("b")._1 == 2L)
+      // state eviction is observable via the state-store metrics: after
+      // the watermark passes window 00, its groups must leave the store
+      val progress = q.lastProgress
+      val stateRows = progress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2,
+        s"closed window's state must evict; store still holds $stateRows rows")
+    } finally q.stop()
+  }
+
   test("streaming windowed heavy hitters: candidates contain every true in-window hitter") {
     import org.apache.spark.sql.functions.{col, get_json_object, window => fwindow, count => fcount, lit => flit, explode}
     val staged = java.nio.file.Files.createTempDirectory("graft-hh").toString
