@@ -16,6 +16,9 @@ SF_DIR, OUT_DIR, NAME = sys.argv[1], sys.argv[2], sys.argv[3]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
+# spill to the system temp dir, not cwd/.tmp — an sf1-scale oracle can
+# write tens of GB of temp and must not land inside the repo
+con.execute("SET temp_directory = '/tmp/duckdb_spill'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
