@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   * custkey, orders/lineitem on orderkey, part+supplier keys shifted with
   * lineitem's references; nation/region keys untouched. Text and vector
   * grain avoid degenerate 10-wide global cliques: copy i>0 documents get a
-  * deterministic hash-order token permutation (multiset preserved, shingle
-  * sets changed), embeddings a per-element jitter < 10⁻³ (breaks exact
-  * cosine ties that would make top-k order ambiguous).
+  * deterministic POSITION-salted token permutation (multiset preserved,
+  * shingle sets changed), embeddings a per-element jitter < 10⁻³ (breaks
+  * exact cosine ties that would make top-k order ambiguous). The position
+  * salt matters: sorting by hash(token) alone CANONICALIZES order — every
+  * doc's vocabulary lands in one global order, so docs with overlapping
+  * vocab share long token runs and the corpus grows ~3M jaccard-0.5 pairs
+  * (measured, first r8 attempt; the engine's caps absorbed it, the flat
+  * DuckDB oracles drowned). hash(token, position, copy) gives each doc an
+  * independent order, keeping cross-doc shingle collisions at chance.
   *
   * Run: `sbt "Test/runMain graft.GenSf1"`, then
   * `sbt "runMain graft.Verify /tmp/sf1 /tmp/verify_sf1"` and
@@ -26,7 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object GenSf1 {
   private final val Copies = 10
-  private final val Off = 10000000L
+  // NOT a multiple of 1000: q09's synthetic coordinates derive from
+  // c_custkey % 1000, so a 1000-divisible offset would give every copy
+  // IDENTICAL coordinates (10× multiplicity per lattice point — the first
+  // r8 attempt measured 11.17M pair rows); +1 shifts each copy's lattice
+  // by ~100 m instead
+  private final val Off = 10000001L
 
   def main(args: Array[String]): Unit = {
     val s = SparkTestBase.spark
@@ -90,14 +101,17 @@ object GenSf1 {
       val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * Off))
       if (i == 0) shifted
       else {
-        // deterministic per-copy token permutation: sort tokens by a
-        // copy-salted hash. Token multiset (and so most corpus statistics)
-        // preserved; shingle sets change, so copies are not near-dups
+        // deterministic per-copy token permutation, POSITION-salted (see
+        // the class doc): token multiset (and so most corpus statistics)
+        // preserved; each doc's order is independent, so shingle sets
+        // collide across docs only by chance
         val toks = filter(split(col("text"), " "), t => t =!= "")
         val permuted = concat_ws(" ",
           transform(
             array_sort(transform(toks,
-              t => struct(xxhash64(concat(t, lit(s"#$i"))).as("h"), t.as("t")))),
+              (t, pos) => struct(
+                xxhash64(concat(t, lit("#"), pos.cast("string"), lit(s"#$i"))).as("h"),
+                t.as("t")))),
             st => st.getField("t")))
         // NULL texts must STAY NULL (concat_ws over a NULL array would
         // silently yield "") so copies preserve the corpus null profile
