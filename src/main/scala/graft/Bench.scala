@@ -169,6 +169,12 @@ object Bench {
     val loadStart = loadavgJson()
     var canaryStart: Double = -1.0
     var canaryEnd: Option[Double] = None
+    // quiet-box reference canary for cross-round normalization: the fixed
+    // xorshift spin measures ~1.40 s on this box when idle (observed range
+    // 1.3–1.4 across rounds 7–8). value_norm = value × canaryRef / canary_s
+    // reads as "what this run would cost on the quiet box", so round-over-
+    // round comparisons stop needing a human to divide out box drift.
+    val canaryRef = 1.40
     def printMetricLine(passesDone: Int, partial: Boolean = false): Unit = {
       val rs =
         if (partial) results.filter { case (k, _, _) => samples.contains(k) || failedSet(k) }
@@ -182,8 +188,19 @@ object Bench {
       val failedShort = rs.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
       val done = if (partial) s""","queries_done":${rs.size}""" else ""
       val canEnd = canaryEnd.map(c => s""","canary_end_s":${f3(c)}""").getOrElse("")
-      val box = s""","load_start":$loadStart,"load":${loadavgJson()},"canary_s":${f3(canaryStart)}$canEnd"""
-      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs$done$box,"sf":"$sfDir"}""")
+      // canary_s and value_norm appear only once measured: the bootstrap
+      // record used to carry a -1 sentinel that a consumer diffing metric
+      // lines could misread as a 100%-speed box — omitting the keys (like
+      // canary_end_s) makes "not yet measured" unmistakable.
+      val canStart =
+        if (canaryStart > 0)
+          s""","canary_s":${f3(canaryStart)},"canary_ref_s":${f3(canaryRef)}"""
+        else ""
+      val norm =
+        if (canaryStart > 0) s""","value_norm":${f3(total * canaryRef / canaryStart)}"""
+        else ""
+      val box = s""","load_start":$loadStart,"load":${loadavgJson()}$canStart$canEnd"""
+      println(s"""{"metric":"total","value":${f3(total)}$norm,"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs$done$box,"sf":"$sfDir"}""")
       System.out.flush()
     }
     // pass 0 — untimed warmup of EVERY query, warmupPoolSize at a time (see

@@ -1454,18 +1454,29 @@ object SparkEntry {
         | floor(CAST(sum(CAST(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN value END AS DECIMAL(28,2))) AS DOUBLE) / count(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN value END) * 10000.0 + 0.5) / 10000.0 AS h18_23
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Grid-blocked like the engine (floor(coord/0.01) cells, 3x3 neighbor
+    // explode, equi-join) so the oracle stays tractable at every scale
+    // factor: the flat O(n^2) formulation is hours at sf1's 150k rows while
+    // this one finishes in ~15 s with the IDENTICAL result (0.01 deg ~ 1.1 km
+    // lat / 0.85 km lon at NYC latitudes, so adjacent cells cover the 0.5 km
+    // radius — any pair the blocking could miss would be > cell width apart).
     "q09_nearby_selfjoin" ->
       """WITH p AS (SELECT c_custkey AS id,
         |  40.0 + (c_custkey % 1000) * 0.001 AS lat,
         |  -74.0 + ((c_custkey * 7) % 1000) * 0.001 AS lon
-        | FROM customer)
+        | FROM customer),
+        |c AS (SELECT *, CAST(floor(lat / 0.01) AS BIGINT) AS clat,
+        |  CAST(floor(lon / 0.01) AS BIGINT) AS clon FROM p),
+        |e AS (SELECT c.*, clat + dla AS nclat, clon + dlo AS nclon
+        | FROM c CROSS JOIN (VALUES (-1),(0),(1)) t1(dla)
+        |        CROSS JOIN (VALUES (-1),(0),(1)) t2(dlo))
         |SELECT * FROM (
         | SELECT a.id AS id_a, b.id AS id_b,
         |  floor(2 * 6371.0088 * asin(sqrt(least(1.0,
         |   pow(sin(radians(b.lat - a.lat) / 2), 2) +
         |   cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2)
         |  ))) * 1000000.0 + 0.5) / 1000000.0 AS dist_km
-        | FROM p a JOIN p b ON a.id < b.id)
+        | FROM e a JOIN c b ON a.nclat = b.clat AND a.nclon = b.clon AND a.id < b.id)
         |WHERE dist_km < 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "q10_time_features" ->

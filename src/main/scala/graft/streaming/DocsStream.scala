@@ -223,17 +223,17 @@ object DocsStream {
     */
   def windowedSourceTokenCounts(docs: DataFrame, source: Column, text: Column,
                                 windowDuration: String, watermark: String): DataFrame = {
-    val ntzIn = docs.schema("ts").dataType ==
-      org.apache.spark.sql.types.TimestampNTZType
-    val start =
-      if (ntzIn) col("window.start").cast("timestamp_ntz") else col("window.start")
+    // window()/withWatermark() accept TIMESTAMP_NTZ natively (Spark ≥ 3.4),
+    // so the NTZ column is windowed directly — no cast round-trip through
+    // session-zoned TIMESTAMP, whose hour boundaries could shift under a
+    // non-UTC session with a fractional-hour offset or across a DST gap.
+    // The window struct inherits ts's type, so output typing is automatic.
     docs
-      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .select(col("ts"), source.as("grp"), explode(TextFns.tokens(text)).as("item"))
       .groupBy(window(col("ts"), windowDuration), col("grp"), col("item"))
       .agg(count(lit(1)).as("c_st"))
-      .select(start.as("part"), col("grp"), col("item"), col("c_st"))
+      .select(col("window.start").as("part"), col("grp"), col("item"), col("c_st"))
   }
 
   /** Part 2 of 2: the vocab-sized batch finisher over the emitted window

@@ -212,16 +212,19 @@ object EventsStream {
       // n/min/max still count it — fail the micro-batch loudly instead of
       // emitting an internally inconsistent window profile. All-NULL
       // windows (min/max aggregate to NULL) pass through as the n=0 row —
-      // assert_true(NULL) would raise, so escape NULLs first. NaN compares
-      // false on both < checks, so a NaN value also trips the assert
+      // assert_true(NULL) would raise, so escape NULLs first via
+      // when()/otherwise(): CaseWhen's conditional evaluation is the
+      // documented construct for guarding a side-effecting expression
+      // (Or's operand laziness is an implementation detail). NaN compares
+      // false on both < checks, so a NaN value still trips the assert
       // (deliberate: NaN would NULL out of the decimal sums the same way).
       .filter(
-        col("min_value").isNull ||
+        when(col("min_value").isNull, lit(true)).otherwise(
           assert_true(
             abs(col("min_value")) < math.pow(10, 18 - scale) &&
               abs(col("max_value")) < math.pow(10, 18 - scale),
             lit(s"windowedMomentProfile(scale=$scale) supports finite |v| < 1e${18 - scale}; " +
-              "widen the decimal, drop NaN, or profile a scaled measure")).isNull)
+              "widen the decimal, drop NaN, or profile a scaled measure")).isNull))
       .select(start.as("window_start"), col("n"),
         graft.functions.NumFns.roundHalfUp(col("_s") / col("n"), 4).as("mean"),
         when(col("n") > 1,

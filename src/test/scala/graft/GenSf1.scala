@@ -55,14 +55,20 @@ object GenSf1 {
         .option("parquet.block.size", (16L * 1024 * 1024).toString)
         .parquet(raw)
       val dir = java.nio.file.Paths.get(raw)
-      val part = java.nio.file.Files.list(dir).filter(_.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow()
+      // Files.list/walk streams hold a directory handle until closed —
+      // scala.util.Using closes them even on a throw (10+ tables per run
+      // would otherwise leak 10+ handles for the generator's lifetime)
+      val part = scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+        st.filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow()
+      }
       val target = java.nio.file.Paths.get(s"$dst/$name.parquet")
       java.nio.file.Files.move(part, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // clean the temp dir (part file already moved out)
-      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       println(s"[gensf1] wrote $target")
     }
 
