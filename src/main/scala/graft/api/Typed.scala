@@ -36,6 +36,24 @@ case class BlocklistVerdict(doc_id: Long, n_tokens: Long, n_hits: Long,
 case class QualityVerdict(doc_id: Long, heur_pass: Boolean, gopher_pass: Boolean,
                           clf_pass: Boolean, lm_pass: Boolean, keep: Boolean)
 
+/** One ANN top-k result row (the q26/q48 family, typed): cosine rounded to
+  * 4 decimals, rank 1..k per query with neighbor-id tie-breaking.
+  */
+case class Neighbor(query_id: Long, neighbor_id: Long, cos: Double, rnk: Long)
+
+/** One numeric column's describe() row (the q82 row, typed). `stddev` is
+  * None at n = 1 (sample deviation, pandas ddof=1 parity).
+  */
+case class ColumnProfile(column_name: String, n: Long, mean: Double,
+                         stddev: Option[Double], min_value: Double, q25: Double,
+                         median: Double, q75: Double, max_value: Double)
+
+/** One correlation-matrix cell, x_col < y_col (the q85 row, typed). `corr`
+  * is None when a side is constant over the jointly-non-null rows (zero
+  * variance — pandas emits NaN there).
+  */
+case class CorrCell(x_col: String, y_col: String, n: Long, corr: Option[Double])
+
 object Typed {
 
   def events(spark: SparkSession, dir: String): Dataset[Event] = {
@@ -172,5 +190,59 @@ object Typed {
         textOrEmpty, col("lang") === lit(positiveLang),
         minQuality, clfMinPermille, lmMinPermille)
       .as[QualityVerdict]
+  }
+
+  /** Exact cosine top-k neighbors, typed
+    * ([[graft.operators.Similarity.bruteForceTopK]] — the salted two-phase
+    * ranking; the corpus is never collected, queries broadcast).
+    */
+  def annTopK(corpus: Dataset[Embedding], queries: Dataset[Embedding],
+              k: Int): Dataset[Neighbor] = {
+    import corpus.sparkSession.implicits._
+    graft.operators.Similarity.bruteForceTopK(corpus.toDF(), queries.toDF(),
+        "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+      .as[Neighbor]
+  }
+
+  /** Approximate cosine top-k via the IVF index, typed
+    * ([[graft.operators.Similarity.ivfTopK]] — zero-shuffle cell assignment,
+    * probes broadcast) — the scale path when brute force's queries × corpus
+    * scoring is too wide. Same row type as [[annTopK]], so a recall
+    * measurement is a typed join of the two.
+    */
+  def annTopKIvf(corpus: Dataset[Embedding], queries: Dataset[Embedding],
+                 k: Int, numCells: Int, nProbe: Int,
+                 kmeansIters: Int = 0): Dataset[Neighbor] = {
+    import corpus.sparkSession.implicits._
+    graft.operators.Similarity.ivfTopK(corpus.toDF(), queries.toDF(),
+        "vec_id", "embedding", k, numCells, nProbe, kmeansIters)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+      .as[Neighbor]
+  }
+
+  /** pandas-describe() numeric profile, typed
+    * ([[graft.operators.Relational.describeProfile]] — one corpus melt +
+    * histogram shuffle; exact DECIMAL moments, type-1 quantiles). `cols`
+    * are column names on `ds`; `scale` must cover their decimal grain.
+    */
+  def describe(ds: Dataset[_], cols: Seq[String],
+               scale: Int = 2): Dataset[ColumnProfile] = {
+    import ds.sparkSession.implicits._
+    graft.operators.Relational.describeProfile(ds.toDF(),
+        cols.map(c => c -> col(c)), scale)
+      .as[ColumnProfile]
+  }
+
+  /** Pairwise Pearson correlation matrix, typed
+    * ([[graft.operators.Relational.correlationMatrix]] — ONE HashAggregate
+    * carrying every pair's exact DECIMAL moments; no row amplification).
+    */
+  def correlation(ds: Dataset[_], cols: Seq[String],
+                  scale: Int = 2): Dataset[CorrCell] = {
+    import ds.sparkSession.implicits._
+    graft.operators.Relational.correlationMatrix(ds.toDF(),
+        cols.map(c => c -> col(c)), scale)
+      .as[CorrCell]
   }
 }

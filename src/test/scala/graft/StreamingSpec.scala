@@ -738,6 +738,47 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("source-drift monitor state is vocab-bounded, not volume-bounded, across micro-batches (r9)") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    // THE scale claim, measured: the monitor's state keys are
+    // (window, source, token), so state size is bounded by
+    // in-flight-windows × sources × vocab — independent of document VOLUME.
+    // 2000 docs from a 10-token vocab across 2 windows × 2 sources must
+    // never hold more than 2 × 2 × 10 = 40 state rows, in ANY micro-batch.
+    val vocab = 10
+    val docs = (0 until 2000).map { i =>
+      val text = (0 until 5).map(j => s"t${(i + j) % vocab}").mkString(" ")
+      val src = if (i % 2 == 0) "a" else "b"
+      val hour = i % 2 // two 1-hour windows
+      (i.toLong, src, text, f"2024-03-01 0$hour%d:${i % 60}%02d:00")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-state").toString
+    docs.toDF("doc_id", "source", "text", "s")
+      .selectExpr("doc_id", "source", "text", "CAST(s AS TIMESTAMP) AS ts")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, source STRING, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = DocsStream
+      .windowedSourceTokenCounts(stream, col("source"), col("text"), "1 hour", "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("drift_state").start()
+    try {
+      q.processAllAvailable()
+      val perBatchState = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+      assert(perBatchState.nonEmpty, "expected state metrics from the micro-batches")
+      val bound = 2L * 2L * vocab
+      assert(perBatchState.forall(_ <= bound),
+        s"state must stay <= windows×sources×vocab = $bound rows at EVERY " +
+          s"micro-batch (volume was 2000 docs); saw $perBatchState")
+      // the bound is meaningful only if the volume actually dwarfed it
+      val rowsIn = q.recentProgress.toSeq.map(_.numInputRows).sum
+      assert(rowsIn == 2000L, s"staged volume must all arrive, saw $rowsIn")
+    } finally q.stop()
+  }
+
   test("streaming windowed heavy hitters: candidates contain every true in-window hitter") {
     import org.apache.spark.sql.functions.{col, get_json_object, window => fwindow, count => fcount, lit => flit, explode}
     val staged = java.nio.file.Files.createTempDirectory("graft-hh").toString

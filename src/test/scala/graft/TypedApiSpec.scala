@@ -133,4 +133,70 @@ class TypedApiSpec extends GraftSuite {
     // the verdict conjunction is internally consistent
     assert(typedQ.forall { case (_, h, g, c, l, k) => k == (h && g && c && l) })
   }
+
+  test("typed annTopK equals the relational brute-force top-k (r9)") {
+    val embs = Typed.embeddings(spark, sf)
+    val queries = embs.filter(_.vec_id < 10L)
+    val typed = Typed.annTopK(embs, queries, 5)
+      .collect().map(n => (n.query_id, n.neighbor_id, n.cos, n.rnk)).toSet
+    val rel = graft.operators.Similarity.bruteForceTopK(embs.toDF(),
+        queries.toDF(), "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(typed == rel && typed.nonEmpty)
+    // k rows per query, ranks 1..k
+    assert(typed.groupBy(_._1).forall { case (_, rows) =>
+      rows.size == 5 && rows.map(_._4).toSeq.sorted == (1L to 5L) })
+  }
+
+  test("typed annTopKIvf equals the relational IVF top-k and, probe-all, the exact ranking (r9)") {
+    val embs = Typed.embeddings(spark, sf)
+    val queries = embs.filter(_.vec_id < 5L)
+    val typed = Typed.annTopKIvf(embs, queries, 5, numCells = 4, nProbe = 4)
+      .collect().map(n => (n.query_id, n.neighbor_id, n.cos, n.rnk)).toSet
+    val rel = graft.operators.Similarity.ivfTopK(embs.toDF(), queries.toDF(),
+        "vec_id", "embedding", 5, 4, 4)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(typed == rel && typed.nonEmpty)
+    // nProbe == numCells probes every cell, so the typed IVF result must
+    // equal the typed exact result — recall via a typed join of the facades
+    val exact = Typed.annTopK(embs, queries, 5)
+      .collect().map(n => (n.query_id, n.neighbor_id, n.cos, n.rnk)).toSet
+    assert(typed == exact)
+  }
+
+  test("typed describe equals the relational describeProfile (r9)") {
+    val ev = Typed.events(spark, sf)
+    val typed = Typed.describe(ev, Seq("value"))
+      .collect().map(p => (p.column_name, p.n, p.mean, p.stddev,
+        p.min_value, p.q25, p.median, p.q75, p.max_value)).toSet
+    val rel = graft.operators.Relational.describeProfile(ev.toDF(),
+        Seq("value" -> $"value"))
+      .as[(String, Long, Double, Option[Double], Double, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(typed == rel && typed.size == 1)
+    val p = typed.head
+    assert(p._5 <= p._6 && p._6 <= p._7 && p._7 <= p._8 && p._8 <= p._9,
+      s"quartile ordering violated: $p")
+  }
+
+  test("typed correlation equals the relational correlationMatrix and is None on a constant column (r9)") {
+    val ev = Typed.events(spark, sf).toDF()
+      .withColumn("v2", $"value" * 2 + 1)
+      .withColumn("konst", lit(5.0))
+    val typed = Typed.correlation(ev.as[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Encoders.row(ev.schema)),
+        Seq("value", "v2", "konst"))
+      .collect().map(c => (c.x_col, c.y_col, c.n, c.corr)).toSet
+    val rel = graft.operators.Relational.correlationMatrix(ev,
+        Seq("value" -> $"value", "v2" -> $"v2", "konst" -> $"konst"))
+      .as[(String, String, Long, Option[Double])].collect().toSet
+    assert(typed == rel && typed.size == 3)
+    val m = typed.map(c => (c._1, c._2) -> c._4).toMap
+    // a perfect linear map correlates at exactly 1.0; a constant column has
+    // no defined correlation (typed as None, pandas NaN)
+    assert(m(("value", "v2")).contains(1.0))
+    assert(m(("value", "konst")).isEmpty && m(("v2", "konst")).isEmpty)
+  }
 }
