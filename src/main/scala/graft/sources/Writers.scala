@@ -151,6 +151,75 @@ object Writers {
     df.groupBy(key.as("key"))
       .agg(to_json(sort_array(collect_list(entry))).as("entries_json"))
 
+  /** Standing-artifact lifecycle for a trained BPE merge table — the q57
+    * materialized-index pattern applied to the tokenizer: ingest
+    * tokenization must reuse a PINNED vocabulary, never retrain per batch
+    * (a retrained table re-tokenizes every previously ingested document
+    * differently under every downstream consumer). Versions are IMMUTABLE:
+    * writing an existing version throws, a new training run writes the
+    * next version, and readers either pin a version (reproducible reruns)
+    * or take the latest (live ingest). Layout: `path/version=<v>/` parquet,
+    * one tiny file per version (the table is ≤ numMerges rows by
+    * construction). Version strings order LEXICOGRAPHICALLY for "latest" —
+    * use zero-padded counters or ISO timestamps.
+    */
+  def writeMergeTable(merges: DataFrame, path: String, version: String): Unit = {
+    require(version.nonEmpty && !version.exists(c => c == '/' || c == '=' || c == '\\'),
+      s"illegal merge-table version '$version' (no /, =, or \\)")
+    val expected = Seq("merge_rank", "left", "right", "merged")
+    require(merges.columns.toSeq == expected,
+      s"merge table must have columns $expected, got ${merges.columns.toSeq}")
+    val dir = java.nio.file.Paths.get(s"$path/version=$version")
+    // immutability is the artifact's whole point: a silently replaced
+    // version would re-tokenize history out from under pinned readers
+    require(!java.nio.file.Files.exists(dir),
+      s"merge-table version '$version' already exists at $path — versions " +
+        "are immutable; write a new version instead")
+    merges.orderBy(col("merge_rank")).coalesce(1)
+      .write.mode("errorifexists").parquet(dir.toString)
+  }
+
+  /** Highest existing merge-table version at `path` (lexicographic), or
+    * None when no version has been written yet.
+    */
+  def latestMergeTableVersion(path: String): Option[String] = {
+    val dir = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(dir)) None
+    else scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("version="))
+        .map(_.stripPrefix("version="))
+        .toSeq.sorted.lastOption
+    }
+  }
+
+  /** Read a stored merge table — the pinned `version`, or the latest when
+    * omitted. Validates loudly on read (the artifact may predate the
+    * reader by months): exact schema and contiguous ranks 0..n-1, so a
+    * truncated or hand-edited table cannot silently mis-tokenize. The
+    * validation collects only the rank column of a ≤ numMerges-row table
+    * (the kmeansCentroids tiny-model rule).
+    */
+  def readMergeTable(spark: SparkSession, path: String,
+                     version: Option[String] = None): DataFrame = {
+    val v = version.orElse(latestMergeTableVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no merge-table versions at $path"))
+    val dir = s"$path/version=$v"
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      s"merge-table version '$v' does not exist at $path")
+    val df = spark.read.parquet(dir)
+    val expected = Seq("merge_rank", "left", "right", "merged")
+    require(df.columns.toSeq.sorted == expected.sorted,
+      s"stored merge table at $dir has columns ${df.columns.toSeq}, want $expected")
+    val ranks = df.select(col("merge_rank").cast("int")).collect().map(_.getInt(0)).sorted
+    require(ranks.toSeq == ranks.indices.toSeq,
+      s"stored merge table at $dir has non-contiguous ranks " +
+        s"${ranks.take(10).toSeq}… — truncated or corrupted artifact")
+    df.select(expected.map(col): _*)
+  }
+
   /** Training-data shard export: write `df` as `numShards` deterministic
     * hash shards (`shard=N/` partition dirs, one file each) and return the
     * manifest the data loader reads first — (shard, n_rows, n_bytes) —

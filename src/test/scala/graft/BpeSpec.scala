@@ -163,4 +163,50 @@ class BpeSpec extends GraftSuite {
     }
     assert(got(2L) == ((0L, 0L, None)), "empty doc: zero counts, NULL fertility")
   }
+
+  test("merge-table standing artifact: versioned round-trip, encode-against-stored equality, immutability (r9)") {
+    import graft.sources.Writers
+    val docs = Seq((0L, "low low newest"), (1L, "lower widest"),
+        (2L, "newest newest low")).toDF("doc_id", "text")
+    val merges = Bpe.bpeTrain(docs, $"text", 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-merges")
+      .toString + "/bpe_merges"
+    // empty artifact: latest is None, an unpinned read fails loudly
+    assert(Writers.latestMergeTableVersion(path).isEmpty)
+    intercept[IllegalArgumentException] { Writers.readMergeTable(spark, path) }
+    Writers.writeMergeTable(merges, path, "v0001")
+    // round-trip: the stored table IS the trained table, rule for rule
+    val back = Writers.readMergeTable(spark, path, Some("v0001"))
+      .as[(Int, String, String, String)].collect().toSeq.sortBy(_._1)
+    val orig = merges.as[(Int, String, String, String)].collect().toSeq.sortBy(_._1)
+    assert(back == orig && back.nonEmpty)
+    // THE artifact contract: encoding against the STORED table equals
+    // encoding against the fresh in-session one — ingest can reuse the
+    // pinned vocabulary instead of retraining
+    val encFresh = Bpe.bpeEncode(docs, $"doc_id", $"text", merges)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    val encStored = Bpe.bpeEncode(docs, $"doc_id", $"text",
+        Writers.readMergeTable(spark, path))
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(encFresh == encStored)
+    // versions are immutable: re-writing v0001 throws before touching disk
+    intercept[IllegalArgumentException] {
+      Writers.writeMergeTable(merges, path, "v0001")
+    }
+    // a retrain lands as the NEXT version: latest moves, the pin does not
+    val merges2 = Bpe.bpeTrain(
+      Seq((0L, "aa aa ab")).toDF("doc_id", "text"), $"text", 2)
+    Writers.writeMergeTable(merges2, path, "v0002")
+    assert(Writers.latestMergeTableVersion(path).contains("v0002"))
+    assert(Writers.readMergeTable(spark, path).count() == merges2.count())
+    assert(Writers.readMergeTable(spark, path, Some("v0001"))
+      .as[(Int, String, String, String)].collect().toSeq.sortBy(_._1) == orig)
+    // a truncated/hand-edited table (non-contiguous ranks) fails the read
+    val corrupt = Seq((0, "a", "b", "ab"), (2, "c", "d", "cd"))
+      .toDF("merge_rank", "left", "right", "merged")
+    Writers.writeMergeTable(corrupt, path, "v0003")
+    intercept[IllegalArgumentException] {
+      Writers.readMergeTable(spark, path, Some("v0003"))
+    }
+  }
 }
