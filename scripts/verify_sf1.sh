@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# One-command sf1-scale verification (judge r8 ask #2): generate the 10x
+# corpus if absent, run every SparkEntry query against it, compare each
+# dump to its DuckDB oracle with a per-query timeout, and write the
+# CORRECTNESS_sf1.json artifact. Rerunnable from any round:
+#
+#   scripts/verify_sf1.sh            # all defaults
+#   ORACLE_TIMEOUT=1800 scripts/verify_sf1.sh   # slower box
+#
+# Env knobs: SF1_DIR (default /tmp/sf1), OUT_DIR (/tmp/verify_sf1_out),
+# DEST (CORRECTNESS_sf1.json), ORACLE_TIMEOUT (900 s per query),
+# SPARK_GRAFT_CPUS (16 — sf1's multi-row-group files want fewer, larger
+# tasks than the sf0.1 default of 32).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF1_DIR=${SF1_DIR:-/tmp/sf1}
+OUT_DIR=${OUT_DIR:-/tmp/verify_sf1_out}
+DEST=${DEST:-CORRECTNESS_sf1.json}
+ORACLE_TIMEOUT=${ORACLE_TIMEOUT:-900}
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16}
+
+# embeddings.parquet is GenSf1's LAST write — its presence means a
+# complete prior generation (a partial one regenerates from scratch)
+if [ ! -f "$SF1_DIR/embeddings.parquet" ]; then
+  echo "[verify_sf1] generating $SF1_DIR (10x key-shifted sf0.1)"
+  sbt -batch "Test/runMain graft.GenSf1 $SF1_DIR"
+else
+  echo "[verify_sf1] reusing existing $SF1_DIR"
+fi
+
+echo "[verify_sf1] running all queries at $SF1_DIR (local[$SPARK_GRAFT_CPUS])"
+sbt -batch "runMain graft.Verify $SF1_DIR $OUT_DIR"
+
+echo "[verify_sf1] oracle comparison, ${ORACLE_TIMEOUT}s/query timeout"
+python3 scripts/check_sf1.py "$SF1_DIR" "$OUT_DIR" "$DEST" "$ORACLE_TIMEOUT"
+echo "[verify_sf1] wrote $DEST"
