@@ -39,6 +39,43 @@ object SparkEntry {
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
   }
 
+  /** q80's composition with the persist knob exposed: the WHOLE curation
+    * run as one driver-checked query — every stage is an operator already
+    * verified in isolation, composed here so the hand-offs (which id set
+    * feeds which stage) are themselves under the oracle: exact dedup
+    * keepers → near-dup component collapse (keep the min-id
+    * representative, singletons pass) → decontamination (held-out eval
+    * slice removed; train docs sharing ANY 3-gram with it dropped, grams
+    * computed over the ORIGINAL corpus so dedup decisions cannot
+    * un-contaminate a doc) → Gopher quality gate. Output: the kept corpus.
+    * `persistIndex` is A/B-measured per scale (§6: persist wins at sf0.1
+    * AND sf1 — the index feeds three consumers; exchange reuse covers two).
+    */
+  private[graft] def curationPipeline(s: SparkSession, dir: String,
+                                      persistIndex: Boolean): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val k1 = Dedup.exact(docs, col("doc_id"), col("text"))
+      .select(col("keeper_id").as("doc_id"))
+    val d1 = docs.join(k1, "doc_id")
+    val pairs = Dedup.ngramJaccardPairs(d1, col("doc_id"), col("text"), 3, 0.5,
+      persistIndex = persistIndex)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val d2 = d1.join(comp, d1("doc_id") === comp("node"), "left")
+      .filter(col("node").isNull || col("component") === col("doc_id"))
+      .drop("node", "component")
+    val held = pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95
+    val contaminated = Dedup.contaminationHits(docs, col("doc_id"), col("text"), held, 3)
+      .filter(col("n_hits") > 0).select(col("doc_id"))
+    val d3 = d2.filter(!held).join(contaminated, Seq("doc_id"), "left_anti")
+    val toks = TextFns.tokens(col("text"))
+    val n = size(toks).cast("double")
+    val meanLen = (length(trim(col("text"))).cast("double") - (n - 1)) / n
+    val repetition = (n - size(array_distinct(toks)).cast("double")) / n
+    d3.filter(meanLen.between(3.0, 10.0) && repetition < 0.6)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2a reference-derived relational/ETL -----------------------------------
     "q01_interval_agg" -> ((s, dir) => {
@@ -1091,37 +1128,8 @@ object SparkEntry {
         .orderBy("source", "pct")
     }),
 
-    "q80_curation_pipeline" -> ((s, dir) => {
-      // the WHOLE curation run as one driver-checked query — every stage is
-      // an operator already verified in isolation, composed here so the
-      // hand-offs (which id set feeds which stage) are themselves under the
-      // oracle: exact dedup keepers → near-dup component collapse (keep the
-      // min-id representative, singletons pass) → decontamination (held-out
-      // eval slice removed; train docs sharing ANY 3-gram with it dropped,
-      // grams computed over the ORIGINAL corpus so dedup decisions cannot
-      // un-contaminate a doc) → Gopher quality gate. Output: the kept corpus.
-      val docs = T(s, dir, "documents")
-      val k1 = Dedup.exact(docs, col("doc_id"), col("text"))
-        .select(col("keeper_id").as("doc_id"))
-      val d1 = docs.join(k1, "doc_id")
-      val pairs = Dedup.ngramJaccardPairs(d1, col("doc_id"), col("text"), 3, 0.5,
-        persistIndex = true)
-      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      val d2 = d1.join(comp, d1("doc_id") === comp("node"), "left")
-        .filter(col("node").isNull || col("component") === col("doc_id"))
-        .drop("node", "component")
-      val held = pmod(pmod(col("doc_id"), lit(100003L)) * 2654435761L, lit(100L)) >= 95
-      val contaminated = Dedup.contaminationHits(docs, col("doc_id"), col("text"), held, 3)
-        .filter(col("n_hits") > 0).select(col("doc_id"))
-      val d3 = d2.filter(!held).join(contaminated, Seq("doc_id"), "left_anti")
-      val toks = TextFns.tokens(col("text"))
-      val n = size(toks).cast("double")
-      val meanLen = (length(trim(col("text"))).cast("double") - (n - 1)) / n
-      val repetition = (n - size(array_distinct(toks)).cast("double")) / n
-      d3.filter(meanLen.between(3.0, 10.0) && repetition < 0.6)
-        .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")
-    }),
+    "q80_curation_pipeline" -> ((s, dir) =>
+      curationPipeline(s, dir, persistIndex = true)),
 
     "q81_curriculum_order" -> ((s, dir) => {
       // curriculum training order: highest LM-quality first, deterministic
