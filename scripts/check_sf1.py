@@ -25,25 +25,36 @@ SF_DIR, OUT_DIR, DEST = sys.argv[1], sys.argv[2], sys.argv[3]
 TIMEOUT = int(sys.argv[4]) if len(sys.argv) > 4 else 900
 
 oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
-names = sorted(d for d in os.listdir(OUT_DIR)
-               if os.path.isdir(os.path.join(OUT_DIR, d)))
+dumped = set(d for d in os.listdir(OUT_DIR)
+             if os.path.isdir(os.path.join(OUT_DIR, d)))
+# the UNION of declared oracles and dump dirs, not the dump dirs alone:
+# Verify deletes a crashed query's dump and exits 0, so iterating only
+# dumps would let an engine regression silently vanish from the artifact
+# (and a stale dir in a reused OUT_DIR would masquerade as a live query)
+names = sorted(set(oracle) | dumped)
 res = {}
 for name in names:
     t0 = time.time()
-    if name not in oracle:
+    if name not in dumped:
+        res[name] = {"status": "missing", "secs": None, "spark_rows": None,
+                     "detail": "oracle declared but no dump dir — the "
+                               "engine query failed inside Verify"}
+    elif name not in oracle:
         n = duckdb.sql(
             f"SELECT count(*) FROM read_parquet('{OUT_DIR}/{name}/*.parquet')"
         ).fetchone()[0]
         res[name] = {"status": "no_oracle", "secs": None,
                      "spark_rows": int(n),
-                     "detail": "approximate-by-design; exact twin is oracle-checked"}
+                     "detail": "no oracle SQL declared for this dump"}
     else:
         try:
             p = subprocess.run(
                 [sys.executable, "scripts/check_one.py", SF_DIR, OUT_DIR, name],
                 capture_output=True, text=True, timeout=TIMEOUT)
             secs = round(time.time() - t0, 1)
-            lines = (p.stdout + p.stderr).strip().splitlines()
+            # detail from STDOUT (check_one's own verdict line): a trailing
+            # library warning on stderr must not replace the PASS line
+            lines = p.stdout.strip().splitlines() or p.stderr.strip().splitlines()
             detail = lines[-1] if lines else ""
             status = {0: "pass", 1: "fail", 2: "error"}.get(p.returncode, "error")
             rows = None
@@ -70,4 +81,5 @@ with open(DEST, "w") as f:
     json.dump({"_summary": summary, **res}, f, indent=1)
     f.write("\n")
 print(f"[sf1] summary: {summary}")
-sys.exit(0 if counts.get("fail", 0) + counts.get("error", 0) == 0 else 1)
+bad = counts.get("fail", 0) + counts.get("error", 0) + counts.get("missing", 0)
+sys.exit(0 if bad == 0 else 1)

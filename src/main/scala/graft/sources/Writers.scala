@@ -163,36 +163,45 @@ object Writers {
     * construction). Version strings order LEXICOGRAPHICALLY for "latest" —
     * use zero-padded counters or ISO timestamps.
     */
+  // merge-table artifact paths resolve through the Hadoop FileSystem API —
+  // the same resolution every Spark sink uses — so file:/, hdfs://, s3a://
+  // paths all work; java.nio would silently treat a scheme-prefixed path
+  // as a (nonexistent) relative local path, voiding the immutability check
+  private def hadoopFs(spark: SparkSession,
+                       path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def writeMergeTable(merges: DataFrame, path: String, version: String): Unit = {
     require(version.nonEmpty && !version.exists(c => c == '/' || c == '=' || c == '\\'),
       s"illegal merge-table version '$version' (no /, =, or \\)")
     val expected = Seq("merge_rank", "left", "right", "merged")
     require(merges.columns.toSeq == expected,
       s"merge table must have columns $expected, got ${merges.columns.toSeq}")
-    val dir = java.nio.file.Paths.get(s"$path/version=$version")
+    val dir = s"$path/version=$version"
     // immutability is the artifact's whole point: a silently replaced
     // version would re-tokenize history out from under pinned readers
-    require(!java.nio.file.Files.exists(dir),
+    require(!hadoopFs(merges.sparkSession, path)
+        .exists(new org.apache.hadoop.fs.Path(dir)),
       s"merge-table version '$version' already exists at $path — versions " +
         "are immutable; write a new version instead")
     merges.orderBy(col("merge_rank")).coalesce(1)
-      .write.mode("errorifexists").parquet(dir.toString)
+      .write.mode("errorifexists").parquet(dir)
   }
 
   /** Highest existing merge-table version at `path` (lexicographic), or
     * None when no version has been written yet.
     */
-  def latestMergeTableVersion(path: String): Option[String] = {
-    val dir = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(dir)) None
-    else scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("version="))
-        .map(_.stripPrefix("version="))
-        .toSeq.sorted.lastOption
-    }
+  def latestMergeTableVersion(spark: SparkSession, path: String): Option[String] = {
+    val fs = hadoopFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("version="))
+      .map(_.stripPrefix("version="))
+      .sorted.lastOption
   }
 
   /** Read a stored merge table — the pinned `version`, or the latest when
@@ -204,10 +213,10 @@ object Writers {
     */
   def readMergeTable(spark: SparkSession, path: String,
                      version: Option[String] = None): DataFrame = {
-    val v = version.orElse(latestMergeTableVersion(path)).getOrElse(
+    val v = version.orElse(latestMergeTableVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no merge-table versions at $path"))
     val dir = s"$path/version=$v"
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+    require(hadoopFs(spark, path).exists(new org.apache.hadoop.fs.Path(dir)),
       s"merge-table version '$v' does not exist at $path")
     val df = spark.read.parquet(dir)
     val expected = Seq("merge_rank", "left", "right", "merged")

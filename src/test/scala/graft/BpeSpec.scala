@@ -172,7 +172,7 @@ class BpeSpec extends GraftSuite {
     val path = java.nio.file.Files.createTempDirectory("graft-merges")
       .toString + "/bpe_merges"
     // empty artifact: latest is None, an unpinned read fails loudly
-    assert(Writers.latestMergeTableVersion(path).isEmpty)
+    assert(Writers.latestMergeTableVersion(spark, path).isEmpty)
     intercept[IllegalArgumentException] { Writers.readMergeTable(spark, path) }
     Writers.writeMergeTable(merges, path, "v0001")
     // round-trip: the stored table IS the trained table, rule for rule
@@ -197,7 +197,7 @@ class BpeSpec extends GraftSuite {
     val merges2 = Bpe.bpeTrain(
       Seq((0L, "aa aa ab")).toDF("doc_id", "text"), $"text", 2)
     Writers.writeMergeTable(merges2, path, "v0002")
-    assert(Writers.latestMergeTableVersion(path).contains("v0002"))
+    assert(Writers.latestMergeTableVersion(spark, path).contains("v0002"))
     assert(Writers.readMergeTable(spark, path).count() == merges2.count())
     assert(Writers.readMergeTable(spark, path, Some("v0001"))
       .as[(Int, String, String, String)].collect().toSeq.sortBy(_._1) == orig)
@@ -207,6 +207,15 @@ class BpeSpec extends GraftSuite {
     Writers.writeMergeTable(corrupt, path, "v0003")
     intercept[IllegalArgumentException] {
       Writers.readMergeTable(spark, path, Some("v0003"))
+    }
+    // scheme-prefixed paths resolve like any Spark sink (Hadoop FS, not
+    // java.nio): the SAME artifact is visible through "file:" + path, and
+    // immutability still holds there
+    assert(Writers.latestMergeTableVersion(spark, "file:" + path).contains("v0003"))
+    assert(Writers.readMergeTable(spark, "file:" + path, Some("v0001"))
+      .as[(Int, String, String, String)].collect().toSeq.sortBy(_._1) == orig)
+    intercept[IllegalArgumentException] {
+      Writers.writeMergeTable(merges, "file:" + path, "v0001")
     }
   }
 }

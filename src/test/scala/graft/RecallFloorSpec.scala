@@ -62,12 +62,15 @@ class RecallFloorSpec extends GraftSuite {
     // (vec_id >= Off with vec_id % Off < 10) from the corpus, forcing the
     // methods to find GENUINE weakly-correlated neighbors among 19,910
     // vectors. Knobs below are the exact q27/q48/q63/q65 contract knobs.
+    // honor the same SF1_DIR override scripts/verify_sf1.sh documents, so
+    // the spec validates the corpus the user actually generated
+    val sf1Dir = sys.env.getOrElse("SF1_DIR", "/tmp/sf1")
     assume(java.nio.file.Files.exists(
-        java.nio.file.Paths.get("/tmp/sf1/embeddings.parquet")),
-      "sf1 corpus not generated; run scripts/verify_sf1.sh first")
+        java.nio.file.Paths.get(s"$sf1Dir/embeddings.parquet")),
+      s"sf1 corpus not generated; run scripts/verify_sf1.sh first ($sf1Dir)")
     import graft.operators.Similarity
     val Off = 10000001L
-    val embs = graft.sources.Readers.table(spark, "/tmp/sf1", "embeddings")
+    val embs = graft.sources.Readers.table(spark, sf1Dir, "embeddings")
       .filter(!(col("vec_id") >= Off && pmod(col("vec_id"), lit(Off)) < 10))
     val queries = embs.filter(col("vec_id") < 10)
     def top5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -78,7 +81,10 @@ class RecallFloorSpec extends GraftSuite {
     val measured = Seq(
       ("lsh 4x16", 0.8, top5(Similarity.lshTopK(embs, queries, "vec_id", "embedding",
         5, 4, 16))),
-      ("ivf 16/4", 0.8, top5(Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      // IVF keeps its sf0.1 contract floor of 0.9 (measured 1.000 here);
+      // lowering it at sf1 would let a silent quality regression through
+      // under a test title that claims the contract floors hold
+      ("ivf 16/4", 0.9, top5(Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
         5, 16, 4, kmeansIters = 1))),
       // PQ prescreen depth is a FRACTION knob, not a count (the r9 finding:
       // the contract's fixed candidates=200/100 measured 0.50 recall here —
