@@ -130,6 +130,35 @@ object Bpe {
     out.toArray
   }
 
+  /** Encode ONE word against ranked merge rules — the per-word kernel
+    * [[encodeVocab]] applies at vocabulary grain, public so the streaming
+    * ingest tokenizer can run the SAME scan per word instance (one
+    * definition, so batch and stream cannot drift). Splits by CODEPOINT
+    * (training's `split(word, "")` yields whole codepoints; a UTF-16
+    * code-unit split would start non-BMP words from lone surrogates and
+    * trained merges would never apply), appends `</w>`, then applies every
+    * rule in rank order with the greedy left-to-right scan.
+    */
+  def encodeWord(word: String, rules: Array[(String, String)]): Array[String] = {
+    var syms = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))) :+ "</w>"
+    var i = 0
+    while (i < rules.length) {
+      syms = applyMergeLocal(syms, rules(i)._1, rules(i)._2)
+      i += 1
+    }
+    syms
+  }
+
+  /** The ranked (left, right) rule array of a merge table — the ≤ numMerges
+    * rows collected in rank order (the kmeansCentroids tiny-model pattern),
+    * ready for [[encodeWord]] / broadcast.
+    */
+  def rankedRules(merges: DataFrame): Array[(String, String)] = merges
+    .orderBy(col("merge_rank"))
+    .select(col("left"), col("right"))
+    .collect().map(r => (r.getString(0), r.getString(1)))
+
   private val encodedSchema = StructType(Seq(
     StructField("word", StringType, nullable = true),
     StructField("symbols", ArrayType(StringType, containsNull = false),
@@ -145,31 +174,13 @@ object Bpe {
     * (word, symbols).
     */
   def encodeVocab(words: DataFrame, merges: DataFrame): DataFrame = {
-    val ranked: Array[(String, String)] = merges
-      .orderBy(col("merge_rank"))
-      .select(col("left"), col("right"))
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    val bc = words.sparkSession.sparkContext.broadcast(ranked)
+    val bc = words.sparkSession.sparkContext.broadcast(rankedRules(merges))
     val enc = org.apache.spark.sql.Encoders.row(encodedSchema)
     words.select(col("word").cast(StringType).as("word"))
       .filter(col("word").isNotNull).distinct()
       .mapPartitions { rows =>
         val ms = bc.value
-        rows.map { row =>
-          val w = row.getString(0)
-          // split by CODEPOINT, not UTF-16 code unit: training's
-          // split(word, "") yields whole codepoints, and a code-unit
-          // split would start non-BMP words from lone surrogates —
-          // trained merges would never apply (spec: emoji round-trip)
-          var syms = (w.codePoints().toArray
-            .map(cp => new String(Character.toChars(cp))) :+ "</w>")
-          var i = 0
-          while (i < ms.length) {
-            syms = applyMergeLocal(syms, ms(i)._1, ms(i)._2)
-            i += 1
-          }
-          Row(w, syms.toSeq)
-        }
+        rows.map(row => Row(row.getString(0), encodeWord(row.getString(0), ms).toSeq))
       }(enc)
   }
 

@@ -236,6 +236,61 @@ object DocsStream {
       .select(col("window.start").as("part"), col("grp"), col("item"), col("c_st"))
   }
 
+  /** BPE tokenization at ingest against the PINNED vocabulary artifact
+    * ([[graft.sources.Writers.readMergeTable]]) — the streaming face of
+    * [[graft.operators.Bpe.bpeEncode]]: per arriving document, whitespace
+    * words, BPE tokens under the stored merge table, and fertility. This
+    * is WHY the merge table is a versioned artifact: ingest must tokenize
+    * with the pinned vocabulary, never retrain per batch.
+    *
+    * STATELESS map-side encode (the DocsStream contract): the merge table
+    * (≤ numMerges rows by construction) broadcasts as ranked rules and
+    * each document is encoded in one `mapPartitions` walk — no state
+    * store, no stream-batch join, no per-batch distinct. The batch
+    * operator's vocab-grain encode (one encode per DISTINCT corpus word)
+    * is a corpus-scale optimization; an ingest micro-batch is small, and
+    * per-instance encode is what keeps the stream stateless. Same
+    * [[graft.operators.Bpe.encodeWord]] kernel and same
+    * `split(trim(text), " ")` word semantics as batch, so stream rows
+    * equal batch rows bit-for-bit (spec-asserted). EAGER: collecting the
+    * tiny merge table runs a batch job before the query starts.
+    */
+  def bpeTokenizeStream(docs: DataFrame, id: Column, text: Column,
+                        merges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      graft.operators.Bpe.rankedRules(merges))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("fertility", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(id.cast("long").as("doc_id"), text.cast("string").as("t"))
+      .mapPartitions { rows =>
+        val ms = bc.value
+        rows.map { r =>
+          val t = if (r.isNullAt(1)) "" else r.getString(1)
+          // Spark's trim strips the SPACE character only (not \t/\n like
+          // String.trim) — replicate exactly, then split(" ") and drop
+          // empty tokens like bpeEncode's length(word) > 0 filter
+          var s = 0; var e = t.length
+          while (s < e && t.charAt(s) == ' ') s += 1
+          while (e > s && t.charAt(e - 1) == ' ') e -= 1
+          val words = t.substring(s, e).split(" ").filter(_.nonEmpty)
+          var nTok = 0L
+          words.foreach(w => nTok += graft.operators.Bpe.encodeWord(w, ms).length)
+          val nw = words.length.toLong
+          val fert =
+            if (nw == 0) null
+            else java.lang.Double.valueOf(
+              math.floor(nTok.toDouble / nw * 10000.0 + 0.5) / 10000.0)
+          Row(if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+            nw, nTok, fert)
+        }
+      }(enc)
+  }
+
   /** Part 2 of 2: the vocab-sized batch finisher over the emitted window
     * counts — one drift table per window, bit-identical to running the
     * batch q94 operator on that window's documents (exact DECIMAL

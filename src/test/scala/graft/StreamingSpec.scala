@@ -779,6 +779,46 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming BPE tokenization against the stored merge table equals batch bpeEncode (r9)") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    import graft.sources.Writers
+    import graft.streaming.DocsStream
+    // train on a small corpus, PIN the vocabulary as a versioned artifact,
+    // then tokenize a stream (including adversarial rows: null text, empty,
+    // doubled spaces, non-BMP word) against the STORED table — rows must
+    // equal the batch operator's bit-for-bit
+    val train = Seq((0L, "low low newest"), (1L, "lower widest newest"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.bpeTrain(train, $"text", 6)
+    val artifact = java.nio.file.Files.createTempDirectory("graft-bpe-stream")
+      .toString + "/merges"
+    Writers.writeMergeTable(merges, artifact, "v0001")
+    val stored = Writers.readMergeTable(spark, artifact)
+    val docs = Seq((10L, "low newest newest"), (11L, null),
+      (12L, ""), (13L, "  low   lower  "), (14L, "😀😀 low"))
+      .toDF("doc_id", "text")
+    val staged = java.nio.file.Files.createTempDirectory("graft-bpe-docs").toString
+    docs.write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(staged)
+    val q = DocsStream.bpeTokenizeStream(stream, col("doc_id"), col("text"), stored)
+      .writeStream.outputMode("append").format("memory").queryName("bpe_tok").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_tok")
+        .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+      val batch = Bpe.bpeEncode(docs, $"doc_id", $"text", stored)
+        .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+      assert(streamed == batch, s"\nstream: $streamed\nbatch:  $batch")
+      // sanity on the adversarial rows: null/empty/spaces-only handled,
+      // non-BMP word encoded (not dropped)
+      val m = streamed.map(r => r._1 -> r).toMap
+      assert(m(11L)._2 == 0L && m(11L)._4.isEmpty, "null text = empty doc")
+      assert(m(12L)._2 == 0L && m(13L)._2 == 2L)
+      assert(m(14L)._2 == 2L && m(14L)._3 > 0L)
+    } finally q.stop()
+  }
+
   test("streaming windowed heavy hitters: candidates contain every true in-window hitter") {
     import org.apache.spark.sql.functions.{col, get_json_object, window => fwindow, count => fcount, lit => flit, explode}
     val staged = java.nio.file.Files.createTempDirectory("graft-hh").toString
