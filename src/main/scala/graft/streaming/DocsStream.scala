@@ -223,17 +223,29 @@ object DocsStream {
     */
   def windowedSourceTokenCounts(docs: DataFrame, source: Column, text: Column,
                                 windowDuration: String, watermark: String): DataFrame = {
-    // window()/withWatermark() accept TIMESTAMP_NTZ natively (Spark ≥ 3.4),
-    // so the NTZ column is windowed directly — no cast round-trip through
-    // session-zoned TIMESTAMP, whose hour boundaries could shift under a
-    // non-UTC session with a fractional-hour offset or across a DST gap.
-    // The window struct inherits ts's type, so output typing is automatic.
+    // Event-time state REQUIRES TIMESTAMP: Spark (through 4.1) rejects a
+    // TIMESTAMP_NTZ watermark column with EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    // TYPE (verified against this build; StreamingSpec drives this function
+    // with a genuine NTZ source so the routing cannot silently regress).
+    // An NTZ `ts` is therefore routed through TIMESTAMP for the stateful
+    // part and the window bound cast back — a wall-clock IDENTITY under
+    // this engine's pinned UTC session zone (Verify/Bench/tests configure
+    // spark.sql.session.timeZone=UTC). CAVEAT, documented per the r8
+    // review: under a NON-UTC session the cast is an instant re-label, and
+    // a fractional-hour offset or DST gap can shift hour-window boundaries
+    // relative to windowing the NTZ wall clock directly — run the monitor
+    // in a UTC session (as every graft entry point does).
+    val ntzIn = docs.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    val start =
+      if (ntzIn) col("window.start").cast("timestamp_ntz") else col("window.start")
     docs
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .select(col("ts"), source.as("grp"), explode(TextFns.tokens(text)).as("item"))
       .groupBy(window(col("ts"), windowDuration), col("grp"), col("item"))
       .agg(count(lit(1)).as("c_st"))
-      .select(col("window.start").as("part"), col("grp"), col("item"), col("c_st"))
+      .select(start.as("part"), col("grp"), col("item"), col("c_st"))
   }
 
   /** BPE tokenization at ingest against the PINNED vocabulary artifact

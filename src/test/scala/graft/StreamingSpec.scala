@@ -738,6 +738,41 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("source-drift monitor accepts a TIMESTAMP_NTZ source and emits NTZ windows (r9)") {
+    import graft.streaming.DocsStream
+    // the testdata's native ts type is NTZ, and Spark (through 4.1) REJECTS
+    // an NTZ watermark column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — the
+    // monitor must route NTZ through TIMESTAMP for the stateful part and
+    // cast the window bound back. The earlier specs all fed TIMESTAMP, so
+    // a broken NTZ path compiled and passed; this one drives the real type.
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-ntz").toString
+    spark.range(4).selectExpr("id AS doc_id", "'a' AS source", "'x y' AS text",
+        "CAST(timestamp_ntz'2024-03-01 00:10:00' + " +
+          "make_interval(0,0,0,0,CAST(id AS INT),0,0) AS TIMESTAMP_NTZ) AS ts")
+      .write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, source STRING, text STRING, ts TIMESTAMP_NTZ")
+      .parquet(dir)
+    val out = DocsStream.windowedSourceTokenCounts(stream, col("source"),
+      col("text"), "1 hour", "30 minutes")
+    // output window bound keeps the source's own type
+    assert(out.schema("part").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("drift_ntz").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("drift_ntz")
+        .select(col("part").cast("string"), col("item"), col("c_st")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // 4 docs across hours 00..03, each contributing (x,1) and (y,1)
+      assert(got.size == 8 && got.contains(("2024-03-01 00:00:00", "x", 1L)),
+        s"unexpected NTZ windows: $got")
+    } finally q.stop()
+  }
+
   test("source-drift monitor state is vocab-bounded, not volume-bounded, across micro-batches (r9)") {
     import spark.implicits._
     import graft.streaming.DocsStream
