@@ -54,6 +54,12 @@ case class ColumnProfile(column_name: String, n: Long, mean: Double,
   */
 case class CorrCell(x_col: String, y_col: String, n: Long, corr: Option[Double])
 
+/** Per-document tokenization profile under a pinned BPE vocabulary.
+  * `fertility` (tokens/word) is None for empty documents.
+  */
+case class TokenProfile(doc_id: Long, n_words: Long, n_tokens: Long,
+                        fertility: Option[Double])
+
 object Typed {
 
   def events(spark: SparkSession, dir: String): Dataset[Event] = {
@@ -244,5 +250,18 @@ object Typed {
     graft.operators.Relational.correlationMatrix(ds.toDF(),
         cols.map(c => c -> col(c)), scale)
       .as[CorrCell]
+  }
+
+  /** BPE tokenization profile under a trained (typically pinned —
+    * [[graft.sources.Writers.readMergeTable]]) merge table, typed
+    * ([[graft.operators.Bpe.bpeEncode]] — vocab-grain encode, one encode
+    * per DISTINCT word joined back to the corpus). NULL text = the empty
+    * document, per the façade contract.
+    */
+  def bpeTokenize(ds: Dataset[Document],
+                  merges: org.apache.spark.sql.DataFrame): Dataset[TokenProfile] = {
+    import ds.sparkSession.implicits._
+    graft.operators.Bpe.bpeEncode(ds.toDF(), col("doc_id"), textOrEmpty, merges)
+      .as[TokenProfile]
   }
 }

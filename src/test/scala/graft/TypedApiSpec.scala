@@ -199,4 +199,22 @@ class TypedApiSpec extends GraftSuite {
     assert(m(("value", "v2")).contains(1.0))
     assert(m(("value", "konst")).isEmpty && m(("v2", "konst")).isEmpty)
   }
+
+  test("typed bpeTokenize equals the relational bpeEncode and treats null text as empty (r9)") {
+    import graft.api.Document
+    import graft.operators.Bpe
+    val docs = Seq(
+      Document(1L, "low low newest", "en", "a", 14L),
+      Document(2L, null, "en", "a", 0L),
+      Document(3L, "lower widest", "en", "b", 12L)).toDS()
+    val merges = Bpe.bpeTrain(docs.toDF(), coalesce($"text", lit("")), 6)
+    val typed = Typed.bpeTokenize(docs, merges)
+      .collect().map(p => (p.doc_id, p.n_words, p.n_tokens, p.fertility)).toSet
+    val rel = Bpe.bpeEncode(docs.toDF(), $"doc_id", coalesce($"text", lit("")), merges)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(typed == rel && typed.size == 3)
+    val m = typed.map(p => p._1 -> p).toMap
+    assert(m(2L) == ((2L, 0L, 0L, None)), "null text = empty doc: zero counts, no fertility")
+    assert(m(1L)._2 == 3L && m(1L)._3 > 0L && m(1L)._4.nonEmpty)
+  }
 }
