@@ -4,7 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev harness: run a subset of SparkEntry.queries by name (or all, with
   * `all`) against a testdata dir and print row counts / schemas / timings.
-  * Usage: runMain graft.RunQueries <sfDir> <q1,q2,...|all> [explain]
+  * Usage: runMain graft.RunQueries <sfDir> <q1,q2,...|all> [explain|-] [timeoutSec]
+  *
+  * With a positive `timeoutSec`, each query — plan CONSTRUCTION included
+  * (eager operators like localCheckpoint run jobs at build time) — runs
+  * under a cancellable job group with a wall-clock budget: a quadratic
+  * blow-up at a big scale factor prints TIMEOUT and the sweep continues,
+  * instead of one query eating the whole run. That is what makes an
+  * engine-side sf10 sweep (100× bench scale, no oracle) practical.
   */
 object RunQueries {
   def main(args: Array[String]): Unit = {
@@ -13,6 +20,7 @@ object RunQueries {
       if (args.length < 2 || args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
       else args(1).split(",").toSeq
     val explain = args.length > 2 && args(2) == "explain"
+    val timeoutSec = if (args.length > 3) args(3).toLong else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,21 +31,48 @@ object RunQueries {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    var nOk, nFail, nTimeout = 0
     names.foreach { name =>
       val t0 = System.nanoTime()
-      try {
+      def build(): (Long, String) = {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (explain) df.explain("formatted")
-        val n = df.count()
+        (df.count(),
+          df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
+      }
+      try {
+        val (n, schema) =
+          if (timeoutSec <= 0) build()
+          else {
+            import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+            import scala.concurrent.duration._
+            implicit val ec: ExecutionContext = ExecutionContext.global
+            // the job group must be set on the thread that RUNS the jobs
+            // (it is thread-local), so the whole build happens in the future
+            val f = Future {
+              spark.sparkContext.setJobGroup(s"rq-$name", name, interruptOnCancel = true)
+              try build() finally spark.sparkContext.clearJobGroup()
+            }
+            try Await.result(f, timeoutSec.seconds)
+            catch {
+              case _: TimeoutException =>
+                spark.sparkContext.cancelJobGroup(s"rq-$name")
+                throw new RuntimeException(s"TIMEOUT after ${timeoutSec}s")
+            }
+          }
         val secs = (System.nanoTime() - t0) / 1e9
-        val schema = df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        nOk += 1
         println(f"OK   $name rows=$n%-8d ${secs}%5.2fs  $schema")
       } catch { case e: Throwable =>
-        println(s"FAIL $name ${e.toString.linesIterator.next().take(300)}")
+        val msg = e.toString.linesIterator.next().take(300)
+        if (msg.contains("TIMEOUT")) nTimeout += 1 else nFail += 1
+        println(s"FAIL $name $msg")
       }
+      System.out.flush()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    println(s"[runqueries] $sfDir ok=$nOk fail=$nFail timeout=$nTimeout of ${names.size}")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Unofficial sf1-scale testdata generator (judge r7 #6): 10 key-shifted
@@ -29,51 +29,89 @@ import org.apache.spark.sql.functions._
   * Run: `sbt "Test/runMain graft.GenSf1"`, then
   * `sbt "runMain graft.Verify /tmp/sf1 /tmp/verify_sf1"` and
   * `python3 scripts/check.py /tmp/sf1 /tmp/verify_sf1`. Evidence: SURVEY §6.
+  *
+  * The core is [[GenScaled.gen]], shared with [[GenSf10]] (the 10× stack on
+  * TOP of sf1 — 100× the driver bench scale, engine-side verification only).
   */
 object GenSf1 {
-  private final val Copies = 10
-  // NOT a multiple of 1000: q09's synthetic coordinates derive from
-  // c_custkey % 1000, so a 1000-divisible offset would give every copy
-  // IDENTICAL coordinates (10× multiplicity per lattice point — the first
-  // r8 attempt measured 11.17M pair rows); +1 shifts each copy's lattice
-  // by ~100 m instead
-  private final val Off = 10000001L
-
   def main(args: Array[String]): Unit = {
     val s = SparkTestBase.spark
     s.sparkContext.setLogLevel("ERROR")
-    val src = "/root/testdata/sf0.1"
     val dst = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    // Off is NOT a multiple of 1000: q09's synthetic coordinates derive
+    // from c_custkey % 1000, so a 1000-divisible offset would give every
+    // copy IDENTICAL coordinates (10× multiplicity per lattice point — the
+    // first r8 attempt measured 11.17M pair rows); +1 shifts each copy's
+    // lattice by ~100 m instead
+    GenScaled.gen(s, "/root/testdata/sf0.1", dst, copies = 10,
+      off = 10000001L, files = 1)
+    s.stop()
+  }
+}
 
+/** sf10: ten key-shifted copies of the GENERATED /tmp/sf1 — 60M lineitem
+  * rows, 500k documents, 200k vectors; 100× the driver's bench scale.
+  * Engine-side verification only (run the queries, count, time — the
+  * DuckDB oracle loop is for sf0.01…sf1): see `RunQueries` with its
+  * per-query timeout. Tables land as DIRECTORIES of 8 part files
+  * (`<dst>/<name>.parquet/`), the multi-file layout a real corpus has —
+  * Spark reads them identically.
+  */
+object GenSf10 {
+  def main(args: Array[String]): Unit = {
+    val s = SparkTestBase.spark
+    s.sparkContext.setLogLevel("ERROR")
+    val src = if (args.length > 1) args(1) else "/tmp/sf1"
+    val dst = if (args.nonEmpty) args(0) else "/tmp/sf10"
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$src/embeddings.parquet")),
+      s"source corpus $src not generated; run GenSf1 first")
+    // bigger than any sf1 id (~1.02×10⁸); % 1000 == 3, so copies' q09
+    // lattices stay distinct (the GenSf1 rule)
+    GenScaled.gen(s, src, dst, copies = 10, off = 200000003L, files = 8)
+    s.stop()
+  }
+}
+
+private object GenScaled {
+
+  def gen(s: SparkSession, src: String, dst: String, copies: Int,
+          off: Long, files: Int): Unit = {
     def table(name: String): DataFrame = graft.sources.Readers.table(s, src, name)
 
     def writeOne(name: String, df: DataFrame): Unit = {
       val raw = s"$dst/_raw_$name"
-      df.coalesce(1).write.mode("overwrite")
+      df.coalesce(files).write.mode("overwrite")
         // small blocks force MULTIPLE row groups per file at this size —
         // the scan regime sf0.1's one-group files never exercise
         .option("parquet.block.size", (16L * 1024 * 1024).toString)
         .parquet(raw)
       val dir = java.nio.file.Paths.get(raw)
-      // Files.list/walk streams hold a directory handle until closed —
-      // scala.util.Using closes them even on a throw (10+ tables per run
-      // would otherwise leak 10+ handles for the generator's lifetime)
-      val part = scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
-        st.filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow()
-      }
       val target = java.nio.file.Paths.get(s"$dst/$name.parquet")
-      java.nio.file.Files.move(part, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // clean the temp dir (part file already moved out)
-      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      if (files == 1) {
+        // single-file layout (the driver's): move the one part file out
+        // Files.list/walk streams hold a directory handle until closed —
+        // scala.util.Using closes them even on a throw
+        val part = scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+          st.filter(_.toString.endsWith(".parquet")).findFirst().orElseThrow()
+        }
+        java.nio.file.Files.move(part, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      } else {
+        // multi-file layout: the whole directory becomes <name>.parquet
+        graft.sources.Writers.deleteRecursively(target)
+        java.nio.file.Files.move(dir, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
-      println(s"[gensf1] wrote $target")
+      println(s"[genscaled] wrote $target")
     }
 
-    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until Copies).map(i => shift(df, i)).reduce(_ unionByName _)
+    def copiesOf(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => shift(df, i)).reduce(_ unionByName _)
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
 
@@ -81,42 +119,45 @@ object GenSf1 {
     writeOne("region", table("region"))
     writeOne("nation", table("nation"))
 
-    writeOne("customer", copies(table("customer")) { (df, i) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(i * Off))
+    writeOne("customer", copiesOf(table("customer")) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * off))
     })
-    writeOne("supplier", copies(table("supplier")) { (df, i) =>
-      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * Off))
+    writeOne("supplier", copiesOf(table("supplier")) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * off))
     })
-    writeOne("part", copies(table("part")) { (df, i) =>
-      df.withColumn("p_partkey", col("p_partkey") + lit(i * Off))
+    writeOne("part", copiesOf(table("part")) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * off))
     })
-    writeOne("orders", copies(table("orders")) { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * Off))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * Off))
+    writeOne("orders", copiesOf(table("orders")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * off))
     })
-    writeOne("lineitem", copies(table("lineitem")) { (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * Off))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * Off))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * Off))
+    writeOne("lineitem", copiesOf(table("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * off))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * off))
     })
-    writeOne("events", copies(table("events")) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * Off))
-        .withColumn("user_id", col("user_id") + lit(i * Off))
+    writeOne("events", copiesOf(table("events")) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * off))
+        .withColumn("user_id", col("user_id") + lit(i * off))
     })
-    writeOne("documents", copies(table("documents")) { (df, i) =>
-      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * Off))
+    writeOne("documents", copiesOf(table("documents")) { (df, i) =>
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * off))
       if (i == 0) shifted
       else {
         // deterministic per-copy token permutation, POSITION-salted (see
         // the class doc): token multiset (and so most corpus statistics)
         // preserved; each doc's order is independent, so shingle sets
-        // collide across docs only by chance
+        // collide across docs only by chance. The salt hashes the COPY
+        // OFFSET too, so stacked generations (sf1 → sf10) never reuse a
+        // previous level's permutation for the same copy index.
         val toks = filter(split(col("text"), " "), t => t =!= "")
         val permuted = concat_ws(" ",
           transform(
             array_sort(transform(toks,
               (t, pos) => struct(
-                xxhash64(concat(t, lit("#"), pos.cast("string"), lit(s"#$i"))).as("h"),
+                xxhash64(concat(t, lit("#"), pos.cast("string"),
+                  lit(s"#$i#$off"))).as("h"),
                 t.as("t")))),
             st => st.getField("t")))
         // NULL texts must STAY NULL (concat_ws over a NULL array would
@@ -127,8 +168,8 @@ object GenSf1 {
           .withColumn("n_chars", length(col("text")).cast("long"))
       }
     })
-    writeOne("embeddings", copies(table("embeddings")) { (df, i) =>
-      val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * Off))
+    writeOne("embeddings", copiesOf(table("embeddings")) { (df, i) =>
+      val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * off))
       if (i == 0) shifted
       else {
         // per-element jitter in [0, 1e-3): identical vectors across copies
@@ -141,7 +182,5 @@ object GenSf1 {
         shifted.withColumn("embedding", jittered.cast("array<float>"))
       }
     })
-
-    s.stop()
   }
 }
