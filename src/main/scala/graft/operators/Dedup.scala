@@ -828,12 +828,36 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label id — at scale an LSH bucket, see Similarity.lshTopK).
+    *
+    * The pair join is SLICE-SALTED: the probe side is replicated across
+    * `slices` hash slices of the build side, so the join key is
+    * (blk, slice) instead of blk alone. Candidate count is unchanged —
+    * exact all-pairs within a block is Θ(|block|²) by contract — but the
+    * duplicate-key cross product that a plain blk-equi-join hands one
+    * task per block (the r9 sf10 sweep measured q25 blowing a 600 s
+    * budget: 10 label keys × 20k-row buffers, each re-iterated 20k times
+    * from a spilled row array) is cut into blk×slices groups whose
+    * buffered side is |block|/slices rows — memory-resident, codegen
+    * inner loop, and slices× the parallelism. Each (a < b) pair still
+    * appears exactly once: `a` is replicated to EVERY slice, `b` sits in
+    * its one hash slice, so the pair meets only at slice(b). Result set
+    * is bit-identical to the unsalted join (spec-pinned); only the
+    * physical shape changes. At 100 TB the same rule holds: pick
+    * `slices` so a block's slice fits a task — the documented regime for
+    * exact within-block pairing (tighter blocking, e.g. [[semanticDedup]]
+    * cells, is the path when even Θ(|block|²) compute is too much).
     */
   def embeddingCosinePairs(embs: DataFrame, id: Column, vec: Column, block: Column,
-                           minCos: Double): DataFrame = {
+                           minCos: Double, slices: Int = 16): DataFrame = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
     val t = embs.select(id.as("vec_id"), vec.as("v"), block.as("blk"))
-    t.as("a").join(t.as("b"),
-        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+    val probe = t.withColumn("slice",
+      explode(sequence(lit(0), lit(slices - 1))))
+    val build = t.withColumn("slice",
+      pmod(xxhash64(col("vec_id")), lit(slices.toLong)).cast("int"))
+    probe.as("a").join(build.as("b"),
+        col("a.blk") === col("b.blk") && col("a.slice") === col("b.slice") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(NativeFns.cosineSim(col("a.v"), col("b.v")), 3).as("cos"))
       .filter(col("cos") >= minCos)

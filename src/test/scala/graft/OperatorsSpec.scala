@@ -988,4 +988,19 @@ class OperatorsSpec extends GraftSuite {
       assert(got(t)._3 == kept.agg(sum($"w")).head().getLong(0))
     }
   }
+
+  test("embeddingCosinePairs slice salting is result-invariant (r9 sf10 fix)") {
+    // the salted pair join (blk × slices keys, bounded buffers) must emit
+    // the EXACT pair set of the unsalted blk-equi-join it replaces — on
+    // real corpus data, where every label block is > slices wide
+    val embs = graft.sources.Readers.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val unsalted = Dedup.embeddingCosinePairs(
+      embs, $"vec_id", $"embedding", $"label", 0.3, slices = 1)
+    val salted = Dedup.embeddingCosinePairs(
+      embs, $"vec_id", $"embedding", $"label", 0.3, slices = 16)
+    val a = unsalted.collect().map(_.toSeq).toSet
+    val b = salted.collect().map(_.toSeq).toSet
+    assert(a.nonEmpty, "equivalence check must cover a non-empty pair set")
+    assert(a == b, s"salted/unsalted diverge: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+  }
 }
