@@ -417,13 +417,35 @@ object Dedup {
     * size + one corpus-index scan — the corpus documents themselves are
     * never re-read. Results are identical to [[ngramJaccardAgainst]] on the
     * same inputs (the index is the same relation, materialized).
+    *
+    * `maxDocFreq` is the ingest-time fan-out guard: shingles whose CORPUS
+    * document frequency exceeds it are excluded from candidate generation
+    * (sizes stay full → scores are lower bounds, survivors true positives —
+    * the [[ngramJaccardPairsCapped]] contract; the default is exact).
     */
   def ngramJaccardAgainstIndex(corpusIndex: DataFrame,
                                batch: DataFrame, batchId: Column, batchText: Column,
                                n: Int, minJaccard: Double,
                                persistIndex: Boolean = false,
-                               corpusSizes: Option[DataFrame] = None): DataFrame = {
-    val ci = corpusIndex
+                               corpusSizes: Option[DataFrame] = None,
+                               maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // df cap on the CORPUS side of the cross-set join — the ingest-time
+    // fan-out guard (the r9 sf10 sweep measured the uncapped cross-set
+    // contract timing out at 100× on a vocab-degenerate corpus: per-shingle
+    // fan-out is df_batch × df_corpus, and df_corpus is the unbounded
+    // dimension at 100 TB). Join rows for shingles with corpus df >
+    // maxDocFreq are dropped BEFORE pair counting; sizes stay FULL, so
+    // n_common only shrinks: the emitted jaccard is a provable lower bound
+    // and every surviving pair is a true >= minJaccard pair (the
+    // ngramJaccardPairsCapped contract; cap >= corpus restores exactness,
+    // spec-asserted). df computed per retained shingle is correct even
+    // under [[pruneIndexToBatch]] — pruning keeps ALL rows of a retained
+    // hash, so per-hash counts are unchanged.
+    val ci =
+      if (maxDocFreq >= Long.MaxValue) corpusIndex
+      else corpusIndex.join(
+        corpusIndex.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select(col("sh_h")), "sh_h")
     // the batch index feeds two branches; the gate persists only the batch —
     // the corpus side is the caller's artifact (already cached or on disk)
     val biRaw = shingleIndex(batch, batchId, batchText, n, "batch_id")
@@ -431,10 +453,12 @@ object Dedup {
     // per-corpus-doc shingle counts: from the sizes artifact when provided
     // (REQUIRED whenever `corpusIndex` was prefiltered, e.g. by
     // [[pruneIndexToBatch]] — sizes derived from a pruned index would
-    // undercount n_c and inflate every jaccard), else from the index
+    // undercount n_c and inflate every jaccard), else from the UNCAPPED
+    // index (`corpusIndex`, not `ci`: df-capped sizes would undercount the
+    // same way and break the lower-bound contract)
     val cSizes = corpusSizes
       .map(_.select(col("corpus_id"), col("n_c")))
-      .getOrElse(ci.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_c")))
+      .getOrElse(corpusIndex.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_c")))
     val bSizes = bi.groupBy(col("batch_id")).agg(count(lit(1)).as("n_b"))
     val common = bi.join(ci, "sh_h")
       .groupBy(col("batch_id"), col("corpus_id"))

@@ -139,6 +139,30 @@ class OperatorsSpec extends GraftSuite {
         batch, $"doc_id", $"text", 3, 0.2)
       .as[(Long, Long, Double)].collect().toSet
     assert(viaIndex == direct)
+
+    // maxDocFreq >= corpus size restores exactness (the q52 cap contract,
+    // now on the cross-set ingest operator)
+    val cappedWide = Dedup.ngramJaccardAgainstIndex(spark.read.parquet(dir),
+        batch, $"doc_id", $"text", 3, 0.2, maxDocFreq = 1000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cappedWide == direct)
+
+    // a tight cap yields a LOWER BOUND: every emitted pair also appears
+    // uncapped, with capped jaccard <= exact jaccard pairwise (sizes stay
+    // full — only n_common can shrink)
+    val exactAll = Dedup.ngramJaccardAgainstIndex(spark.read.parquet(dir),
+        batch, $"doc_id", $"text", 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (b, c, j) => (b, c) -> j }.toMap
+    val cappedTight = Dedup.ngramJaccardAgainstIndex(spark.read.parquet(dir),
+        batch, $"doc_id", $"text", 3, 0.0, maxDocFreq = 3L)
+      .as[(Long, Long, Double)].collect()
+    assert(cappedTight.nonEmpty && cappedTight.length < exactAll.size,
+      "cap=3 must actually drop candidates on the a-b-c-d clique corpus")
+    cappedTight.foreach { case (b, c, j) =>
+      assert(exactAll.contains((b, c)) && j <= exactAll((b, c)),
+        s"capped pair ($b,$c,$j) must lower-bound the exact ${exactAll.get((b, c))}")
+    }
   }
 
   test("Dedup.minhashLshPairs surfaces identical docs with est 1.0") {
