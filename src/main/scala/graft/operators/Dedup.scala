@@ -366,6 +366,26 @@ object Dedup {
   def indexSizes(corpusIndex: DataFrame): DataFrame =
     corpusIndex.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_c"))
 
+  /** Df-cap a standing index: drop every row of each shingle whose document
+    * frequency exceeds `maxDocFreq` — the candidate-generation fan-out guard
+    * as an ARTIFACT transformation. A production ingest applies this ONCE at
+    * index-build time (cap, then `Writers.writeSorted`) so the per-batch
+    * plan — including every micro-batch of
+    * [[graft.streaming.DocsStream.incrementalDedupStream]] — never re-runs
+    * the index-sized df aggregate that [[ngramJaccardAgainstIndex]]'s
+    * inline `maxDocFreq` knob costs per call. Pair the capped index with
+    * [[indexSizes]] computed from the UNCAPPED index (the same rule as
+    * [[pruneIndexToBatch]]): full sizes keep every emitted jaccard a
+    * provable lower bound (capping only shrinks n_common); sizes from the
+    * capped index would undercount n_c and can inflate scores above truth.
+    * Spec-asserted: capped-artifact + uncapped sizes ≡ the inline knob.
+    */
+  def capIndexByDf(corpusIndex: DataFrame, maxDocFreq: Long): DataFrame =
+    if (maxDocFreq >= Long.MaxValue) corpusIndex
+    else corpusIndex.join(
+      corpusIndex.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select(col("sh_h")), "sh_h")
+
   /** Prune a materialized (range-sorted) corpus index scan down to the
     * batch's own shingle hashes, when the batch is small enough to inline:
     * collect the batch's distinct sh_h values (one bounded action — at most
@@ -440,12 +460,10 @@ object Dedup {
     // ngramJaccardPairsCapped contract; cap >= corpus restores exactness,
     // spec-asserted). df computed per retained shingle is correct even
     // under [[pruneIndexToBatch]] — pruning keeps ALL rows of a retained
-    // hash, so per-hash counts are unchanged.
-    val ci =
-      if (maxDocFreq >= Long.MaxValue) corpusIndex
-      else corpusIndex.join(
-        corpusIndex.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq).select(col("sh_h")), "sh_h")
+    // hash, so per-hash counts are unchanged. A standing pipeline caps at
+    // index-BUILD time instead ([[capIndexByDf]] + uncapped [[indexSizes]])
+    // so this df aggregate doesn't re-run per ingest.
+    val ci = capIndexByDf(corpusIndex, maxDocFreq)
     // the batch index feeds two branches; the gate persists only the batch —
     // the corpus side is the caller's artifact (already cached or on disk)
     val biRaw = shingleIndex(batch, batchId, batchText, n, "batch_id")

@@ -163,6 +163,17 @@ class OperatorsSpec extends GraftSuite {
       assert(exactAll.contains((b, c)) && j <= exactAll((b, c)),
         s"capped pair ($b,$c,$j) must lower-bound the exact ${exactAll.get((b, c))}")
     }
+
+    // the standing-artifact form (capIndexByDf at index-build time +
+    // sizes from the UNCAPPED index) must equal the inline knob — the
+    // shape a production ingest actually materializes, cap paid once
+    val full = spark.read.parquet(dir)
+    val viaArtifact = Dedup.ngramJaccardAgainstIndex(
+        Dedup.capIndexByDf(full, 3L),
+        batch, $"doc_id", $"text", 3, 0.0,
+        corpusSizes = Some(Dedup.indexSizes(full)))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaArtifact == cappedTight.toSet)
   }
 
   test("Dedup.minhashLshPairs surfaces identical docs with est 1.0") {
