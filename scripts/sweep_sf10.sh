@@ -25,13 +25,17 @@ TIMEOUT=${TIMEOUT:-600}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16}
 LOG=${LOG:-/tmp/sweep_sf10.log}
 
-if [ ! -f "$SF1_DIR/embeddings.parquet" ]; then
-  echo "[sweep_sf10] generating $SF1_DIR (10x key-shifted sf0.1)"
+# _GENMETA.json vintage check (keep GENV in sync with GenScaled.genVersion):
+# absent, partial, or stale-vintage corpora regenerate from scratch
+GENV=2
+if ! grep -qs "\"gen_version\":$GENV," "$SF1_DIR/_GENMETA.json"; then
+  echo "[sweep_sf10] generating $SF1_DIR (10x key-shifted sf0.1; absent, partial, or stale vintage)"
+  rm -rf "$SF1_DIR"
   sbt -batch "Test/runMain graft.GenSf1 $SF1_DIR"
 fi
-# embeddings is GenScaled's LAST table — a directory in the sf10 layout
-if [ ! -d "$SF10_DIR/embeddings.parquet" ]; then
-  echo "[sweep_sf10] generating $SF10_DIR (10x key-shifted $SF1_DIR)"
+if ! grep -qs "\"gen_version\":$GENV," "$SF10_DIR/_GENMETA.json"; then
+  echo "[sweep_sf10] generating $SF10_DIR (10x key-shifted $SF1_DIR; absent, partial, or stale vintage)"
+  rm -rf "$SF10_DIR"
   sbt -batch "Test/runMain graft.GenSf10 $SF10_DIR $SF1_DIR"
 fi
 

@@ -19,13 +19,17 @@ DEST=${DEST:-CORRECTNESS_sf1.json}
 ORACLE_TIMEOUT=${ORACLE_TIMEOUT:-900}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16}
 
-# embeddings.parquet is GenSf1's LAST write — its presence means a
-# complete prior generation (a partial one regenerates from scratch)
-if [ ! -f "$SF1_DIR/embeddings.parquet" ]; then
-  echo "[verify_sf1] generating $SF1_DIR (10x key-shifted sf0.1)"
+# _GENMETA.json is GenScaled's LAST write and carries the generator-schema
+# version (keep GENV in sync with GenScaled.genVersion): a partial OR
+# stale-vintage prior generation regenerates from scratch, so the artifact
+# always reproduces from the CURRENT tree's generator
+GENV=2
+if ! grep -qs "\"gen_version\":$GENV," "$SF1_DIR/_GENMETA.json"; then
+  echo "[verify_sf1] generating $SF1_DIR (10x key-shifted sf0.1; absent, partial, or stale vintage)"
+  rm -rf "$SF1_DIR"
   sbt -batch "Test/runMain graft.GenSf1 $SF1_DIR"
 else
-  echo "[verify_sf1] reusing existing $SF1_DIR"
+  echo "[verify_sf1] reusing existing $SF1_DIR (gen_version=$GENV)"
 fi
 
 echo "[verify_sf1] running all queries at $SF1_DIR (local[$SPARK_GRAFT_CPUS])"

@@ -56,7 +56,19 @@ object RunQueries {
             try Await.result(f, timeoutSec.seconds)
             catch {
               case _: TimeoutException =>
-                spark.sparkContext.cancelJobGroup(s"rq-$name")
+                // ...AndFutureJobs, not plain cancelJobGroup: an iterative
+                // driver-side query (e.g. connected-components rounds) keeps
+                // SUBMITTING new jobs after the timeout; cancelJobGroup only
+                // kills the currently-active ones, so the zombie would run
+                // concurrently with — and inflate — every subsequent query's
+                // measured timing in the sweep artifact
+                spark.sparkContext.cancelJobGroupAndFutureJobs(s"rq-$name")
+                // wait (bounded) for the zombie to actually die so the next
+                // query is measured on a quiet scheduler
+                try Await.ready(f, 120.seconds)
+                catch { case _: TimeoutException => println(
+                  s"WARN $name still running 120s after cancellation; " +
+                  "subsequent timings may be polluted") }
                 throw new RuntimeException(s"TIMEOUT after ${timeoutSec}s")
             }
           }

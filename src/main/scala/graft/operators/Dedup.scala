@@ -380,11 +380,17 @@ object Dedup {
     * capped index would undercount n_c and can inflate scores above truth.
     * Spec-asserted: capped-artifact + uncapped sizes ≡ the inline knob.
     */
-  def capIndexByDf(corpusIndex: DataFrame, maxDocFreq: Long): DataFrame =
-    if (maxDocFreq >= Long.MaxValue) corpusIndex
+  def capIndexByDf(corpusIndex: DataFrame, maxDocFreq: Long): DataFrame = {
+    // df is always >= 1, so a non-positive cap would silently EMPTY the
+    // index and the pipeline would report zero near-duplicates; fail fast
+    // (the uncapped sentinel is Long.MaxValue, not 0)
+    require(maxDocFreq >= 1L,
+      s"maxDocFreq must be >= 1 (Long.MaxValue = uncapped), got $maxDocFreq")
+    if (maxDocFreq == Long.MaxValue) corpusIndex
     else corpusIndex.join(
       corpusIndex.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDocFreq).select(col("sh_h")), "sh_h")
+  }
 
   /** Prune a materialized (range-sorted) corpus index scan down to the
     * batch's own shingle hashes, when the batch is small enough to inline:

@@ -283,13 +283,10 @@ object DocsStream {
         val ms = bc.value
         rows.map { r =>
           val t = if (r.isNullAt(1)) "" else r.getString(1)
-          // Spark's trim strips the SPACE character only (not \t/\n like
-          // String.trim) — replicate exactly, then split(" ") and drop
-          // empty tokens like bpeEncode's length(word) > 0 filter
-          var s = 0; var e = t.length
-          while (s < e && t.charAt(s) == ' ') s += 1
-          while (e > s && t.charAt(e - 1) == ' ') e -= 1
-          val words = t.substring(s, e).split(" ").filter(_.nonEmpty)
+          // equals batch's split(trim(text), " ") + length(word) > 0:
+          // leading spaces yield empty tokens (filtered) and Java split
+          // drops trailing empties, so no explicit trim is needed
+          val words = t.split(" ").filter(_.nonEmpty)
           var nTok = 0L
           words.foreach(w => nTok += graft.operators.Bpe.encodeWord(w, ms).length)
           val nw = words.length.toLong

@@ -174,6 +174,10 @@ class OperatorsSpec extends GraftSuite {
         corpusSizes = Some(Dedup.indexSizes(full)))
       .as[(Long, Long, Double)].collect().toSet
     assert(viaArtifact == cappedTight.toSet)
+
+    // a non-positive cap would silently empty the index (df >= 1 always);
+    // the uncapped sentinel is Long.MaxValue, so 0 must fail fast
+    intercept[IllegalArgumentException](Dedup.capIndexByDf(full, 0L))
   }
 
   test("Dedup.minhashLshPairs surfaces identical docs with est 1.0") {
