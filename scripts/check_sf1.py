@@ -69,8 +69,8 @@ for name in names:
             res[name] = {"status": "timeout", "secs": float(TIMEOUT),
                          "spark_rows": None,
                          "detail": f"oracle exceeded {TIMEOUT}s wall clock"}
-    print(f"[sf1] {name}: {res[name]['status']}"
-          f" ({res[name]['secs']}s)", flush=True)
+    secs_str = "-" if res[name]["secs"] is None else f"{res[name]['secs']}s"
+    print(f"[sf1] {name}: {res[name]['status']} ({secs_str})", flush=True)
 
 counts = {}
 for v in res.values():
