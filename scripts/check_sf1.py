@@ -5,13 +5,16 @@ Runs scripts/check_one.py for each dumped query in a subprocess with a
 wall-clock timeout (a flat DuckDB oracle can be unboundedly slow at sf1;
 a timeout is RECORDED, never fatal), and records dump row counts for the
 rows-only (no-oracle) contract entries. Output schema per query:
-  {"status": pass|fail|error|timeout|no_oracle, "secs": float,
+  {"status": pass|fail|error|timeout|no_oracle|missing, "secs": float,
    "spark_rows": int|None, "detail": last line of the check}
-plus a "_summary" entry with the aggregate counts.
+plus a "_summary" entry with the aggregate counts. "missing" = an oracle
+is declared but Verify produced no dump dir (the engine query failed);
+it counts as failing for the exit code.
 
 Usage: python3 scripts/check_sf1.py <sfDir> <outDir> <destJson> [timeoutSec]
-Exit 0 when nothing failed/errored (timeouts and no_oracle are not
-failures — they are honest "not comparable within budget" records).
+Exit 0 when nothing failed/errored/went missing (timeouts and
+no_oracle are not failures — they are honest "not comparable within
+budget" records).
 """
 import json
 import os

@@ -25,15 +25,26 @@ TIMEOUT=${TIMEOUT:-600}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16}
 LOG=${LOG:-/tmp/sweep_sf10.log}
 
-# _GENMETA.json vintage check (keep GENV in sync with GenScaled.genVersion):
-# absent, partial, or stale-vintage corpora regenerate from scratch
-GENV=2
+# _GENMETA.json vintage check. GENV is read from the generator source
+# itself (advisor r9: hand-synced copies drift), and the rm -rf refuses to
+# touch a non-empty directory that lacks _GENMETA.json — a mistyped
+# SF1_DIR/SF10_DIR pointing at real data must not be wiped.
+GENV=$(grep -oE 'val genVersion = [0-9]+' src/test/scala/graft/GenSf1.scala | grep -oE '[0-9]+')
+[ -n "$GENV" ] || { echo "[sweep_sf10] cannot read genVersion from GenSf1.scala" >&2; exit 1; }
+regen_guard() { # $1 = corpus dir: exit unless it is absent/empty/generated
+  if [ -e "$1" ] && [ ! -e "$1/_GENMETA.json" ] && [ -n "$(ls -A "$1" 2>/dev/null)" ]; then
+    echo "[sweep_sf10] refusing to delete $1: non-empty and not a generated corpus (no _GENMETA.json)" >&2
+    exit 1
+  fi
+}
 if ! grep -qs "\"gen_version\":$GENV," "$SF1_DIR/_GENMETA.json"; then
+  regen_guard "$SF1_DIR"
   echo "[sweep_sf10] generating $SF1_DIR (10x key-shifted sf0.1; absent, partial, or stale vintage)"
   rm -rf "$SF1_DIR"
   sbt -batch "Test/runMain graft.GenSf1 $SF1_DIR"
 fi
 if ! grep -qs "\"gen_version\":$GENV," "$SF10_DIR/_GENMETA.json"; then
+  regen_guard "$SF10_DIR"
   echo "[sweep_sf10] generating $SF10_DIR (10x key-shifted $SF1_DIR; absent, partial, or stale vintage)"
   rm -rf "$SF10_DIR"
   sbt -batch "Test/runMain graft.GenSf10 $SF10_DIR $SF1_DIR"

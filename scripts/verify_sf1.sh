@@ -20,11 +20,20 @@ ORACLE_TIMEOUT=${ORACLE_TIMEOUT:-900}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16}
 
 # _GENMETA.json is GenScaled's LAST write and carries the generator-schema
-# version (keep GENV in sync with GenScaled.genVersion): a partial OR
-# stale-vintage prior generation regenerates from scratch, so the artifact
-# always reproduces from the CURRENT tree's generator
-GENV=2
+# version: a partial OR stale-vintage prior generation regenerates from
+# scratch, so the artifact always reproduces from the CURRENT tree's
+# generator. GENV is read from the generator source itself (advisor r9:
+# three hand-synced copies of the constant is how vintages drift), and the
+# rm -rf only fires on a directory that is demonstrably a generated corpus
+# (has _GENMETA.json) or empty/absent — a mistyped SF1_DIR pointing at real
+# data must not be wiped over a vintage check.
+GENV=$(grep -oE 'val genVersion = [0-9]+' src/test/scala/graft/GenSf1.scala | grep -oE '[0-9]+')
+[ -n "$GENV" ] || { echo "[verify_sf1] cannot read genVersion from GenSf1.scala" >&2; exit 1; }
 if ! grep -qs "\"gen_version\":$GENV," "$SF1_DIR/_GENMETA.json"; then
+  if [ -e "$SF1_DIR" ] && [ ! -e "$SF1_DIR/_GENMETA.json" ] && [ -n "$(ls -A "$SF1_DIR" 2>/dev/null)" ]; then
+    echo "[verify_sf1] refusing to delete $SF1_DIR: non-empty and not a generated corpus (no _GENMETA.json)" >&2
+    exit 1
+  fi
   echo "[verify_sf1] generating $SF1_DIR (10x key-shifted sf0.1; absent, partial, or stale vintage)"
   rm -rf "$SF1_DIR"
   sbt -batch "Test/runMain graft.GenSf1 $SF1_DIR"

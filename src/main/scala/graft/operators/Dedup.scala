@@ -380,6 +380,26 @@ object Dedup {
     * capped index would undercount n_c and can inflate scores above truth.
     * Spec-asserted: capped-artifact + uncapped sizes ≡ the inline knob.
     */
+  /** Marker carried in the `sh_h` field metadata by every index-prefiltering
+    * transformation here ([[capIndexByDf]], [[pruneIndexToBatch]]): a
+    * prefiltered index can no longer yield correct per-document sizes, so
+    * [[ngramJaccardAgainstIndex]] fails fast if one arrives without an
+    * explicit `corpusSizes` (advisor r9: the requirement used to live only
+    * in scaladoc, and the silent failure mode is jaccard INFLATED above
+    * truth — a broken lower-bound contract, not a loud error). Field
+    * metadata survives column references, joins, AND a parquet round-trip
+    * (Spark persists it in the footer schema), so the tag follows the
+    * artifact through the materialize-then-read-back lifecycle.
+    */
+  private val prefilteredMeta = new org.apache.spark.sql.types.MetadataBuilder()
+    .putBoolean("graft.prefiltered", true).build()
+  private def markPrefiltered(df: DataFrame): DataFrame =
+    df.withColumn("sh_h", col("sh_h").as("sh_h", prefilteredMeta))
+  private def isPrefiltered(df: DataFrame): Boolean =
+    df.schema.fields.exists(f => f.name == "sh_h" &&
+      f.metadata.contains("graft.prefiltered") &&
+      f.metadata.getBoolean("graft.prefiltered"))
+
   def capIndexByDf(corpusIndex: DataFrame, maxDocFreq: Long): DataFrame = {
     // df is always >= 1, so a non-positive cap would silently EMPTY the
     // index and the pipeline would report zero near-duplicates; fail fast
@@ -387,9 +407,9 @@ object Dedup {
     require(maxDocFreq >= 1L,
       s"maxDocFreq must be >= 1 (Long.MaxValue = uncapped), got $maxDocFreq")
     if (maxDocFreq == Long.MaxValue) corpusIndex
-    else corpusIndex.join(
+    else markPrefiltered(corpusIndex.join(
       corpusIndex.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select(col("sh_h")), "sh_h")
+        .filter(col("df") <= maxDocFreq).select(col("sh_h")), "sh_h"))
   }
 
   /** Prune a materialized (range-sorted) corpus index scan down to the
@@ -424,14 +444,17 @@ object Dedup {
       .select(col("sh_h")).distinct().limit(maxHashes + 1)
       .collect().map(_.getLong(0))
     if (hashes.length > maxHashes) corpusIndex
-    else if (hashes.isEmpty) corpusIndex.filter(lit(false)) // shingle-less batch matches nothing
+    else if (hashes.isEmpty) // shingle-less batch matches nothing
+      markPrefiltered(corpusIndex.filter(lit(false)))
     else {
       // balanced so expression depth stays log2(maxHashes) — a left-deep
       // 128-clause chain would stress codegen and filter evaluation depth
       def orTree(lo: Int, hi: Int): Column =
         if (hi - lo == 1) col("sh_h") === lit(hashes(lo))
         else { val mid = (lo + hi) >>> 1; orTree(lo, mid) || orTree(mid, hi) }
-      corpusIndex.filter(orTree(0, hashes.length))
+      // tagged: sizes derived from a pruned index undercount n_c (see
+      // prefilteredMeta) — the unchanged pass-through above stays untagged
+      markPrefiltered(corpusIndex.filter(orTree(0, hashes.length)))
     }
   }
 
@@ -469,6 +492,15 @@ object Dedup {
     // hash, so per-hash counts are unchanged. A standing pipeline caps at
     // index-BUILD time instead ([[capIndexByDf]] + uncapped [[indexSizes]])
     // so this df aggregate doesn't re-run per ingest.
+    // fail-fast guard (advisor r9): a df-capped or batch-pruned index can
+    // only yield UNDERCOUNTED default sizes — inflating jaccard above truth
+    // and breaking the lower-bound contract — so a prefiltered artifact
+    // (tagged by capIndexByDf / pruneIndexToBatch, tag survives parquet)
+    // must arrive with the uncapped-index sizes artifact
+    require(corpusSizes.nonEmpty || !isPrefiltered(corpusIndex),
+      "corpusIndex was prefiltered (capIndexByDf / pruneIndexToBatch): pass " +
+        "corpusSizes computed from the UNCAPPED index (Dedup.indexSizes), or " +
+        "default sizes would undercount n_c and inflate jaccard above truth")
     val ci = capIndexByDf(corpusIndex, maxDocFreq)
     // the batch index feeds two branches; the gate persists only the batch —
     // the corpus side is the caller's artifact (already cached or on disk)

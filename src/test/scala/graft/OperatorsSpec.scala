@@ -178,6 +178,26 @@ class OperatorsSpec extends GraftSuite {
     // a non-positive cap would silently empty the index (df >= 1 always);
     // the uncapped sentinel is Long.MaxValue, so 0 must fail fast
     intercept[IllegalArgumentException](Dedup.capIndexByDf(full, 0L))
+
+    // a prefiltered index WITHOUT the uncapped sizes artifact must fail
+    // fast (advisor r9): default sizes from a capped index undercount n_c
+    // and silently inflate jaccard above truth — a broken lower bound
+    intercept[IllegalArgumentException](Dedup.ngramJaccardAgainstIndex(
+      Dedup.capIndexByDf(full, 3L), batch, $"doc_id", $"text", 3, 0.0))
+    // ...and the prefiltered tag survives its own parquet round-trip, so a
+    // capped artifact materialized at index-build time and read back still
+    // trips the guard at every later ingest
+    val cappedDir = java.nio.file.Files.createTempDirectory("graft_idx_capped")
+      .resolve("capped_index").toString
+    Dedup.capIndexByDf(full, 3L).write.parquet(cappedDir)
+    intercept[IllegalArgumentException](Dedup.ngramJaccardAgainstIndex(
+      spark.read.parquet(cappedDir), batch, $"doc_id", $"text", 3, 0.0))
+    // the guarded round-tripped artifact still computes correctly WITH sizes
+    val viaStoredArtifact = Dedup.ngramJaccardAgainstIndex(
+        spark.read.parquet(cappedDir), batch, $"doc_id", $"text", 3, 0.0,
+        corpusSizes = Some(Dedup.indexSizes(full)))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStoredArtifact == cappedTight.toSet)
   }
 
   test("Dedup.minhashLshPairs surfaces identical docs with est 1.0") {

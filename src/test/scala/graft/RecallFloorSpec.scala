@@ -69,9 +69,17 @@ class RecallFloorSpec extends GraftSuite {
         java.nio.file.Paths.get(s"$sf1Dir/embeddings.parquet")),
       s"sf1 corpus not generated; run scripts/verify_sf1.sh first ($sf1Dir)")
     import graft.operators.Similarity
-    val Off = 10000001L
-    val embs = graft.sources.Readers.table(spark, sf1Dir, "embeddings")
+    // the generator's own constant, not a copy (advisor r9: a hardcoded
+    // offset would silently no-op the exclusion if the generator changed)
+    val Off = GenSf1.off
+    val all = graft.sources.Readers.table(spark, sf1Dir, "embeddings")
+    val embs = all
       .filter(!(col("vec_id") >= Off && pmod(col("vec_id"), lit(Off)) < 10))
+    // loud no-op-filter guard: exactly the 9 clone copies of each of the 10
+    // query ids must be excluded, or truth saturates on clones and the
+    // floors below pass vacuously
+    assert(all.count() - embs.count() == 90,
+      "clone exclusion must remove exactly 90 rows (10 query ids x 9 copies)")
     val queries = embs.filter(col("vec_id") < 10)
     def top5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id")).collect()
@@ -134,11 +142,15 @@ class RecallFloorSpec extends GraftSuite {
       s"sf10 corpus not generated; run scripts/sweep_sf10.sh first ($sf10Dir)")
     import graft.operators.Similarity
     // sf10 ids are orig + i*Off1 + j*Off2 (i,j in 0..9): strip both copy
-    // levels to recover the sf0.1 id, drop every copy of the 10 query ids
-    val Off1 = 10000001L; val Off2 = 200000003L
+    // levels to recover the sf0.1 id, drop every copy of the 10 query ids.
+    // Offsets come from the generators themselves (advisor r9).
+    val Off1 = GenSf1.off; val Off2 = GenSf10.off
     val baseId = pmod(pmod(col("vec_id"), lit(Off2)), lit(Off1))
-    val embs = graft.sources.Readers.table(spark, sf10Dir, "embeddings")
-      .filter(!(col("vec_id") >= 10 && baseId < 10))
+    val all = graft.sources.Readers.table(spark, sf10Dir, "embeddings")
+    val embs = all.filter(!(col("vec_id") >= 10 && baseId < 10))
+    // loud no-op-filter guard (see the sf1 test): 99 clone copies x 10 ids
+    assert(all.count() - embs.count() == 990,
+      "clone exclusion must remove exactly 990 rows (10 query ids x 99 copies)")
     val queries = embs.filter(col("vec_id") < 10)
     def top5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id")).collect()
