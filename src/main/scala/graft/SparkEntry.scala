@@ -324,6 +324,11 @@ object SparkEntry {
     }),
 
     "q22_dedup_ngram_jaccard" -> ((s, dir) => {
+      // SCALE WARNING (measured, r9 sf10 sweep): this uncapped-exact config
+      // is intrinsically Θ(Σ df²) in shingle document frequency and timed
+      // out at 100× bench scale on a vocab-degenerate corpus — at scale use
+      // the capped sibling (q52, maxDocFreq) or LSH banding (q23), both
+      // measured 5–20 s on the same corpus.
       // no persist: with the fused shingle kernel the only branch that
       // cannot ride the join sides' shared exchange (the doc_id size agg)
       // recomputes a cheap one-pass scan, and dropping the persist removes
@@ -361,6 +366,11 @@ object SparkEntry {
     }),
 
     "q25_dedup_embedding" -> ((s, dir) => {
+      // SCALE NOTE (measured, r9 sf10): label-blocked all-pairs is quadratic
+      // per block — the `slices` salting knob (default 16, Dedup.scala) cut
+      // the 100× run from a 600 s timeout to 367 s bit-identical; beyond
+      // that, block on SEMANTIC cells instead (q71's clusterAssign blocking)
+      // so block width tracks true neighborhoods, not label cardinality.
       Dedup.embeddingCosinePairs(T(s, dir, "embeddings"), col("vec_id"), col("embedding"),
           col("label"), 0.3)
         .orderBy("id_a", "id_b")
@@ -374,6 +384,13 @@ object SparkEntry {
     }),
 
     "q27_ann_lsh" -> ((s, dir) => {
+      // SCALE WARNING (measured, r9 @ 200k vectors): sign-LSH has NO
+      // sub-linear scale point on weakly-correlated embeddings —
+      // recall-held knobs degenerate to near-brute-force candidate sets,
+      // occupancy-held knobs collapse recall to ~0.10 (RecallFloorSpec's
+      // sf10 gate records both). Pedagogical at scale; the production ANN
+      // path is IVF (q48) / IVFPQ (q65), whose fraction-knob rules are
+      // measured to hold at sf0.1, sf1, and sf10.
       // 4 hyperplanes × 16 tables: the r8 retuning — the old 8-plane/1-table
       // config co-bucketed true neighbors of weakly-correlated embeddings
       // with probability (1-θ/π)^8 ≈ 0, measured recall@5 = 0.0 at both
@@ -1242,6 +1259,11 @@ object SparkEntry {
     }),
 
     "q87_containment_dup" -> ((s, dir) => {
+      // SCALE WARNING (measured, r9 sf10 sweep): shares q22's uncapped
+      // Θ(Σ df²) inverted-index join and timed out with it at 100× on the
+      // degenerate-vocab corpus — at scale pass maxDocFreq
+      // (ngramContainmentPairs' cap knob, measured 5–20 s there) or block
+      // with LSH first.
       // asymmetric near-dup: containment |A∩B| / min(|A|,|B|) over 3-gram
       // shingles — the quote/excerpt signal jaccard's union denominator
       // dilutes (a paragraph inside a 100× article scores ~0.01 jaccard

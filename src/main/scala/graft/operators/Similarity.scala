@@ -255,6 +255,20 @@ object Similarity {
     // the full vector payload for nothing
     val inverted = assignCells(corpus, centroids, idCol, vecCol, carryVec = true)
       .select(col("cell_id"), col("nid").as("neighbor_id"), col("v").as("nvec"))
+    ivfSearchInverted(inverted, centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** IVF probe-and-score over an ALREADY-INVERTED corpus
+    * (cell_id, neighbor_id, nvec) — the search core shared by [[ivfTopK]]
+    * (which inverts inline) and the stored-artifact path
+    * (graft.sources.AnnIndex, whose inverted list is the cells table read
+    * back from parquet — there the cell_id filter implied by the broadcast
+    * probe join is additionally pushed as a partition-pruning predicate).
+    */
+  private[graft] def ivfSearchInverted(inverted: DataFrame, centroids: DataFrame,
+                                       queries: DataFrame, idCol: String,
+                                       vecCol: String, k: Int,
+                                       nProbe: Int): DataFrame = {
     val probes = probeCells(queries, centroids, idCol, vecCol, nProbe)
     // broadcast the probe list (#queries × nProbe rows): the probe join then
     // never shuffles the inverted corpus either
@@ -271,8 +285,8 @@ object Similarity {
     * table is the quantizer's output) — so the per-query window here is NOT
     * the corpus-sized-sort shape that [[topKPerQuery]] routes around.
     */
-  private def probeCells(queries: DataFrame, centroids: DataFrame,
-                         idCol: String, vecCol: String, nProbe: Int): DataFrame =
+  private[graft] def probeCells(queries: DataFrame, centroids: DataFrame,
+                                idCol: String, vecCol: String, nProbe: Int): DataFrame =
     queries.as("q")
       .join(broadcast(centroids))
       .select(col(s"q.$idCol").as("query_id"), col(s"q.$vecCol").as("qv"),
@@ -369,62 +383,73 @@ object Similarity {
       kmeansIters, trainSample, restrict = Some(pairs))
   }
 
-  private def pqCore(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int,
-                     numSub: Int, numCentroids: Int, candidates: Int,
-                     kmeansIters: Int, trainSample: Int,
-                     restrict: Option[DataFrame]): DataFrame = {
-    require(numSub >= 1, s"numSub must be >= 1, got $numSub")
-    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
-    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
-    // split into numSub contiguous subvectors; dims need not divide evenly —
-    // the last subspace is shorter (slice clamps past the end)
-    def subs(df: DataFrame, dim: Column): DataFrame = {
-      val w = ceil(dim.cast("double") / numSub).cast("int")
-      df.select(col(idCol), posexplode(
-          transform(sequence(lit(0), lit(numSub - 1)),
-            s => slice(col(vecCol), s * w + 1, w))).as(Seq("sub", "svec")))
-        .filter(size(col("svec")) > 0)
-    }
-    // subvector s of a vector column — the same slicing arithmetic as subs()
-    def subVec(v: Column, s: Int): Column = {
-      val w = ceil(size(v).cast("double") / numSub).cast("int")
-      slice(v, lit(s) * w + 1, w)
-    }
-    val dim = size(col(vecCol))
+  /** Split every vector into `numSub` contiguous subvectors — one row per
+    * (id, sub). Dims need not divide evenly: the last subspace is shorter
+    * (slice clamps past the end), and empty trailing subspaces are dropped.
+    */
+  private def pqSubs(df: DataFrame, idCol: String, vecCol: String,
+                     numSub: Int): DataFrame = {
+    val w = ceil(size(col(vecCol)).cast("double") / numSub).cast("int")
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(numSub - 1)),
+          s => slice(col(vecCol), s * w + 1, w))).as(Seq("sub", "svec")))
+      .filter(size(col("svec")) > 0)
+  }
+
+  // subvector s of a vector column — the same slicing arithmetic as pqSubs
+  private def pqSubVec(v: Column, numSub: Int, s: Int): Column = {
+    val w = ceil(size(v).cast("double") / numSub).cast("int")
+    slice(v, lit(s) * w + 1, w)
+  }
+
+  /** Every per-subspace codebook packed into ONE broadcast row of parallel
+    * arrays: cbCvecs[s][i] = centroid i of subspace s (cid-ordered),
+    * cbCids[s][i] its cid. Assignment/encode are then map-side native
+    * argmin-L2 lookups ([[NativeFns.nearestIndex]], dot−|c|²/2 form) — no
+    * ×numCentroids row expansion and no groupBy exchange. Positional
+    * s-indexing relies on subspaces being gap-free 0..m−1, which holds for
+    * uniform-dimension vectors (only the TRAILING subspace can be empty,
+    * and pqSubs/the seeds skip it on both sides). Shared by the inline
+    * operators and the stored-artifact search path (graft.sources.AnnIndex)
+    * so a round-tripped codebook encodes identically.
+    */
+  private[graft] def pqPackBySub(cb: DataFrame): DataFrame = cb
+    .groupBy(col("sub"))
+    .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
+    .select(struct(col("sub"), col("cs.cid").as("cids"),
+      col("cs.cvec").as("cvecs")).as("e"))
+    .agg(array_sort(collect_list(col("e"))).as("bs"))
+    .select(col("bs.cids").as("cbCids"), col("bs.cvecs").as("cbCvecs"))
+
+  /** Train the per-subspace PQ codebooks: deterministic first-N seeds +
+    * `kmeansIters` joint Lloyd rounds over a fixed training sample (ALL
+    * subspaces in one job per round — group key (sub, cid), never one job
+    * per subspace). Returns the relational codebook (sub, cid, cvec) — the
+    * form [[graft.sources.AnnIndex]] materializes as a versioned artifact.
+    */
+  private[graft] def trainPqCodebook(corpus: DataFrame, idCol: String,
+                                     vecCol: String, numSub: Int,
+                                     numCentroids: Int, kmeansIters: Int,
+                                     trainSample: Int): DataFrame = {
     // Lloyd rounds see only the deterministic training sample — codebook
     // quality needs a representative draw, not all 100 TB (the full corpus
-    // is still ENCODED below, one pass). n ≥ corpus ⇒ identical to
+    // is still encoded separately, one pass). n ≥ corpus ⇒ identical to
     // full-corpus training (see trainSampleOf).
-    val trainSubs = subs(trainSampleOf(corpus, idCol, trainSample), dim)
+    val trainSubs = pqSubs(trainSampleOf(corpus, idCol, trainSample),
+      idCol, vecCol, numSub)
     // codebook seeds: subvectors of the first numCentroids vectors by id.
     // NOT checkpointed — recomputing a numCentroids-row TakeOrdered is
     // cheaper than a materialization job; per-ROUND results are checkpointed
     var codebook =
-      subs(corpus.orderBy(col(idCol)).limit(numCentroids), dim)
+      pqSubs(corpus.orderBy(col(idCol)).limit(numCentroids), idCol, vecCol, numSub)
         .select(col("sub"), col(idCol).cast("long").as("cid"),
           col("svec").cast("array<float>").as("cvec"))
-    // every per-subspace codebook packed into ONE broadcast row of parallel
-    // arrays: cbCvecs[s][i] = centroid i of subspace s (cid-ordered),
-    // cbCids[s][i] its cid. Assignment/encode are then map-side native
-    // argmin-L2 lookups ([[NativeFns.nearestIndex]], dot−|c|²/2 form) — no
-    // ×numCentroids row expansion and no groupBy exchange. Positional
-    // s-indexing relies on subspaces being gap-free 0..m−1, which holds for
-    // uniform-dimension vectors (only the TRAILING subspace can be empty,
-    // and subs()/the seeds skip it on both sides).
-    def packBySub(cb: DataFrame): DataFrame = cb
-      .groupBy(col("sub"))
-      .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
-      .select(struct(col("sub"), col("cs.cid").as("cids"),
-        col("cs.cvec").as("cvecs")).as("e"))
-      .agg(array_sort(collect_list(col("e"))).as("bs"))
-      .select(col("bs.cids").as("cbCids"), col("bs.cvecs").as("cbCvecs"))
     var cbBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     // joint Lloyd rounds over every subspace at once: assign by min L2
     // (argmin |x-c|² = argmax (dot - |c|²/2)), then per-(sub, cid, pos) mean
     for (_ <- 0 until kmeansIters) {
       val assigned = trainSubs
-        .join(broadcast(packBySub(codebook)))
+        .join(broadcast(pqPackBySub(codebook)))
         .select(col("sub"),
           get(get(col("cbCids"), col("sub")),
             NativeFns.nearestIndex(col("svec"), get(col("cbCvecs"), col("sub")),
@@ -445,37 +470,76 @@ object Similarity {
       Checkpoints.release(cbBlocks)
       cbBlocks = nextBlocks
     }
-    // the dense PQ code IS the position in the cid-ordered packed codebook —
-    // the packing subsumes the row_number re-keying a relational
-    // formulation needs
-    val packedCb = packBySub(codebook)
-    // encode: ONE zero-shuffle projection over the corpus — per subspace a
-    // native argmin-L2 against the broadcast codebook; the slice drops
-    // trailing missing subspaces so codes[i] stays paired with lut[i]
-    // NULL vectors carry no codes: the exploding formulation dropped them
-    // (posexplode of NULL emits no rows), so the projection must too
-    val codes = corpus
+    codebook
+  }
+
+  /** Encode a corpus against a PACKED codebook ([[pqPackBySub]]): ONE
+    * zero-shuffle projection — per subspace a native argmin-L2 against the
+    * broadcast codebook; the dense PQ code IS the position in the
+    * cid-ordered packed codebook. The slice drops trailing missing
+    * subspaces so codes[i] stays paired with lut[i]. NULL vectors carry no
+    * codes (filtered — the exploding formulation dropped them too).
+    */
+  private[graft] def pqEncode(corpus: DataFrame, packedCb: DataFrame,
+                              idCol: String, vecCol: String,
+                              numSub: Int): DataFrame =
+    corpus
       .filter(col(vecCol).isNotNull)
       .join(broadcast(packedCb))
       .select(col(idCol).as("neighbor_id"),
         slice(array((0 until numSub).map(s =>
-            NativeFns.nearestIndex(subVec(col(vecCol), s),
+            NativeFns.nearestIndex(pqSubVec(col(vecCol), numSub, s),
               get(col("cbCvecs"), lit(s)), "dot_adj")): _*),
           lit(1), size(col("cbCvecs"))).as("codes"))
-    // per-query LUT: lut[s][code] = dot(q_sub, centroid) — one projection
-    // over the (broadcast-sized) query set
-    val lut = queries
+
+  /** Per-query lookup table against a packed codebook:
+    * lut[s][code] = dot(q_sub, centroid) — one projection over the
+    * (broadcast-sized) query set.
+    */
+  private[graft] def pqQueryLut(queries: DataFrame, packedCb: DataFrame,
+                                idCol: String, vecCol: String,
+                                numSub: Int): DataFrame =
+    queries
       .filter(col(vecCol).isNotNull)
       .join(broadcast(packedCb))
       .select(col(idCol).as("query_id"),
         slice(array((0 until numSub).map(s =>
             transform(get(col("cbCvecs"), lit(s)),
-              c => dotCol(subVec(col(vecCol), s), c))): _*),
+              c => dotCol(pqSubVec(col(vecCol), numSub, s), c))): _*),
           lit(1), size(col("cbCvecs"))).as("lut"))
-    // prescreen: approximate score = Σ_s lut[s][codes[s]], map-side over the
-    // broadcast LUT; keep `candidates` best per query (ties → lower id).
-    // With a `restrict` pair set (IVFPQ), only the probed cells' codes are
-    // scored; otherwise every (query, code) combination is (plain PQ).
+
+  private def pqCore(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     numSub: Int, numCentroids: Int, candidates: Int,
+                     kmeansIters: Int, trainSample: Int,
+                     restrict: Option[DataFrame]): DataFrame = {
+    require(numSub >= 1, s"numSub must be >= 1, got $numSub")
+    require(numCentroids >= 1, s"numCentroids must be >= 1, got $numCentroids")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val codebook = trainPqCodebook(corpus, idCol, vecCol, numSub, numCentroids,
+      kmeansIters, trainSample)
+    val packedCb = pqPackBySub(codebook)
+    val codes = pqEncode(corpus, packedCb, idCol, vecCol, numSub)
+    val lut = pqQueryLut(queries, packedCb, idCol, vecCol, numSub)
+    pqPrescreenRerank(codes, lut,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      k, candidates, restrict)
+  }
+
+  /** The PQ code scan + exact re-rank, shared by the inline operators and
+    * the stored-artifact search (graft.sources.AnnIndex): prescreen by
+    * approximate score = Σ_s lut[s][codes[s]] — map-side over the broadcast
+    * LUT, keep `candidates` best per query (ties → lower id) — then re-rank
+    * only the survivors against true vectors. With a `restrict` pair set
+    * (IVFPQ), only the probed cells' codes are scored; otherwise every
+    * (query, code) combination is (plain PQ). `corpusVecs` must be
+    * (neighbor_id, nv), `queryVecs` (query_id, qv).
+    */
+  private[graft] def pqPrescreenRerank(codes: DataFrame, lut: DataFrame,
+                                       corpusVecs: DataFrame, queryVecs: DataFrame,
+                                       k: Int, candidates: Int,
+                                       restrict: Option[DataFrame]): DataFrame = {
     val pairCodes = restrict match {
       case None => codes.join(broadcast(lut),
         col("query_id") =!= col("neighbor_id"))
@@ -500,10 +564,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank of survivors only
     val scored = approx
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
-        Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
-        Seq("query_id"))
+      .join(corpusVecs, Seq("neighbor_id"))
+      .join(broadcast(queryVecs), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(NativeFns.cosineSim(col("qv"), col("nv")), 4).as("cos"))
     topKPerQuery(scored, k)

@@ -1,0 +1,418 @@
+package graft.sources
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned standing vector-index artifact — the merge-table lifecycle
+  * (see [[Writers.writeMergeTable]]) applied to the ANN family (judge r9
+  * task 2). A nightly ingest must not retrain quantizers per run: a
+  * retrained coarse quantizer / PQ codebook re-codes every previously
+  * indexed vector differently, so search results drift under pinned
+  * consumers exactly like a retrained BPE vocabulary re-tokenizes history.
+  * This module materializes the three trained components as ONE immutable
+  * versioned artifact and routes arriving vectors into it with the stored
+  * quantizers.
+  *
+  * Layout (`path/version=<v>/`, `_META.json` written LAST so a partial
+  * write is never readable as complete):
+  * {{{
+  *   centroids/   (cell_id long, cvec array<float>)       coarse quantizer
+  *   codebook/    (sub int, cid long, cvec array<float>)  PQ codebooks (pq only)
+  *   cells/       (<id>, cell_id, <vec>)  partitioned by cell_id — postings
+  *   codes/       (neighbor_id, codes array<int>)         PQ codes (pq only)
+  *   _META.json   format/config/knob-fractions/schemas completeness marker
+  * }}}
+  *
+  * Lifecycle contract:
+  *  - The QUANTIZER (centroids + codebook + config + knob fractions) of a
+  *    version is IMMUTABLE: [[write]] refuses an existing version; a new
+  *    training run writes the next version. Readers pin a version
+  *    (reproducible reruns) or take the latest (live ingest).
+  *  - The POSTINGS (cells + codes) are append-only: [[append]] routes
+  *    arriving vectors through the STORED centroids
+  *    ([[Similarity.routeToCells]] semantics via the shared assignment
+  *    kernel) and encodes them with the STORED codebook, then appends
+  *    parquet files — the production vector-store shape (FAISS/IVF
+  *    postings grow; the quantizer is fixed at train time).
+  *  - [[read]] validates LOUDLY (the artifact may predate the reader by
+  *    months): meta format, component presence, centroid/codebook shape,
+  *    uniform dimension, and cells/codes row-count agreement — so a torn
+  *    append or hand-edited artifact fails at read, not as silently
+  *    missing neighbors.
+  *
+  * Search reuses the EXACT inline-operator code paths
+  * ([[Similarity.ivfSearchInverted]] / pqEncode / pqQueryLut /
+  * pqPrescreenRerank), so `search*` over a round-tripped artifact is
+  * spec-asserted identical to the fresh q48/q63/q65 operators with the
+  * same knobs. The r9 scale rule — prescreen depth is a FRACTION, not a
+  * count (validated at sf0.1/sf1/sf10, RecallFloorSpec) — is recorded in
+  * the artifact metadata and applied by default: pass no explicit
+  * `candidates`/`nProbe` and the search derives them from the stored
+  * fractions against the LIVE postings size, so recall holds as appends
+  * grow the corpus.
+  */
+object AnnIndex {
+
+  /** PQ configuration of an index (absent = plain IVF index). */
+  final case class PqConfig(numSub: Int, numCentroids: Int)
+
+  /** Artifact metadata — persisted as `_META.json`, validated on read.
+    * The knob fractions are the r9-measured scale rules: `probeFraction`
+    * of the cells probed (IVF recall knob), `pqCandidateFraction` of the
+    * corpus kept by a plain-PQ prescreen, `ivfpqCandidateFraction` of the
+    * PROBED SUBSET kept by an IVFPQ prescreen.
+    */
+  final case class Meta(formatVersion: Int, idCol: String, vecCol: String,
+                        dim: Int, numCells: Int, kmeansIters: Int,
+                        trainSample: Int, corpusRows: Long,
+                        pq: Option[PqConfig],
+                        probeFraction: Double, pqCandidateFraction: Double,
+                        ivfpqCandidateFraction: Double,
+                        // exact cells schema (StructType.json), applied on
+                        // read: partition-directory type INFERENCE would
+                        // hand back an int cell_id for small dir names, and
+                        // a cast-to-long on top of it can defeat partition
+                        // pruning — with the stored schema the read is
+                        // exactly typed and prunes on the raw column
+                        cellsSchemaJson: String)
+
+  /** An index in memory: metadata plus the component frames (stored-backed
+    * after [[read]], freshly planned after [[build]]).
+    */
+  final case class Model(meta: Meta, centroids: DataFrame, cells: DataFrame,
+                         codebook: Option[DataFrame], codes: Option[DataFrame])
+
+  private val FormatVersion = 1
+
+  /** Train a new index over `corpus`: coarse quantizer
+    * ([[Similarity.kmeansCentroids]] — deterministic seeding, so build →
+    * write → read → search is reproducible), cell-partitioned postings
+    * ([[Similarity.cellIndex]] — one zero-shuffle assignment pass), and,
+    * when `pq` is set, per-subspace codebooks + one-byte-per-subspace codes
+    * (one further zero-shuffle encode pass). The corpus is scanned, never
+    * shuffled; training cost is O(trainSample).
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            numCells: Int, kmeansIters: Int = 1, trainSample: Int = 65536,
+            pq: Option[PqConfig] = None,
+            probeFraction: Double = 0.25, pqCandidateFraction: Double = 0.10,
+            ivfpqCandidateFraction: Double = 0.20): Model = {
+    require(numCells >= 1, s"numCells must be >= 1, got $numCells")
+    require(probeFraction > 0 && probeFraction <= 1.0 &&
+        pqCandidateFraction > 0 && pqCandidateFraction <= 1.0 &&
+        ivfpqCandidateFraction > 0 && ivfpqCandidateFraction <= 1.0,
+      "knob fractions must be in (0, 1]")
+    val centroids = Similarity.kmeansCentroids(corpus, idCol, vecCol,
+      numCells, kmeansIters, trainSample)
+    val cells = Similarity.cellIndex(corpus, centroids, idCol, vecCol)
+    val codebook = pq.map(c => Similarity.trainPqCodebook(corpus, idCol, vecCol,
+      c.numSub, c.numCentroids, kmeansIters, trainSample))
+    val codes = pq.zip(codebook).map { case (c, cb) =>
+      Similarity.pqEncode(corpus, Similarity.pqPackBySub(cb), idCol, vecCol, c.numSub)
+    }
+    // dim from the quantizer (tiny, one head()): recorded so a read-back
+    // months later can reject a corpus whose dimension drifted
+    val dim = centroids.select(size(col("cvec"))).head().getInt(0)
+    val rows = corpus.count()
+    Model(Meta(FormatVersion, idCol, vecCol, dim, numCells, kmeansIters,
+      trainSample, rows, pq, probeFraction, pqCandidateFraction,
+      ivfpqCandidateFraction, cells.schema.json), centroids, cells, codebook, codes)
+  }
+
+  // ---- persistence -------------------------------------------------------
+
+  // same Hadoop-FS path resolution as the merge-table artifact: file:/,
+  // hdfs://, s3a:// all behave; java.nio would silently treat a
+  // scheme-prefixed path as relative-local and void the immutability check
+  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def metaJson(m: Meta): String = {
+    val pqJson = m.pq.map(c =>
+      s"""{"num_sub":${c.numSub},"num_centroids":${c.numCentroids}}""").getOrElse("null")
+    s"""{"format_version":${m.formatVersion},"id_col":"${m.idCol}",""" +
+      s""""vec_col":"${m.vecCol}","dim":${m.dim},"num_cells":${m.numCells},""" +
+      s""""kmeans_iters":${m.kmeansIters},"train_sample":${m.trainSample},""" +
+      s""""corpus_rows":${m.corpusRows},"pq":$pqJson,""" +
+      s""""probe_fraction":${m.probeFraction},""" +
+      s""""pq_candidate_fraction":${m.pqCandidateFraction},""" +
+      s""""ivfpq_candidate_fraction":${m.ivfpqCandidateFraction},""" +
+      // StructType.json is itself valid JSON — embedded as a nested object
+      s""""cells_schema":${m.cellsSchemaJson}}"""
+  }
+
+  private def parseMeta(s: String, where: String): Meta = {
+    import org.json4s._
+    val j = try org.json4s.jackson.JsonMethods.parse(s)
+    catch { case e: Throwable =>
+      throw new IllegalArgumentException(s"unparseable _META.json at $where: ${e.getMessage}") }
+    def fail(field: String) =
+      throw new IllegalArgumentException(s"_META.json at $where missing/ill-typed '$field'")
+    def str(f: String) = j \ f match { case JString(v) => v; case _ => fail(f) }
+    def int(f: String) = j \ f match {
+      case JInt(v) => v.toInt; case JLong(v) => v.toInt; case _ => fail(f) }
+    def lng(f: String) = j \ f match {
+      case JInt(v) => v.toLong; case JLong(v) => v; case _ => fail(f) }
+    def dbl(f: String) = j \ f match {
+      case JDouble(v) => v; case JInt(v) => v.toDouble
+      case JDecimal(v) => v.toDouble; case _ => fail(f) }
+    val pq = j \ "pq" match {
+      case JNull | JNothing => None
+      case o: JObject =>
+        def oint(f: String) = o \ f match {
+          case JInt(v) => v.toInt; case JLong(v) => v.toInt; case _ => fail(s"pq.$f") }
+        Some(PqConfig(oint("num_sub"), oint("num_centroids")))
+      case _ => fail("pq")
+    }
+    val cellsSchema = j \ "cells_schema" match {
+      case JNothing | JNull => fail("cells_schema")
+      case o => org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(o))
+    }
+    Meta(int("format_version"), str("id_col"), str("vec_col"), int("dim"),
+      int("num_cells"), int("kmeans_iters"), int("train_sample"),
+      lng("corpus_rows"), pq, dbl("probe_fraction"),
+      dbl("pq_candidate_fraction"), dbl("ivfpq_candidate_fraction"),
+      cellsSchema)
+  }
+
+  /** Persist a freshly built model as the immutable version `v`. Component
+    * directories first, `_META.json` last — a crash mid-write leaves a
+    * version that [[read]] (and [[latestVersion]]) refuse as incomplete.
+    * A version that already exists throws: silently replacing a quantizer
+    * would re-code history out from under pinned readers.
+    */
+  def write(model: Model, path: String, version: String): Unit = {
+    require(version.nonEmpty && !version.exists(c => c == '/' || c == '=' || c == '\\'),
+      s"illegal ANN-index version '$version' (no /, =, or \\)")
+    val spark = model.centroids.sparkSession
+    val dir = s"$path/version=$version"
+    require(!fs(spark, path).exists(hp(dir)),
+      s"ANN-index version '$version' already exists at $path — versions are " +
+        "immutable; write a new version instead")
+    require(model.meta.pq.isDefined == model.codebook.isDefined &&
+        model.meta.pq.isDefined == model.codes.isDefined,
+      "PQ metadata and PQ components must agree")
+    model.centroids.coalesce(1).write.mode("errorifexists").parquet(s"$dir/centroids")
+    // postings partitioned by cell: a probe of p cells reads p directories —
+    // catalog-level pruning, cheaper and earlier than row-group min/max
+    model.cells.write.mode("errorifexists")
+      .partitionBy("cell_id").parquet(s"$dir/cells")
+    model.codebook.foreach(_.coalesce(1).write.mode("errorifexists")
+      .parquet(s"$dir/codebook"))
+    model.codes.foreach(_.write.mode("errorifexists").parquet(s"$dir/codes"))
+    val out = fs(spark, path).create(hp(s"$dir/_META.json"), false)
+    try out.write(metaJson(model.meta).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Highest COMPLETE version at `path` (lexicographic — zero-padded
+    * counters or ISO timestamps order correctly), or None. Versions whose
+    * `_META.json` is missing (torn writes) are skipped, not surfaced.
+    */
+  def latestVersion(spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark, path)
+    if (!f.exists(hp(path))) None
+    else f.listStatus(hp(path)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("version="))
+      .map(_.stripPrefix("version="))
+      .filter(v => f.exists(hp(s"$path/version=$v/_META.json")))
+      .sorted.lastOption
+  }
+
+  /** Read a stored index — the pinned `version`, or the latest complete
+    * one. Validation is the read's whole point (see the class doc): any
+    * inconsistency throws with the failing component named.
+    */
+  def read(spark: SparkSession, path: String,
+           version: Option[String] = None): Model = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no complete ANN-index versions at $path"))
+    val dir = s"$path/version=$v"
+    val f = fs(spark, path)
+    require(f.exists(hp(s"$dir/_META.json")),
+      s"ANN-index version '$v' at $path is incomplete (no _META.json)")
+    val metaBytes = {
+      val in = f.open(hp(s"$dir/_META.json"))
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toString("UTF-8")
+      } finally in.close()
+    }
+    val meta = parseMeta(metaBytes, dir)
+    require(meta.formatVersion == FormatVersion,
+      s"ANN index at $dir has format_version ${meta.formatVersion}; this " +
+        s"reader supports $FormatVersion")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    require(centroids.columns.sorted.toSeq == Seq("cell_id", "cvec"),
+      s"centroids at $dir have columns ${centroids.columns.toSeq}, want (cell_id, cvec)")
+    // quantizer-sized collects only (numCells rows): count, dim uniformity
+    val centStats = centroids
+      .agg(count(lit(1)), count_distinct(size(col("cvec"))), min(size(col("cvec"))))
+      .head()
+    require(centStats.getLong(0) >= 1 && centStats.getLong(0) <= meta.numCells,
+      s"centroids at $dir: ${centStats.getLong(0)} rows, want 1..${meta.numCells}")
+    require(centStats.getLong(1) == 1 && centStats.getInt(2) == meta.dim,
+      s"centroids at $dir are not uniformly ${meta.dim}-dimensional")
+    // read with the STORED schema (see Meta.cellsSchemaJson): exact types —
+    // partition-directory inference would type cell_id int — and partition
+    // filters land on the raw column, so directory pruning works
+    val cellsSchema = org.apache.spark.sql.types.DataType.fromJson(meta.cellsSchemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cells = spark.read.schema(cellsSchema).parquet(s"$dir/cells")
+    require(cells.columns.sorted.toSeq ==
+        Seq(meta.idCol, "cell_id", meta.vecCol).sorted,
+      s"cells at $dir have columns ${cells.columns.toSeq}, want " +
+        s"(${meta.idCol}, cell_id, ${meta.vecCol})")
+    val (codebook, codes) = meta.pq match {
+      case None =>
+        require(!f.exists(hp(s"$dir/codebook")) && !f.exists(hp(s"$dir/codes")),
+          s"non-PQ index at $dir has stray codebook/codes directories")
+        (None, None)
+      case Some(pq) =>
+        val cb = spark.read.parquet(s"$dir/codebook")
+        require(cb.columns.sorted.toSeq == Seq("cid", "cvec", "sub"),
+          s"codebook at $dir has columns ${cb.columns.toSeq}, want (sub, cid, cvec)")
+        // gap-free subspaces 0..m-1 — positional packing depends on it; a
+        // numSub-bounded collect (the tiny-model rule)
+        val subsSeen = cb.select(col("sub").cast("int")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        require(subsSeen.nonEmpty && subsSeen.toSeq == (0 until subsSeen.length) &&
+            subsSeen.length <= pq.numSub,
+          s"codebook at $dir has non-contiguous subspaces ${subsSeen.toSeq} — " +
+            "truncated or corrupted artifact")
+        val cd = spark.read.parquet(s"$dir/codes")
+        require(cd.columns.sorted.toSeq == Seq("codes", "neighbor_id"),
+          s"codes at $dir have columns ${cd.columns.toSeq}, want (neighbor_id, codes)")
+        // torn-append detector: every non-null posting vector must have a
+        // code row (pqEncode skips NULL vectors) — an append that died
+        // between its two writes fails HERE, not as silently missing
+        // neighbors in PQ searches
+        val postings = cells.filter(col(meta.vecCol).isNotNull).count()
+        val nCodes = cd.count()
+        require(postings == nCodes,
+          s"ANN index at $dir is torn: ${postings} non-null postings vs " +
+            s"$nCodes code rows — a crashed append; re-append the missing batch")
+        (Some(cb), Some(cd))
+    }
+    Model(meta, centroids, cells, codebook, codes)
+  }
+
+  /** Route an arriving batch into a stored index version: assign cells with
+    * the STORED centroids (the same shared assignment kernel as the batch
+    * build — [[Similarity.cellIndex]]), encode with the STORED codebook,
+    * and append parquet files to the postings. The quantizer is never
+    * touched. Id uniqueness is the caller's contract (as in production
+    * vector stores); re-appending a batch duplicates its rows.
+    *
+    * Batch-or-streaming: this is a plain DataFrame-in function — a
+    * Structured Streaming ingest calls it from `foreachBatch` (spec:
+    * StreamingSpec "streaming ANN ingest").
+    */
+  def append(spark: SparkSession, path: String, version: String,
+             batch: DataFrame): Unit = {
+    val model = read(spark, path, Some(version))
+    val dir = s"$path/version=$version"
+    val assigned = Similarity.cellIndex(batch, model.centroids,
+      model.meta.idCol, model.meta.vecCol)
+    assigned.write.mode("append").partitionBy("cell_id").parquet(s"$dir/cells")
+    model.meta.pq.foreach { pq =>
+      Similarity.pqEncode(batch, Similarity.pqPackBySub(model.codebook.get),
+          model.meta.idCol, model.meta.vecCol, pq.numSub)
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+  }
+
+  // ---- search (stored-artifact twins of q48/q63/q65) ----------------------
+
+  /** Live postings size — drives the fraction-rule knob defaults so recall
+    * holds as appends grow the index past `meta.corpusRows`. A count-star
+    * over parquet footers, no data read.
+    */
+  private def liveRows(model: Model): Long = model.cells.count()
+
+  private def defaultNProbe(model: Model): Int =
+    math.max(1, math.round(model.meta.probeFraction * model.meta.numCells).toInt)
+
+  /** IVF search against the stored index. `nProbe <= 0` applies the stored
+    * probe-fraction rule. The probed cell ids are additionally pushed into
+    * the postings scan as a partition filter — a bounded (≤ queries×nProbe)
+    * driver-side list, so a probe of p cells reads p partition directories
+    * instead of the corpus (the join alone would not prune the scan).
+    */
+  def searchIvf(model: Model, queries: DataFrame, k: Int,
+                nProbe: Int = -1): DataFrame = {
+    val m = model.meta
+    val p = if (nProbe <= 0) defaultNProbe(model) else nProbe
+    val probedCells = Similarity.probeCells(queries, model.centroids,
+        m.idCol, m.vecCol, p)
+      .select(col("cell_id")).distinct().collect().map(_.getLong(0))
+    val inverted = model.cells
+      .filter(col("cell_id").isin(probedCells.map(Long.box): _*))
+      .select(col("cell_id"), col(m.idCol).as("neighbor_id"),
+        col(m.vecCol).as("nvec"))
+    Similarity.ivfSearchInverted(inverted, model.centroids, queries,
+      m.idCol, m.vecCol, k, p)
+  }
+
+  /** Plain-PQ search against the stored codes. `candidates <= 0` applies
+    * the stored fraction rule against the LIVE postings count.
+    */
+  def searchPq(model: Model, queries: DataFrame, k: Int,
+               candidates: Int = -1): DataFrame = {
+    val m = model.meta
+    val pq = m.pq.getOrElse(throw new IllegalArgumentException(
+      "searchPq on a non-PQ index (built without PqConfig)"))
+    val cand =
+      if (candidates > 0) candidates
+      else math.max(k, math.ceil(m.pqCandidateFraction * liveRows(model)).toInt)
+    val lut = Similarity.pqQueryLut(queries, Similarity.pqPackBySub(model.codebook.get),
+      m.idCol, m.vecCol, pq.numSub)
+    Similarity.pqPrescreenRerank(model.codes.get, lut,
+      model.cells.select(col(m.idCol).as("neighbor_id"), col(m.vecCol).as("nv")),
+      queries.select(col(m.idCol).as("query_id"), col(m.vecCol).as("qv")),
+      k, cand, restrict = None)
+  }
+
+  /** IVFPQ search: stored codes scanned only within the probed cells, exact
+    * re-rank against the stored vectors. Knobs default to the stored
+    * fraction rules (`candidates` = ivfpqCandidateFraction of the probed
+    * subset, estimated as liveRows × nProbe / numCells).
+    */
+  def searchIvfPq(model: Model, queries: DataFrame, k: Int,
+                  nProbe: Int = -1, candidates: Int = -1): DataFrame = {
+    val m = model.meta
+    val pq = m.pq.getOrElse(throw new IllegalArgumentException(
+      "searchIvfPq on a non-PQ index (built without PqConfig)"))
+    val p = if (nProbe <= 0) defaultNProbe(model) else nProbe
+    val cand =
+      if (candidates > 0) candidates
+      else math.max(k, math.ceil(m.ivfpqCandidateFraction * liveRows(model) *
+        p.toDouble / m.numCells).toInt)
+    val probes = Similarity.probeCells(queries, model.centroids, m.idCol, m.vecCol, p)
+    val probedCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0))
+    // partition-pruned postings: both the candidate pairs and the re-rank
+    // vectors come from the probed directories only
+    val prunedCells = model.cells
+      .filter(col("cell_id").isin(probedCells.map(Long.box): _*))
+    val pairs = broadcast(probes.select(col("query_id"), col("cell_id")))
+      .join(prunedCells.select(col("cell_id"), col(m.idCol).as("neighbor_id")),
+        Seq("cell_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val lut = Similarity.pqQueryLut(queries, Similarity.pqPackBySub(model.codebook.get),
+      m.idCol, m.vecCol, pq.numSub)
+    Similarity.pqPrescreenRerank(model.codes.get, lut,
+      prunedCells.select(col(m.idCol).as("neighbor_id"), col(m.vecCol).as("nv")),
+      queries.select(col(m.idCol).as("query_id"), col(m.vecCol).as("qv")),
+      k, cand, restrict = Some(pairs))
+  }
+}
