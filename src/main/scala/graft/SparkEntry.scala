@@ -25,19 +25,9 @@ object SparkEntry {
     * consumer applies its own ordering; q44's window would otherwise discard
     * and redo q41's global sort).
     */
-  private def chunkDocs(s: SparkSession, dir: String): DataFrame = {
-    val chunk = 20
-    val stride = 10
-    val toks = TextFns.tokens(col("text"))
-    val nChunks = ceil(size(toks).cast("double") / stride).cast("long")
-    T(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0L), nChunks - 1),
-          i => struct(i.as("chunk_idx"),
-            concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(chunk)))
-              .as("chunk_text")))).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
-  }
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    Relational.chunkDocuments(T(s, dir, "documents"), col("doc_id"), col("text"),
+      chunkTokens = 20, strideTokens = 10)
 
   /** q80's composition with the persist knob exposed: the WHOLE curation
     * run as one driver-checked query — every stage is an operator already
@@ -618,19 +608,8 @@ object SparkEntry {
       // comfortably past the 100 TB design point (a 10^6 offset would alias
       // across shards at ~10^8 tokens); the oracle reproduces the identical
       // shard arithmetic.
-      val nShards = 8L
-      val chunks = chunkDocs(s, dir)
-        .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("long"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      chunks
-        .withColumn("n_tok", size(split(col("chunk_text"), " ")).cast("long"))
-        .withColumn("pack_id",
-          (col("shard") * (1L << 40) +
-            floor((sum(col("n_tok")).over(w) - col("n_tok")) / 100.0)).cast("long"))
-        .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("shard"), col("pack_id"))
+      Relational.sequencePack(chunkDocs(s, dir), col("doc_id"), col("chunk_idx"),
+          col("chunk_text"), packTokens = 100, numShards = 8L)
         .orderBy("doc_id", "chunk_idx")
     }),
 

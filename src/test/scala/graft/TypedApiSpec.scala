@@ -217,4 +217,75 @@ class TypedApiSpec extends GraftSuite {
     assert(m(2L) == ((2L, 0L, 0L, None)), "null text = empty doc: zero counts, no fertility")
     assert(m(1L)._2 == 3L && m(1L)._3 > 0L && m(1L)._4.nonEmpty)
   }
+
+  test("typed sessionize equals the relational operator on the events table (r10)") {
+    import graft.operators.TimeSeries
+    val ds = Typed.events(spark, sf)
+    val typed = Typed.sessionize(ds, gapMs = 30 * 60 * 1000L)
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toSet
+    val rel = TimeSeries.sessionize(
+        graft.sources.Readers.table(spark, sf, "events"),
+        $"user_id", $"ts", 30 * 60 * 1000L)
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toSet
+    assert(typed == rel && typed.nonEmpty)
+  }
+
+  test("typed asOfJoin pairs each event with its latest preceding reading, None on a miss (r10)") {
+    import graft.api.{Event, RefReading}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      Event(1L, t("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      Event(2L, t("2024-01-01 12:00:00"), 7L, "view", 2.0, "{}"),
+      Event(3L, t("2024-01-01 09:00:00"), 8L, "view", 3.0, "{}"), // before any ref
+      Event(4L, t("2024-01-01 11:00:00"), 9L, "view", 4.0, "{}")  // user with no refs
+    ).toDS()
+    val refs = Seq(
+      RefReading(7L, t("2024-01-01 09:30:00"), 10.0),
+      RefReading(7L, t("2024-01-01 12:00:00"), 20.0), // ties are inclusive (<=)
+      RefReading(8L, t("2024-01-01 10:30:00"), 30.0)
+    ).toDS()
+    val got = Typed.asOfJoin(events, refs)
+      .collect().map { case (e, r) => e.event_id -> r }.toMap
+    assert(got(1L).contains(RefReading(7L, t("2024-01-01 09:30:00"), 10.0)))
+    assert(got(2L).contains(RefReading(7L, t("2024-01-01 12:00:00"), 20.0)),
+      "an equal-timestamp reading must match (inclusive as-of)")
+    assert(got(3L).isEmpty && got(4L).isEmpty,
+      "events with no preceding reading must carry None, not a leaked value")
+    // row-for-row parity with the relational union-and-carry operator
+    val rel = graft.operators.TimeSeries.asofJoin(events.toDF(),
+        refs.toDF().select($"user_id", $"ts", $"ref_value"),
+        key = "user_id", tsCol = "ts", carry = Seq("ref_value"))
+      .select($"event_id", $"ref_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got.view.mapValues(_.map(_.ref_value)).toMap == rel)
+  }
+
+  test("typed chunk/pack equal the relational q41/q44 operators (r10)") {
+    import graft.operators.Relational
+    val docs = Typed.documents(spark, sf)
+    val typedChunks = Typed.chunkDocuments(docs, 20, 10)
+    val relChunks = Relational.chunkDocuments(docs.toDF(), $"doc_id", $"text", 20, 10)
+    assert(typedChunks.collect().map(c => (c.doc_id, c.chunk_idx, c.chunk_text)).toSet ==
+      relChunks.as[(Long, Long, String)].collect().toSet)
+    val typedPacks = Typed.packChunks(typedChunks, 100, 8L)
+      .collect().map(p => (p.doc_id, p.chunk_idx, p.n_tok, p.shard, p.pack_id)).toSet
+    val relPacks = Relational.sequencePack(relChunks, $"doc_id", $"chunk_idx",
+        $"chunk_text", 100, 8L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(typedPacks == relPacks && typedPacks.nonEmpty)
+    // pack ids are shard-scoped: every pack's chunks share one shard
+    assert(typedPacks.groupBy(_._5).forall(_._2.map(_._4).size == 1))
+  }
+
+  test("typed thresholdSweep equals the relational sweep (r10)") {
+    import graft.api.ScoredWeight
+    val ds = Seq(ScoredWeight(1L, 10L, 100L), ScoredWeight(2L, 20L, 50L),
+      ScoredWeight(3L, 10L, 25L), ScoredWeight(4L, 30L, 10L)).toDS()
+    val typed = Typed.thresholdSweep(ds)
+      .collect().map(p => (p.score, p.n_docs_at, p.n_docs_kept, p.weight_kept)).toSet
+    val rel = graft.operators.Scoring.thresholdSweep(ds.toDF(), $"score", $"weight")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(typed == rel)
+    assert(typed == Set((30L, 1L, 1L, 10L), (20L, 1L, 2L, 60L), (10L, 2L, 4L, 185L)))
+  }
 }
