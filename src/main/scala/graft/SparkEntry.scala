@@ -1352,6 +1352,59 @@ object SparkEntry {
           col("cell_id"), col("label"))
         .select(col("grp").as("cell_id"), col("n_items").as("n_vecs"), col("tv"))
         .orderBy("cell_id")
+    }),
+
+    "q96_simhash_md5" -> ((s, dir) => {
+      // The APPROXIMATE simhash configuration under a DIRECT oracle (judge
+      // r9 task 8). q24's rows-only status is an EXPRESSIBILITY gap, not a
+      // scale gap: DuckDB cannot reproduce Spark's xxhash64, so no sampling
+      // makes the fused operator oracle-checkable. This variant swaps the
+      // token hash for md5 — bit-identical in both engines (the q31
+      // reproduce-the-hash-in-SQL precedent) — and runs the full
+      // approximate pipeline on 60-bit signatures (15 md5 hex chars):
+      // per-bit sign counters → signature → 6×10-bit band blocking →
+      // hamming <= 8 confirm. Every STAGE of the approximate algorithm
+      // (banding recall included) is hash-checked, not just the q84
+      // degenerate-knob plumbing.
+      //
+      // Scale shape: the signature is ONE wide aggregate (60 sign counters
+      // collapse map-side; the shuffle is 60 scalars per doc, never a
+      // per-bit row explosion); banding is a per-row projection; the
+      // band-bucket self-join is the q23/q24 blocked shape. Band occupancy
+      // rises with corpus size (the measured sign-LSH scaling story —
+      // SURVEY §5); at 100 TB use q24's operator knobs (more bands/bits)
+      // or the IVF family for vectors.
+      val B = 60; val bands = 6; val bandBits = 10; val maxHam = 8
+      val th = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      val sums = th.groupBy(col("doc_id"))
+        .agg(sum((shiftright(col("h"), 0) % 2) * 2 - 1).as("s0"),
+          (1 until B).map(i =>
+            sum((shiftright(col("h"), i) % 2) * 2 - 1).as(s"s$i")): _*)
+      val sig = sums.select(col("doc_id"),
+        (0 until B).map(i =>
+            when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          lit(b.toLong * (1L << bandBits)) +
+            shiftright(col("sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as("bk"))
+      // distinct BEFORE the hamming confirm: a pair sharing several bands
+      // must be scored once (sigs ride along — functionally dependent on
+      // the ids, and carrying them avoids a join back for the confirm)
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+      cand.select(col("doc_a"), col("doc_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHam)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2610,6 +2663,38 @@ object SparkEntry {
         |SELECT grp AS cell_id, CAST(n_s AS BIGINT) AS n_vecs,
         | floor(CAST(core + (n * n_s - cover) AS DOUBLE)
         |   / CAST(2 * n_s * n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS tv
-        |FROM p ORDER BY cell_id""".stripMargin
+        |FROM p ORDER BY cell_id""".stripMargin,
+
+    // the full approximate simhash algorithm reproduced in SQL under the
+    // shared md5 token hash (the q31 precedent): 60-bit signatures from
+    // per-bit sign counters, 6×10-bit band blocking, hamming <= 8 confirm —
+    // every knob identical to the Spark side
+    "q96_simhash_md5" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        | FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        | SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        | FROM toks),
+        |bits AS (
+        | SELECT doc_id, i, sum(((h >> CAST(i AS INTEGER)) & 1) * 2 - 1) AS s
+        | FROM th CROSS JOIN range(60) r(i) GROUP BY 1, 2),
+        |sg AS (
+        | SELECT doc_id,
+        |  sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+        |      ELSE 0 END) AS sig
+        | FROM bits GROUP BY 1),
+        |banded AS (
+        | SELECT doc_id, sig,
+        |  b * 1024 + ((sig >> CAST(10 * b AS INTEGER)) & 1023) AS bk
+        | FROM sg CROSS JOIN range(6) rb(b)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.sig AS sa, b.sig AS sb
+        | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+        |ORDER BY 1, 2""".stripMargin
   )
 }
