@@ -85,9 +85,16 @@ object Bench {
         })
       }.foreach(_.get())
     runAll(40000000L) // untimed JIT + thread-pool spin-up
-    val t0 = System.nanoTime()
-    runAll(800000000L)
-    val dt = (System.nanoTime() - t0) / 1e9
+    // MIN of 3: the wall is the max over 32 threads, so ANY transient
+    // competing thread (GC, a kernel worker) extends one sample — measured
+    // one-sided spread 2.26–3.31 s on a quiet box. Noise only ever ADDS
+    // time, so the min is the stable capacity probe (the single-thread
+    // canary is one sample: its quiet spread is ±0.01 s).
+    val dt = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      runAll(800000000L)
+      (System.nanoTime() - t0) / 1e9
+    }.min
     pool.shutdown()
     dt
   }
@@ -203,20 +210,22 @@ object Bench {
     var canaryParStart: Double = -1.0
     var canaryEnd: Option[Double] = None
     var canaryParEnd: Option[Double] = None
-    // Quiet-box reference canaries for cross-round normalization. The
-    // single-thread spin measures ~1.40 s idle on the reference box
-    // (observed 1.3–1.4, rounds 7–9); the 32-thread parallel spin measures
-    // ~the same there (32 real cores, 1 thread/core — see canaryParSeconds).
-    // value_norm = value × canary_par_ref / canary_par_s reads as "what this
-    // run would cost on the quiet box" and — unlike the r7–r9 single-thread
-    // rule — actually sees multi-core contention (judge r9 #1: the r9 record
-    // was 2.05× wall at canary_s ratio only 1.30×). Both references are
-    // THIS-box constants, so they are env knobs with the reference-box
-    // values as documented defaults (advisor r9): on any other machine set
-    // SPARK_GRAFT_CANARY_REF / SPARK_GRAFT_CANARY_PAR_REF from a quiet run's
-    // canary_s / canary_par_s, or treat value_norm as unnormalized.
+    // Quiet-box reference canaries for cross-round normalization, both env
+    // knobs with reference-box defaults (advisor r9) — on any other machine
+    // set them from a quiet run's canary_s / canary_par_s, or treat the
+    // normalized values as unnormalized.
+    //  - canary_ref 1.40 s: the r7-vintage single-thread reading, kept so
+    //    value_norm_1t continues the r7–r9 series (today's quiet box reads
+    //    ~1.78 — per-core drift the series is meant to divide out).
+    //  - canary_par_ref 2.30 s: the 32-thread min-of-3 measured on THIS box
+    //    quiet (r10; 2.26–2.43 observed — all-core clocking makes it > the
+    //    single-thread value even idle). value_norm = value × ref / measured
+    //    reads "this run on a quiet current-vintage box" and — unlike the
+    //    r7–r9 single-thread rule — actually sees multi-core contention
+    //    (judge r9 #1: the r9 record was 2.05× wall at a canary_s ratio of
+    //    only 1.30×).
     val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "1.40").toDouble
-    val canaryParRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_PAR_REF", "1.45").toDouble
+    val canaryParRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_PAR_REF", "2.30").toDouble
     // Contention stamp (judge r9 #1): at print time the bench's own load
     // contribution is known work, so the START load is other processes'.
     // r8's official record ran at load 4–5 and normalized fine; r9's at
