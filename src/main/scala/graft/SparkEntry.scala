@@ -1370,11 +1370,20 @@ object SparkEntry {
       // Scale shape: the signature is ONE wide aggregate (60 sign counters
       // collapse map-side; the shuffle is 60 scalars per doc, never a
       // per-bit row explosion); banding is a per-row projection; the
-      // band-bucket self-join is the q23/q24 blocked shape. Band occupancy
-      // rises with corpus size (the measured sign-LSH scaling story —
-      // SURVEY §5); at 100 TB use q24's operator knobs (more bands/bits)
-      // or the IVF family for vectors.
+      // band-bucket self-join is the q23/q24 blocked shape WITH q23's
+      // bucket cap — measured necessary at 100×: the key-shifted sf1/sf10
+      // copies preserve token multisets, so every copy level multiplies
+      // each signature's multiplicity ×10 (max bucket 605 → 6,050 →
+      // 60,500; uncapped candidates ≈19G timed out the sf10 sweep budget).
+      // Cap 50 binds at EVERY SF (sf0.01 max bucket is 65), so the guard
+      // itself is oracle-checked, and bounds candidates at
+      // bands·2^bandBits·C(50,2) ≈ 7.5M rows at any corpus size. The cap
+      // is a count window over the band key — the same partitioning the
+      // self-join needs, so it rides the shared exchange (zero extra
+      // shuffles), and it is REPRODUCIBLE IN SQL (count over partition —
+      // no ordering), which is what keeps this variant's oracle direct.
       val B = 60; val bands = 6; val bandBits = 10; val maxHam = 8
+      val maxBucket = 50
       val th = T(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
@@ -1389,10 +1398,14 @@ object SparkEntry {
             when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
       val banded = sig.select(col("doc_id"), col("sig"),
-        explode(array((0 until bands).map(b =>
-          lit(b.toLong * (1L << bandBits)) +
-            shiftright(col("sig"), b * bandBits)
-              .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as("bk"))
+          explode(array((0 until bands).map(b =>
+            lit(b.toLong * (1L << bandBits)) +
+              shiftright(col("sig"), b * bandBits)
+                .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as("bk"))
+        .withColumn("bc", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+        .filter(col("bc") <= maxBucket)
+        .drop("bc")
       // distinct BEFORE the hamming confirm: a pair sharing several bands
       // must be scored once (sigs ride along — functionally dependent on
       // the ids, and carrying them avoids a join back for the confirm)
@@ -2685,10 +2698,15 @@ object SparkEntry {
         |  sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
         |      ELSE 0 END) AS sig
         | FROM bits GROUP BY 1),
-        |banded AS (
+        |banded0 AS (
         | SELECT doc_id, sig,
         |  b * 1024 + ((sig >> CAST(10 * b AS INTEGER)) & 1023) AS bk
         | FROM sg CROSS JOIN range(6) rb(b)),
+        |banded AS (
+        | SELECT doc_id, sig, bk FROM (
+        |  SELECT doc_id, sig, bk, count(*) OVER (PARTITION BY bk) AS bc
+        |  FROM banded0)
+        | WHERE bc <= 50),
         |cand AS (
         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  a.sig AS sa, b.sig AS sb
