@@ -206,6 +206,10 @@ object Bench {
     // the bootstrap print exists to close — until then the line carries -1.
     val loadStartTriple = loadavg()
     val loadStart = loadJson(loadStartTriple)
+    // >0 when another graft run held the box lock at startup: the record
+    // itself says the bench queued behind a sweep (task-7 evidence in the
+    // RECORD, not just a stderr note)
+    var lockWait: Double = 0.0
     var canaryStart: Double = -1.0
     var canaryParStart: Double = -1.0
     var canaryEnd: Option[Double] = None
@@ -269,7 +273,8 @@ object Bench {
         (if (canaryStart > 0)
           s""","value_norm_1t":${f3(total * canaryRef / canaryStart)}"""
         else "")
-      val box = s""","load_start":$loadStart,"load":${loadJson(loadavg())},"contended":$contended$canStart$canEnd"""
+      val lock = if (lockWait > 1.0) s""","lock_wait_s":${f3(lockWait)}""" else ""
+      val box = s""","load_start":$loadStart,"load":${loadJson(loadavg())},"contended":$contended$lock$canStart$canEnd"""
       println(s"""{"metric":"total","value":${f3(total)}$norm,"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs$done$box,"sf":"$sfDir"}""")
       System.out.flush()
     }
@@ -289,6 +294,7 @@ object Bench {
     val boxLock = BoxLock.acquire("bench")
     if (boxLock.waitedSeconds > 1.0)
       System.err.println(f"[bench] waited ${boxLock.waitedSeconds}%.0f s for box lock (acquired=${boxLock.acquired})")
+    lockWait = boxLock.waitedSeconds
     // NOW the canaries (the bootstrap record above is already on stdout);
     // every later line carries the real values
     canaryStart = canarySeconds()

@@ -372,4 +372,22 @@ object Typed {
     graft.operators.Scoring.thresholdSweep(ds.toDF(), col("score"), col("weight"))
       .as[SweepPoint]
   }
+
+  /** IVF search against a STORED index version
+    * ([[graft.sources.AnnIndex.searchIvf]] — probed-cell partition pruning,
+    * fraction-rule nProbe default), typed. The model must have been built
+    * over the [[Embedding]] column names; anything else fails fast rather
+    * than resolving the wrong columns.
+    */
+  def annTopKStored(model: graft.sources.AnnIndex.Model,
+                    queries: Dataset[Embedding], k: Int,
+                    nProbe: Int = -1): Dataset[Neighbor] = {
+    import queries.sparkSession.implicits._
+    require(model.meta.idCol == "vec_id" && model.meta.vecCol == "embedding",
+      s"typed stored-index search expects an index over (vec_id, embedding); " +
+        s"this one is over (${model.meta.idCol}, ${model.meta.vecCol})")
+    graft.sources.AnnIndex.searchIvf(model, queries.toDF(), k, nProbe)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+      .as[Neighbor]
+  }
 }

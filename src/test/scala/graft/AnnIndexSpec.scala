@@ -128,6 +128,26 @@ class AnnIndexSpec extends GraftSuite {
     assert(e.getMessage.contains("torn"))
   }
 
+  test("typed annTopKStored equals the typed inline IVF search on a stored index") {
+    val path = freshDir("typed")
+    val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
+      kmeansIters = 1)
+    AnnIndex.write(model, path, "v0001")
+    val stored = AnnIndex.read(spark, path)
+    val typedQ = graft.api.Typed.embeddings(spark, sf).filter(_.vec_id < 10)
+    val typedCorpus = graft.api.Typed.embeddings(spark, sf)
+    val viaStored = graft.api.Typed.annTopKStored(stored, typedQ, 5, nProbe = 4)
+      .collect().map(n => (n.query_id, n.neighbor_id, n.cos, n.rnk)).toSet
+    val viaInline = graft.api.Typed.annTopKIvf(typedCorpus, typedQ, 5,
+        numCells = 16, nProbe = 4, kmeansIters = 1)
+      .collect().map(n => (n.query_id, n.neighbor_id, n.cos, n.rnk)).toSet
+    assert(viaStored == viaInline && viaStored.nonEmpty)
+    // a model over different column names must fail fast, not misresolve
+    val renamed = stored.copy(meta = stored.meta.copy(idCol = "other_id"))
+    intercept[IllegalArgumentException](
+      graft.api.Typed.annTopKStored(renamed, typedQ, 5))
+  }
+
   test("stored-index IVF search prunes the postings scan to the probed cells") {
     val path = freshDir("prune")
     val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
