@@ -331,6 +331,56 @@ object AnnIndex {
     }
   }
 
+  /** Compact a version's postings in place: every [[append]] adds one
+    * parquet file per (micro-batch × touched cell), so a long-running
+    * ingest accumulates thousands of small files — the classic
+    * streaming-sink pathology; probes then pay per-file open cost instead
+    * of per-row scan cost. Rewrites cells/ (one file per cell directory)
+    * and codes/ (`codeFiles` files) with IDENTICAL content — quantizer,
+    * row set, and layout semantics unchanged, so searches before and after
+    * are the same (spec-asserted).
+    *
+    * Crash safety is the [[Writers.upsert]] staging pattern: each component
+    * is written to `<component>.staging`, then swapped via two renames with
+    * a `.old` keep-alive; a crash between the renames is repaired by the
+    * recovery step at the START of the next compact (or read — a missing
+    * component fails loudly, never silently empties). Callers must not
+    * compact concurrently with an append (the same single-writer contract
+    * every parquet-directory artifact here has).
+    */
+  def compact(spark: SparkSession, path: String, version: String,
+              codeFiles: Int = 8): Unit = {
+    val dir = s"$path/version=$version"
+    val f = fs(spark, path)
+    // crash recovery first: a previous compact that died between its two
+    // renames left the live component at .old and nothing at the name
+    for (c <- Seq("cells", "codes")) {
+      val live = hp(s"$dir/$c"); val old = hp(s"$dir/$c.old")
+      if (!f.exists(live) && f.exists(old))
+        require(f.rename(old, live), s"could not restore $dir/$c from .old")
+      f.delete(hp(s"$dir/$c.staging"), true)
+      f.delete(old, true)
+    }
+    val model = read(spark, path, Some(version)) // full validation first
+    def swap(component: String): Unit = {
+      val live = hp(s"$dir/$component"); val old = hp(s"$dir/$component.old")
+      require(f.rename(live, old), s"compact: rename $live -> $old failed")
+      require(f.rename(hp(s"$dir/$component.staging"), live),
+        s"compact: staging rename into $live failed — restore from $old")
+      f.delete(old, true)
+    }
+    // one file per cell directory: repartition BY the partition column so
+    // each write task owns whole cells
+    model.cells
+      .repartition(col("cell_id"))
+      .write.partitionBy("cell_id").parquet(s"$dir/cells.staging")
+    swap("cells")
+    model.codes.foreach { cd =>
+      cd.repartition(codeFiles).write.parquet(s"$dir/codes.staging")
+      swap("codes")
+    }
+  }
+
   // ---- search (stored-artifact twins of q48/q63/q65) ----------------------
 
   /** Live postings size — drives the fraction-rule knob defaults so recall

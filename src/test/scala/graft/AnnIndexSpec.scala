@@ -128,6 +128,34 @@ class AnnIndexSpec extends GraftSuite {
     assert(e.getMessage.contains("torn"))
   }
 
+  test("compact rewrites append-fragmented postings with identical content") {
+    val path = freshDir("compact")
+    val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
+      kmeansIters = 1, pq = Some(AnnIndex.PqConfig(8, 16)))
+    AnnIndex.write(model, path, "v0001")
+    // three appends fragment the postings (one file per batch × cell)
+    for (i <- 0 until 3)
+      AnnIndex.append(spark, path, "v0001",
+        embs.filter($"vec_id" >= i * 20L && $"vec_id" < i * 20L + 20L)
+          .select(($"vec_id" + 900000L).as("vec_id"), $"embedding", $"label"))
+    val before = AnnIndex.read(spark, path)
+    val filesBefore = before.cells.inputFiles.length
+    val resBefore = rows(AnnIndex.searchIvf(before, queries, 5, nProbe = 4))
+    val rowsBefore = (before.cells.count(), before.codes.get.count())
+
+    AnnIndex.compact(spark, path, "v0001", codeFiles = 2)
+    val after = AnnIndex.read(spark, path) // full validation still passes
+    assert(after.cells.inputFiles.length < filesBefore,
+      s"compaction did not reduce files: ${after.cells.inputFiles.length} of $filesBefore")
+    assert((after.cells.count(), after.codes.get.count()) == rowsBefore,
+      "compaction must preserve every posting and code row")
+    assert(rows(AnnIndex.searchIvf(after, queries, 5, nProbe = 4)) == resBefore,
+      "search over compacted postings must be identical")
+    // compact is idempotent-safe to re-run
+    AnnIndex.compact(spark, path, "v0001", codeFiles = 2)
+    assert(AnnIndex.read(spark, path).cells.count() == rowsBefore._1)
+  }
+
   test("typed annTopKStored equals the typed inline IVF search on a stored index") {
     val path = freshDir("typed")
     val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
