@@ -32,8 +32,12 @@ LOG=${LOG:-/tmp/sweep_sf10.log}
 GENV=$(grep -oE 'val genVersion = [0-9]+' src/test/scala/graft/GenSf1.scala | grep -oE '[0-9]+')
 [ -n "$GENV" ] || { echo "[sweep_sf10] cannot read genVersion from GenSf1.scala" >&2; exit 1; }
 regen_guard() { # $1 = corpus dir: exit unless it is absent/empty/generated
-  if [ -e "$1" ] && [ ! -e "$1/_GENMETA.json" ] && [ -n "$(ls -A "$1" 2>/dev/null)" ]; then
-    echo "[sweep_sf10] refusing to delete $1: non-empty and not a generated corpus (no _GENMETA.json)" >&2
+  # _GENSTART.json is the generator's FIRST write (advisor r10): a crashed
+  # partial generation has it without _GENMETA.json and stays auto-wipable;
+  # only a dir with NEITHER marker is treated as possibly-real user data
+  if [ -e "$1" ] && [ ! -e "$1/_GENMETA.json" ] && [ ! -e "$1/_GENSTART.json" ] \
+      && [ -n "$(ls -A "$1" 2>/dev/null)" ]; then
+    echo "[sweep_sf10] refusing to delete $1: non-empty and not a generated corpus (no _GENMETA.json/_GENSTART.json; if it IS a dead partial gen, rm -rf it manually)" >&2
     exit 1
   fi
 }

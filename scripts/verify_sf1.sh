@@ -30,8 +30,12 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16}
 GENV=$(grep -oE 'val genVersion = [0-9]+' src/test/scala/graft/GenSf1.scala | grep -oE '[0-9]+')
 [ -n "$GENV" ] || { echo "[verify_sf1] cannot read genVersion from GenSf1.scala" >&2; exit 1; }
 if ! grep -qs "\"gen_version\":$GENV," "$SF1_DIR/_GENMETA.json"; then
-  if [ -e "$SF1_DIR" ] && [ ! -e "$SF1_DIR/_GENMETA.json" ] && [ -n "$(ls -A "$SF1_DIR" 2>/dev/null)" ]; then
-    echo "[verify_sf1] refusing to delete $SF1_DIR: non-empty and not a generated corpus (no _GENMETA.json)" >&2
+  # _GENSTART.json is the generator's FIRST write (advisor r10): a crashed
+  # partial generation has it without _GENMETA.json and stays auto-wipable;
+  # only a dir with NEITHER marker is treated as possibly-real user data
+  if [ -e "$SF1_DIR" ] && [ ! -e "$SF1_DIR/_GENMETA.json" ] && [ ! -e "$SF1_DIR/_GENSTART.json" ] \
+      && [ -n "$(ls -A "$SF1_DIR" 2>/dev/null)" ]; then
+    echo "[verify_sf1] refusing to delete $SF1_DIR: non-empty and not a generated corpus (no _GENMETA.json/_GENSTART.json; if it IS a dead partial gen, rm -rf it manually)" >&2
     exit 1
   fi
   echo "[verify_sf1] generating $SF1_DIR (10x key-shifted sf0.1; absent, partial, or stale vintage)"

@@ -37,8 +37,11 @@ object BoxLock {
     val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_LOCK_WAIT_S", "600").toDouble
     val t0 = System.nanoTime()
     def waited = (System.nanoTime() - t0) / 1e9
+    var ch: java.nio.channels.FileChannel = null
+    def closeQuietly(): Unit =
+      if (ch != null) { try ch.close() catch { case _: Throwable => () } }
     try {
-      val ch = java.nio.channels.FileChannel.open(path, O.CREATE, O.WRITE)
+      ch = java.nio.channels.FileChannel.open(path, O.CREATE, O.WRITE)
       var lock = ch.tryLock()
       if (lock == null)
         System.err.println(s"[$owner] waiting on box lock $path (another graft run holds it)")
@@ -48,7 +51,7 @@ object BoxLock {
       }
       if (lock == null) {
         System.err.println(f"[$owner] box lock NOT acquired after $waited%.0f s — proceeding contended")
-        ch.close()
+        closeQuietly()
         Held(waited, acquired = false, () => ())
       } else {
         if (waited > 1.0) System.err.println(f"[$owner] box lock acquired after $waited%.0f s")
@@ -58,9 +61,20 @@ object BoxLock {
         })
       }
     } catch {
+      // same-JVM re-acquire: fcntl locks are per-process, so tryLock throws
+      // (not null) when another graft main IN THIS JVM already holds the
+      // lock — waiting can never succeed (advisor r10). The box IS locked
+      // against other processes by that holder, so proceed under its hold;
+      // acquired=false keeps release() a no-op (never double-release the
+      // holder's lock).
+      case _: java.nio.channels.OverlappingFileLockException =>
+        System.err.println(s"[$owner] box lock already held by this JVM — proceeding under the existing hold")
+        closeQuietly()
+        Held(waited, acquired = false, () => ())
       // instrumentation must never kill the run (e.g. read-only /tmp)
       case e: Throwable =>
         System.err.println(s"[$owner] box lock unavailable (${e.getMessage}) — proceeding")
+        closeQuietly()
         Held(waited, acquired = false, () => ())
     }
   }

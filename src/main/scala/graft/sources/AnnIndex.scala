@@ -131,11 +131,18 @@ object AnnIndex {
 
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  // JSON string escaping for the column names (advisor r10): a column named
+  // with a quote or backslash must not write a meta file that only fails
+  // months later at read time. json4s is already the parse-side dependency.
+  private def jstr(s: String): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JString(s)))
+
   private def metaJson(m: Meta): String = {
     val pqJson = m.pq.map(c =>
       s"""{"num_sub":${c.numSub},"num_centroids":${c.numCentroids}}""").getOrElse("null")
-    s"""{"format_version":${m.formatVersion},"id_col":"${m.idCol}",""" +
-      s""""vec_col":"${m.vecCol}","dim":${m.dim},"num_cells":${m.numCells},""" +
+    s"""{"format_version":${m.formatVersion},"id_col":${jstr(m.idCol)},""" +
+      s""""vec_col":${jstr(m.vecCol)},"dim":${m.dim},"num_cells":${m.numCells},""" +
       s""""kmeans_iters":${m.kmeansIters},"train_sample":${m.trainSample},""" +
       s""""corpus_rows":${m.corpusRows},"pq":$pqJson,""" +
       s""""probe_fraction":${m.probeFraction},""" +

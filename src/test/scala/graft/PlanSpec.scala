@@ -54,6 +54,9 @@ class PlanSpec extends GraftSuite {
     val exceptions = Set("q26_ann_bruteforce", "q48_ann_ivf", "q63_ann_pq",
       "q65_ann_ivfpq", "q66_ann_pq_exact", "q67_ann_ivf_exact",
       "q68_ann_ivfpq_exact", "q61_distinctive_terms",
+      // q97: q67's searchIvf shape against the STORED artifact — the same
+      // corpus × broadcast queries/centroids by-design nested loops
+      "q97_ann_index_lifecycle",
       // q70/q71: corpus × ONE broadcast packed-centroid row (assignCells)
       // — the same by-design shape as the ANN assignment paths above
       // (q71's pair join and verdict join are equi-joins; only the 1-row

@@ -65,9 +65,8 @@ class RecallFloorSpec extends GraftSuite {
     // honor the same SF1_DIR override scripts/verify_sf1.sh documents, so
     // the spec validates the corpus the user actually generated
     val sf1Dir = sys.env.getOrElse("SF1_DIR", "/tmp/sf1")
-    assume(java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$sf1Dir/embeddings.parquet")),
-      s"sf1 corpus not generated; run scripts/verify_sf1.sh first ($sf1Dir)")
+    corpusGate("sf1-recall-floors", s"$sf1Dir/embeddings.parquet",
+      "scripts/verify_sf1.sh")
     import graft.operators.Similarity
     // the generator's own constant, not a copy (advisor r9: a hardcoded
     // offset would silently no-op the exclusion if the generator changed)
@@ -137,9 +136,8 @@ class RecallFloorSpec extends GraftSuite {
     //    rather than hyperplane-hash at this scale).
     // Runs only when the sweep_sf10.sh corpus is present (generated asset).
     val sf10Dir = sys.env.getOrElse("SF10_DIR", "/tmp/sf10")
-    assume(java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$sf10Dir/embeddings.parquet")),
-      s"sf10 corpus not generated; run scripts/sweep_sf10.sh first ($sf10Dir)")
+    corpusGate("sf10-recall-rules", s"$sf10Dir/embeddings.parquet",
+      "scripts/sweep_sf10.sh")
     import graft.operators.Similarity
     // sf10 ids are orig + i*Off1 + j*Off2 (i,j in 0..9): strip both copy
     // levels to recover the sf0.1 id, drop every copy of the 10 query ids.

@@ -27,17 +27,24 @@ class ScaleSf10Spec extends GraftSuite {
   private val sf10Dir = sys.env.getOrElse("SF10_DIR", "/tmp/sf10")
 
   private def gate(): Unit =
-    assume(java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$sf10Dir/documents.parquet")),
-      s"sf10 corpus not generated; run scripts/sweep_sf10.sh first ($sf10Dir)")
+    corpusGate("sf10-scale-configs", s"$sf10Dir/documents.parquet",
+      "scripts/sweep_sf10.sh")
 
-  private def budgeted(budgetS: Double)(f: => Long): Long = {
+  // wall budgets are calibrated on one quiet local[4] box; on a slower or
+  // contended machine the multiplier (advisor r10) relaxes them without
+  // touching the finding-invariant assertions, which stay unconditional
+  private val budgetMult =
+    sys.env.getOrElse("SPARK_GRAFT_BUDGET_MULT", "1.0").toDouble
+
+  private def budgeted(baseBudgetS: Double)(f: => Long): Long = {
+    val budgetS = baseBudgetS * budgetMult
     val t0 = System.nanoTime()
     val n = f
     val secs = (System.nanoTime() - t0) / 1e9
     info(f"$secs%.1f s, $n rows (budget $budgetS%.0f s)")
     assert(secs <= budgetS,
-      f"scale-path wall regression: $secs%.1f s > budget $budgetS%.0f s")
+      f"scale-path wall regression: $secs%.1f s > budget $budgetS%.0f s " +
+        "(SPARK_GRAFT_BUDGET_MULT relaxes wall budgets on a slow/contended box)")
     n
   }
 

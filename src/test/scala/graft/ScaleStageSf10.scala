@@ -103,6 +103,10 @@ object ScaleStageSf10 {
       3, 0.8, maxDocFreq = 200L).count()
 
   def main(args: Array[String]): Unit = {
+    // box lock like Bench/RunQueries/the generators (advisor r10): a manual
+    // scale-stage run grinds local[cpus] for minutes and must not overlap —
+    // and silently distort — a concurrent official bench record
+    val boxLock = BoxLock.acquire("scalestage-sf10")
     // own session, NOT SparkTestBase's local[4]: timings must read against
     // the sweep's (RunQueries) session shape — SPARK_GRAFT_CPUS threads,
     // matching shuffle partitions, AQE on
@@ -129,5 +133,6 @@ object ScaleStageSf10 {
     time("q80-scale: curation pipeline, LSH pair stage")(q80Scale(s, dir))
     time("q87-scale: containment pairs with maxDocFreq=200")(q87Scale(s, dir))
     s.stop()
+    boxLock.release()
   }
 }
