@@ -40,6 +40,25 @@ import org.apache.spark.sql.functions._
   *    uniform dimension, and cells/codes row-count agreement — so a torn
   *    append or hand-edited artifact fails at read, not as silently
   *    missing neighbors.
+  *  - RETRAIN RULE (r11, measured in AnnDriftSpec): a fixed quantizer
+  *    cannot partition arrivals that drift off its training
+  *    distribution. Drift fails in TWO modes needing TWO cheap triggers,
+  *    both computable inside the append's own assignment pass:
+  *    (1) SKEW mode — templated/clone mass collapses into few cells
+  *    (the sf10 clone-corpus shape): batch cell-OCCUPANCY total
+  *    variation vs the live postings (q94 core,
+  *    [[graft.operators.Scoring.groupDriftTV]], numCells-sized
+  *    histograms) **> 0.25 ⇒ retrain**. (2) BOUNDARY mode — drifted
+  *    vectors spread EVENLY over cells (occupancy TV measured BLIND at
+  *    0.06–0.07) but sit near cell boundaries, so fixed-nProbe searches
+  *    for drifted queries decay toward the nProbe/numCells floor
+  *    (measured: recall 1.00 → 0.58 while existing postings' recall
+  *    stays 1.00): batch assignment FIT — mean cosine of each arrival
+  *    to its assigned centroid, one cosine per row against the
+  *    already-computed assignment — measured 0.999 in-distribution vs
+  *    0.35 drifted; **fit < live fit − 0.2 ⇒ retrain**. Retraining =
+  *    train and [[write]] a NEW version (versions are immutable, so
+  *    this is exactly the next-version path; pinned readers untouched).
   *
   * Search reuses the EXACT inline-operator code paths
   * ([[Similarity.ivfSearchInverted]] / pqEncode / pqQueryLut /
