@@ -248,12 +248,15 @@ object Bench {
       loadGate && (canaryParStart <= 0 || canaryParStart > canaryParRef * 1.25)
     // min-of-reps per query on STDERR: on a contended box the median absorbs
     // external load while the min is the best evidence of what the engine
-    // itself costs (they agree on a quiet box)
+    // itself costs (they agree on a quiet box). SHORT keys and 2 decimals —
+    // stderr shares the consumer's bounded tail with the stdout record (the
+    // r4 record was lost to stderr WARN spray), so this line must stay ~1 KB
+    // and is always printed BEFORE a stdout metric line, never after one.
     def printMinDetail(): Unit = {
       val rs = results
-      val qsMin = rs.map { case (k, _, m) => "\"" + k + "\":" + f3(m) }
+      val qsMin = rs.map { case (k, _, m) => "\"" + shortKey(k) + "\":" + fd(m, 2) }
         .mkString("{", ",", "}")
-      val failedNames = rs.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+      val failedNames = rs.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
       val totalMin = rs.collect { case (_, v, m) if v >= 0 => m }.sum
       System.err.println(s"""{"detail":"min_of_reps","total_min":${f3(totalMin)},"failed":${failedNames.mkString("[", ",", "]")},"queries_min":$qsMin}""")
     }
@@ -302,8 +305,14 @@ object Bench {
       // per-query mins themselves print on stderr after every pass (the
       // min_of_reps detail line); the stdout line carries only the total to
       // stay inside the consumer's ~2 KB tail capture.
-      val totalMin = rs.collect { case (_, v, m) if v >= 0 => m }.sum
-      val vmin = s""","value_min":${f3(totalMin)}"""
+      // omitted (not 0.000) until at least one query has a sample: the
+      // canary keys in this same function set the precedent — a consumer
+      // diffing records must never misread "not yet measured" as a
+      // 0-second engine
+      val minSamples = rs.collect { case (_, v, m) if v >= 0 => m }
+      val vmin =
+        if (minSamples.isEmpty) ""
+        else s""","value_min":${f3(minSamples.sum)}"""
       val lock = if (lockWait > 1.0) s""","lock_wait_s":${f3(lockWait)}""" else ""
       val box = s""","load_start":$loadStart,"load":${loadJson(loadavg())},"contended":$contended$lock$canStart$canEnd"""
       println(s"""{"metric":"total","value":${f3(total)}$vmin$norm,"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs$done$box,"sf":"$sfDir"}""")
@@ -371,12 +380,13 @@ object Bench {
       // wall vs timed-sum gap per pass = untimed overhead (session reset,
       // GC, cleaner churn) — the signal that caught the 8g-heap GC stall
       System.err.println(f"[bench] pass $pass wall ${(System.nanoTime() - p0) / 1e9}%.1f s, timed sum $timedSum%.1f s")
-      printMetricLine(pass)
-      // per-query mins after EVERY pass (stderr — the stdout line carries
-      // only the value_min total): a kill mid-run must not lose the
-      // per-query robust statistics, and stderr lines never evict the
-      // machine-read stdout line from the consumer's tail
+      // per-query mins after EVERY pass, printed BEFORE the pass's stdout
+      // metric line: a kill mid-run must not lose the per-query robust
+      // statistics, and the metric line must stay the LAST thing in the
+      // consumer's bounded tail (printing the detail after it could evict
+      // the record — the r4 failure mode)
       printMinDetail()
+      printMetricLine(pass)
     }
     // stop BEFORE the final metric line: Spark's shutdown hooks log
     // warnings, and anything printed after this line pushes it out of the

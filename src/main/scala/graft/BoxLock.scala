@@ -28,20 +28,36 @@ package graft
 object BoxLock {
   final case class Held(waitedSeconds: Double, acquired: Boolean, release: () => Unit)
 
+  // ONE channel per lock path for the JVM's lifetime, NEVER closed. POSIX
+  // fcntl (what Java file locks are on Linux) drops ALL of a process's
+  // record locks on a file when ANY descriptor on that file is closed —
+  // so a second acquire() that opened its own probe channel and closed it
+  // (on time-out, same-JVM overlap, or error) would silently RELEASE a
+  // lock a different main in this JVM still holds, re-opening the exact
+  // concurrent-run window the lock exists to close. A never-closed shared
+  // channel makes that impossible; the cost is one fd per lock path per
+  // JVM, reclaimed at process exit (which is also when the kernel releases
+  // the lock of a crashed holder).
+  private val channels =
+    scala.collection.mutable.Map[java.nio.file.Path, java.nio.channels.FileChannel]()
+  private def channelFor(path: java.nio.file.Path): java.nio.channels.FileChannel =
+    channels.synchronized {
+      import java.nio.file.{StandardOpenOption => O}
+      channels.getOrElseUpdate(path,
+        java.nio.channels.FileChannel.open(path, O.CREATE, O.WRITE))
+    }
+
   /** Acquire the shared lock, waiting up to `maxWaitS` (env
     * SPARK_GRAFT_LOCK_WAIT_S overrides). Always returns; check `acquired`.
     */
   def acquire(owner: String): Held = {
-    import java.nio.file.{Paths, StandardOpenOption => O}
+    import java.nio.file.Paths
     val path = Paths.get(sys.env.getOrElse("SPARK_GRAFT_LOCK", "/tmp/graft-box.lock"))
     val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_LOCK_WAIT_S", "600").toDouble
     val t0 = System.nanoTime()
     def waited = (System.nanoTime() - t0) / 1e9
-    var ch: java.nio.channels.FileChannel = null
-    def closeQuietly(): Unit =
-      if (ch != null) { try ch.close() catch { case _: Throwable => () } }
     try {
-      ch = java.nio.channels.FileChannel.open(path, O.CREATE, O.WRITE)
+      val ch = channelFor(path)
       var lock = ch.tryLock()
       if (lock == null)
         System.err.println(s"[$owner] waiting on box lock $path (another graft run holds it)")
@@ -51,30 +67,27 @@ object BoxLock {
       }
       if (lock == null) {
         System.err.println(f"[$owner] box lock NOT acquired after $waited%.0f s — proceeding contended")
-        closeQuietly()
         Held(waited, acquired = false, () => ())
       } else {
         if (waited > 1.0) System.err.println(f"[$owner] box lock acquired after $waited%.0f s")
         val l = lock
+        // release the LOCK only — the shared channel stays open (see above)
         Held(waited, acquired = true, () => {
-          try { l.release(); ch.close() } catch { case _: Throwable => () }
+          try l.release() catch { case _: Throwable => () }
         })
       }
     } catch {
-      // same-JVM re-acquire: fcntl locks are per-process, so tryLock throws
-      // (not null) when another graft main IN THIS JVM already holds the
-      // lock — waiting can never succeed (advisor r10). The box IS locked
-      // against other processes by that holder, so proceed under its hold;
-      // acquired=false keeps release() a no-op (never double-release the
-      // holder's lock).
+      // same-JVM re-acquire: tryLock throws (not null) when another graft
+      // main IN THIS JVM already holds the lock — waiting can never
+      // succeed (advisor r10). The box IS locked against other processes
+      // by that holder, so proceed under its hold; acquired=false keeps
+      // release() a no-op (never release the holder's lock).
       case _: java.nio.channels.OverlappingFileLockException =>
         System.err.println(s"[$owner] box lock already held by this JVM — proceeding under the existing hold")
-        closeQuietly()
         Held(waited, acquired = false, () => ())
       // instrumentation must never kill the run (e.g. read-only /tmp)
       case e: Throwable =>
         System.err.println(s"[$owner] box lock unavailable (${e.getMessage}) — proceeding")
-        closeQuietly()
         Held(waited, acquired = false, () => ())
     }
   }

@@ -45,10 +45,13 @@ import org.apache.spark.sql.functions._
   *    distribution. Drift fails in TWO modes needing TWO cheap triggers,
   *    both computable inside the append's own assignment pass:
   *    (1) SKEW mode — templated/clone mass collapses into few cells
-  *    (the sf10 clone-corpus shape): batch cell-OCCUPANCY total
-  *    variation vs the live postings (q94 core,
-  *    [[graft.operators.Scoring.groupDriftTV]], numCells-sized
-  *    histograms) **> 0.25 ⇒ retrain**. (2) BOUNDARY mode — drifted
+  *    (the sf10 clone-corpus shape): the batch's cell-OCCUPANCY total
+  *    variation vs the POOLED live+batch occupancy — the q94 core's own
+  *    statistic, [[graft.operators.Scoring.groupDriftTV]] over {live,
+  *    batch} groups, numCells-sized histograms; the 0.25 threshold is
+  *    calibrated against THIS statistic (batch-vs-pooled reads ~half of
+  *    batch-vs-live for live-comparable batch sizes — don't swap in the
+  *    vs-live form without re-deriving) — **TV > 0.25 ⇒ retrain**. (2) BOUNDARY mode — drifted
   *    vectors spread EVENLY over cells (occupancy TV measured BLIND at
   *    0.06–0.07) but sit near cell boundaries, so fixed-nProbe searches
   *    for drifted queries decay toward the nProbe/numCells floor

@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *    actually decays when the fixed quantizer stops partitioning
   *    arrivals;
   *  - two CHEAP pre-append observables, both computable in the append's
-  *    own assignment pass: (1) the batch's cell-OCCUPANCY vs the live
-  *    postings occupancy as total variation via the q94 core
-  *    ([[Scoring.groupDriftTV]], numCells rows of math) — and (2) the
-  *    batch's assignment FIT, the mean cosine of each arrival to its
-  *    assigned centroid, against the live postings' own fit.
+  *    own assignment pass: (1) the batch's cell-OCCUPANCY total variation
+  *    vs the POOLED live+batch occupancy — the q94 core's own statistic
+  *    ([[Scoring.groupDriftTV]] over {live, batch} groups, numCells rows
+  *    of math; the documented 0.25 threshold is calibrated against this
+  *    batch-vs-pooled form) — and (2) the batch's assignment FIT, the
+  *    mean cosine of each arrival to its assigned centroid, against the
+  *    live postings' own fit.
   *
   * The MEASURED finding that shaped the rule (r11, quiet local[4]):
   * occupancy TV is BLIND to the recall-decaying drift mode. A uniform

@@ -128,11 +128,14 @@ object ScaleStageSf10 {
       val n = f
       println(f"[scaleSf10] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, $n rows")
     }
-    time("q39-scale: CC over minhash-LSH pairs (q23 knobs)")(q39Scale(s, dir))
-    time("q57-scale: againstIndex with maxDocFreq=200")(q57Scale(s, dir))
-    time("q80-scale: curation pipeline, LSH pair stage")(q80Scale(s, dir))
-    time("q87-scale: containment pairs with maxDocFreq=200")(q87Scale(s, dir))
-    s.stop()
-    boxLock.release()
+    // try/finally: a failed stage must still release the box lock (a
+    // leaked hold blocks later benches in a resident sbt JVM)
+    try {
+      time("q39-scale: CC over minhash-LSH pairs (q23 knobs)")(q39Scale(s, dir))
+      time("q57-scale: againstIndex with maxDocFreq=200")(q57Scale(s, dir))
+      time("q80-scale: curation pipeline, LSH pair stage")(q80Scale(s, dir))
+      time("q87-scale: containment pairs with maxDocFreq=200")(q87Scale(s, dir))
+      s.stop()
+    } finally boxLock.release()
   }
 }
