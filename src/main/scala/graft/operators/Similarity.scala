@@ -268,8 +268,17 @@ object Similarity {
   private[graft] def ivfSearchInverted(inverted: DataFrame, centroids: DataFrame,
                                        queries: DataFrame, idCol: String,
                                        vecCol: String, k: Int,
-                                       nProbe: Int): DataFrame = {
-    val probes = probeCells(queries, centroids, idCol, vecCol, nProbe)
+                                       nProbe: Int): DataFrame =
+    ivfSearchWithProbes(inverted,
+      probeCells(queries, centroids, idCol, vecCol, nProbe), k)
+
+  /** The probe-join-and-score core over an ALREADY-COMPUTED probe list
+    * (query_id, qv, cell_id) — so a caller that also needs the probe list
+    * for partition pruning (graft.sources.AnnIndex.searchIvf) computes it
+    * ONCE instead of paying the queries × centroids scoring twice.
+    */
+  private[graft] def ivfSearchWithProbes(inverted: DataFrame, probes: DataFrame,
+                                         k: Int): DataFrame = {
     // broadcast the probe list (#queries × nProbe rows): the probe join then
     // never shuffles the inverted corpus either
     val scored = broadcast(probes).join(inverted, Seq("cell_id"))

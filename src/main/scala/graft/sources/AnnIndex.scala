@@ -40,10 +40,11 @@ import org.apache.spark.sql.functions._
   *    uniform dimension, and cells/codes row-count agreement — so a torn
   *    append or hand-edited artifact fails at read, not as silently
   *    missing neighbors.
-  *  - RETRAIN RULE (r11, measured in AnnDriftSpec): a fixed quantizer
-  *    cannot partition arrivals that drift off its training
-  *    distribution. Drift fails in TWO modes needing TWO cheap triggers,
-  *    both computable inside the append's own assignment pass:
+  *  - RETRAIN RULE (r11, measured in AnnDriftSpec; [[batchDrift]] IS the
+  *    rule as an API — call it before [[append]], retrain on
+  *    [[DriftStats.shouldRetrain]]): a fixed quantizer cannot partition
+  *    arrivals that drift off its training distribution. Drift fails in
+  *    TWO modes needing TWO cheap triggers, both batch-assignment-priced:
   *    (1) SKEW mode — templated/clone mass collapses into few cells
   *    (the sf10 clone-corpus shape): the batch's cell-OCCUPANCY total
   *    variation vs the POOLED live+batch occupancy — the q94 core's own
@@ -125,6 +126,15 @@ object AnnIndex {
         pqCandidateFraction > 0 && pqCandidateFraction <= 1.0 &&
         ivfpqCandidateFraction > 0 && ivfpqCandidateFraction <= 1.0,
       "knob fractions must be in (0, 1]")
+    // mirror pqCore's loud knob guards (review r11): PqConfig(0, …) would
+    // otherwise build empty code arrays whose identical approximate scores
+    // keep arbitrary-by-id candidates — silently wrong searches that only
+    // fail later, at read validation
+    pq.foreach { c =>
+      require(c.numSub >= 1, s"pq.numSub must be >= 1, got ${c.numSub}")
+      require(c.numCentroids >= 1,
+        s"pq.numCentroids must be >= 1, got ${c.numCentroids}")
+    }
     val centroids = Similarity.kmeansCentroids(corpus, idCol, vecCol,
       numCells, kmeansIters, trainSample)
     val cells = Similarity.cellIndex(corpus, centroids, idCol, vecCol)
@@ -254,18 +264,13 @@ object AnnIndex {
       .sorted.lastOption
   }
 
-  /** Read a stored index — the pinned `version`, or the latest complete
-    * one. Validation is the read's whole point (see the class doc): any
-    * inconsistency throws with the failing component named.
+  /** Parse a version directory's `_META.json` (shared by [[read]] and
+    * [[repairTornAppend]], which must get at the stored config of an index
+    * whose full validation would throw).
     */
-  def read(spark: SparkSession, path: String,
-           version: Option[String] = None): Model = {
-    val v = version.orElse(latestVersion(spark, path)).getOrElse(
-      throw new IllegalArgumentException(s"no complete ANN-index versions at $path"))
-    val dir = s"$path/version=$v"
-    val f = fs(spark, path)
+  private def metaAt(f: org.apache.hadoop.fs.FileSystem, dir: String): Meta = {
     require(f.exists(hp(s"$dir/_META.json")),
-      s"ANN-index version '$v' at $path is incomplete (no _META.json)")
+      s"ANN-index version at $dir is incomplete (no _META.json)")
     val metaBytes = {
       val in = f.open(hp(s"$dir/_META.json"))
       try {
@@ -276,7 +281,20 @@ object AnnIndex {
         buf.toString("UTF-8")
       } finally in.close()
     }
-    val meta = parseMeta(metaBytes, dir)
+    parseMeta(metaBytes, dir)
+  }
+
+  /** Read a stored index — the pinned `version`, or the latest complete
+    * one. Validation is the read's whole point (see the class doc): any
+    * inconsistency throws with the failing component named.
+    */
+  def read(spark: SparkSession, path: String,
+           version: Option[String] = None): Model = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no complete ANN-index versions at $path"))
+    val dir = s"$path/version=$v"
+    val f = fs(spark, path)
+    val meta = metaAt(f, dir)
     require(meta.formatVersion == FormatVersion,
       s"ANN index at $dir has format_version ${meta.formatVersion}; this " +
         s"reader supports $FormatVersion")
@@ -311,12 +329,19 @@ object AnnIndex {
         require(cb.columns.sorted.toSeq == Seq("cid", "cvec", "sub"),
           s"codebook at $dir has columns ${cb.columns.toSeq}, want (sub, cid, cvec)")
         // gap-free subspaces 0..m-1 — positional packing depends on it; a
-        // numSub-bounded collect (the tiny-model rule)
+        // numSub-bounded collect (the tiny-model rule). The EXACT expected
+        // count is derivable from (dim, numSub) — pqSubs gives ceil(dim/
+        // numSub)-wide slices and drops empty trailing ones — so require
+        // equality, not <=: a codebook that lost its TRAILING subspace
+        // rows (truncated copy) is contiguous but short, and stored codes
+        // arrays would index past the search LUT (review r11)
+        val subW = (meta.dim + pq.numSub - 1) / pq.numSub
+        val expectedSubs = (0 until pq.numSub).count(s => s * subW < meta.dim)
         val subsSeen = cb.select(col("sub").cast("int")).distinct()
           .collect().map(_.getInt(0)).sorted
-        require(subsSeen.nonEmpty && subsSeen.toSeq == (0 until subsSeen.length) &&
-            subsSeen.length <= pq.numSub,
-          s"codebook at $dir has non-contiguous subspaces ${subsSeen.toSeq} — " +
+        require(subsSeen.toSeq == (0 until expectedSubs),
+          s"codebook at $dir has subspaces ${subsSeen.toSeq}, want " +
+            s"0..${expectedSubs - 1} for dim ${meta.dim} × numSub ${pq.numSub} — " +
             "truncated or corrupted artifact")
         val cd = spark.read.parquet(s"$dir/codes")
         require(cd.columns.sorted.toSeq == Seq("codes", "neighbor_id"),
@@ -324,12 +349,24 @@ object AnnIndex {
         // torn-append detector: every non-null posting vector must have a
         // code row (pqEncode skips NULL vectors) — an append that died
         // between its two writes fails HERE, not as silently missing
-        // neighbors in PQ searches
-        val postings = cells.filter(col(meta.vecCol).isNotNull).count()
+        // neighbors in PQ searches. TWO-PHASE so the append/streaming hot
+        // path (append() -> read() per micro-batch) stays footer-only:
+        // count(*) on both sides is answered from parquet footers without
+        // reading the (widest) vector column; only when the plain counts
+        // disagree — a null-vec posting OR a real tear — does the
+        // column-reading non-null count run to tell them apart. A corpus
+        // with permanent null-vector postings pays the slow path every
+        // read; that shape is rare and the loudness is the contract.
+        val totalPostings = cells.count()
         val nCodes = cd.count()
-        require(postings == nCodes,
-          s"ANN index at $dir is torn: ${postings} non-null postings vs " +
-            s"$nCodes code rows — a crashed append; re-append the missing batch")
+        if (totalPostings != nCodes) {
+          val postings = cells.filter(col(meta.vecCol).isNotNull).count()
+          require(postings == nCodes,
+            s"ANN index at $dir is torn: ${postings} non-null postings vs " +
+              s"$nCodes code rows — a crashed append died between its cells " +
+              "and codes writes; run repairTornAppend to re-encode the " +
+              "missing code rows through the stored codebook")
+        }
         (Some(cb), Some(cd))
     }
     Model(meta, centroids, cells, codebook, codes)
@@ -350,6 +387,24 @@ object AnnIndex {
              batch: DataFrame): Unit = {
     val model = read(spark, path, Some(version))
     val dir = s"$path/version=$version"
+    // dimension gate (review r11): meta.dim is stored exactly so a
+    // drifted corpus is REJECTED months later — but nothing checked the
+    // append path, where an embedding-model upgrade (64-d -> 128-d
+    // vectors) would otherwise assign every arrival a NULL cell
+    // (nearestIndex's ragged-vector contract) and append a permanently
+    // unsearchable batch that every later read accepts. One tiny agg over
+    // the batch (batch-sized, not corpus-sized) keeps the failure loud.
+    val dims = batch.filter(col(model.meta.vecCol).isNotNull)
+      .agg(count_distinct(size(col(model.meta.vecCol))),
+        min(size(col(model.meta.vecCol))))
+      .head()
+    require(dims.getLong(0) <= 1,
+      s"append batch has ${dims.getLong(0)} distinct vector dimensions — " +
+        s"the index at $dir is uniformly ${model.meta.dim}-dimensional")
+    require(dims.getLong(0) == 0 || dims.getInt(1) == model.meta.dim,
+      s"append batch vectors are ${dims.getInt(1)}-dimensional; the index " +
+        s"at $dir was trained on ${model.meta.dim} — embedding model " +
+        "drift; retrain a new version instead of appending")
     val assigned = Similarity.cellIndex(batch, model.centroids,
       model.meta.idCol, model.meta.vecCol)
     assigned.write.mode("append").partitionBy("cell_id").parquet(s"$dir/cells")
@@ -357,6 +412,89 @@ object AnnIndex {
       Similarity.pqEncode(batch, Similarity.pqPackBySub(model.codebook.get),
           model.meta.idCol, model.meta.vecCol, pq.numSub)
         .write.mode("append").parquet(s"$dir/codes")
+    }
+  }
+
+  /** The RETRAIN RULE's pre-append observables (see the class doc), as an
+    * API so the rule is applicable without re-deriving it: call BEFORE
+    * [[append]] and retrain a new version when [[DriftStats.shouldRetrain]].
+    */
+  final case class DriftStats(occupancyTv: Double, batchFit: Double,
+                              liveFit: Double) {
+    /** The r11-measured rule (AnnDriftSpec): occupancy TV > 0.25 catches
+      * skew-mode drift (clone mass into few cells); a fit drop > 0.2
+      * catches boundary-mode drift (occupancy-TV-blind, recall-decaying).
+      */
+    def shouldRetrain: Boolean =
+      occupancyTv > 0.25 || batchFit < liveFit - 0.2
+  }
+
+  /** Compute the staleness observables for an arriving batch against a
+    * stored model: the batch's cell-occupancy total variation vs the
+    * POOLED live+batch occupancy (the q94 core's statistic — what the 0.25
+    * threshold is calibrated against), and the batch's and live postings'
+    * assignment fit (mean cosine to the assigned centroid). Cost: one
+    * batch-sized assignment (the same work [[append]] would do) + two
+    * numCells-bounded aggregates + one pass over the live postings for
+    * `liveFit`. The batch must have at least one assignable (non-null,
+    * non-zero-norm) vector.
+    */
+  def batchDrift(model: Model, batch: DataFrame): DriftStats = {
+    val m = model.meta
+    val assigned = Similarity.cellIndex(batch, model.centroids, m.idCol, m.vecCol)
+      .filter(col("cell_id").isNotNull)
+    val events = model.cells.select(lit("live").as("grp"), col("cell_id"))
+      .unionByName(assigned.select(lit("batch").as("grp"), col("cell_id")))
+    val tvRows = graft.operators.Scoring
+      .groupDriftTV(events, col("grp"), col("cell_id"))
+      .filter(col("grp") === "batch")
+      .select(col("tv")).collect()
+    require(tvRows.nonEmpty,
+      "batchDrift: batch has no assignable vectors (all null or zero-norm)")
+    def fit(df: DataFrame): Double = df
+      .join(broadcast(model.centroids), Seq("cell_id"))
+      .agg(avg(graft.plans.NativeFns.cosineSim(col(m.vecCol), col("cvec"))))
+      .head().getDouble(0)
+    DriftStats(tvRows.head.getDouble(0), fit(assigned), fit(model.cells))
+  }
+
+  /** Repair a PQ index whose append died between its cells write and its
+    * codes write (the torn state [[read]] detects and refuses): find the
+    * postings rows that have no code row, re-encode exactly those through
+    * the STORED codebook — byte-identical to what the crashed append would
+    * have written, since encoding is deterministic in (vector, codebook) —
+    * and append the missing code rows. Idempotent: a healthy index writes
+    * nothing. Returns the number of code rows written; ends with a full
+    * validating [[read]], so a repair that did not heal the index throws
+    * rather than reporting success. Non-PQ indexes have no codes and
+    * return 0. Same single-writer contract as [[append]]/[[compact]].
+    */
+  def repairTornAppend(spark: SparkSession, path: String,
+                       version: String): Long = {
+    val dir = s"$path/version=$version"
+    val f = fs(spark, path)
+    val meta = metaAt(f, dir)
+    meta.pq match {
+      case None => 0L
+      case Some(pq) =>
+        val cellsSchema = org.apache.spark.sql.types.DataType
+          .fromJson(meta.cellsSchemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val cells = spark.read.schema(cellsSchema).parquet(s"$dir/cells")
+        val codes = spark.read.parquet(s"$dir/codes")
+        val codebook = spark.read.parquet(s"$dir/codebook")
+        val missing = cells
+          .filter(col(meta.vecCol).isNotNull)
+          .join(codes.select(col("neighbor_id").as(meta.idCol)),
+            Seq(meta.idCol), "left_anti")
+        val n = missing.count()
+        if (n > 0) {
+          Similarity.pqEncode(missing, Similarity.pqPackBySub(codebook),
+              meta.idCol, meta.vecCol, pq.numSub)
+            .write.mode("append").parquet(s"$dir/codes")
+        }
+        read(spark, path, Some(version)) // throws if still unhealthy
+        n
     }
   }
 
@@ -375,7 +513,13 @@ object AnnIndex {
     * recovery step at the START of the next compact (or read — a missing
     * component fails loudly, never silently empties). Callers must not
     * compact concurrently with an append (the same single-writer contract
-    * every parquet-directory artifact here has).
+    * every parquet-directory artifact here has) — NOR with live READERS:
+    * the swap renames the directories a previously-returned [[Model]]'s
+    * DataFrames have already listed, so a search running (or re-run)
+    * across the swap fails with missing files. "Searches before and after
+    * are the same" holds for models read BEFORE vs AFTER the compact, not
+    * for models held ACROSS it — quiesce readers or re-[[read]] after
+    * compacting (review r11).
     */
   def compact(spark: SparkSession, path: String, version: String,
               codeFiles: Int = 8): Unit = {
@@ -411,6 +555,15 @@ object AnnIndex {
   }
 
   // ---- search (stored-artifact twins of q48/q63/q65) ----------------------
+  //
+  // ID-SPACE CONTRACT (review r11): all three searches inherit the inline
+  // operators' self-exclusion — a candidate whose id EQUALS the query's id
+  // is treated as "the query itself" and never returned (exactly q26/q48/
+  // q63/q65's semantics, which keeps stored ≡ fresh spec-assertable).
+  // Queries must therefore share the postings' id namespace: an external
+  // query feed with its own 0-based ids would silently lose the one
+  // posting per query whose id collides. Re-key external queries into a
+  // disjoint range (e.g. negative ids) before searching.
 
   /** Live postings size — drives the fraction-rule knob defaults so recall
     * holds as appends grow the index past `meta.corpusRows`. A count-star
@@ -431,15 +584,20 @@ object AnnIndex {
                 nProbe: Int = -1): DataFrame = {
     val m = model.meta
     val p = if (nProbe <= 0) defaultNProbe(model) else nProbe
-    val probedCells = Similarity.probeCells(queries, model.centroids,
-        m.idCol, m.vecCol, p)
+    // ONE probe computation (review r11): the collected distinct cell list
+    // prunes the postings scan to probed partition directories, and the
+    // SAME probes frame feeds the scoring join — previously
+    // ivfSearchInverted recomputed the queries × centroids probe scoring
+    // a second time, an extra job per search on the hot path
+    val probes = Similarity.probeCells(queries, model.centroids,
+      m.idCol, m.vecCol, p)
+    val probedCells = probes
       .select(col("cell_id")).distinct().collect().map(_.getLong(0))
     val inverted = model.cells
       .filter(col("cell_id").isin(probedCells.map(Long.box): _*))
       .select(col("cell_id"), col(m.idCol).as("neighbor_id"),
         col(m.vecCol).as("nvec"))
-    Similarity.ivfSearchInverted(inverted, model.centroids, queries,
-      m.idCol, m.vecCol, k, p)
+    Similarity.ivfSearchWithProbes(inverted, probes, k)
   }
 
   /** Plain-PQ search against the stored codes. `candidates <= 0` applies

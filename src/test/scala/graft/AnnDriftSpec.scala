@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Scoring, Similarity}
+import graft.operators.Similarity
 import graft.sources.AnnIndex
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -87,32 +87,8 @@ class AnnDriftSpec extends GraftSuite {
     (got & truth).size.toDouble / truth.size
   }
 
-  /** The pre-append observable: TV of the batch's cell occupancy vs the
-    * pooled (live + batch) occupancy, via the q94 core. numCells-sized
-    * relations only.
-    */
-  private def batchTv(model: AnnIndex.Model, batch: DataFrame): Double = {
-    val liveCells = model.cells.select(lit("live").as("grp"), col("cell_id"))
-    val batchCells = Similarity.cellIndex(batch, model.centroids,
-        "vec_id", "embedding")
-      .select(lit("batch").as("grp"), col("cell_id"))
-    Scoring.groupDriftTV(liveCells.unionByName(batchCells),
-        col("grp"), col("cell_id"))
-      .filter(col("grp") === "batch")
-      .select(col("tv")).as[Double].head()
-  }
-
-  /** Assignment FIT: mean cosine of each vector to its assigned centroid —
-    * the pre-append observable that sees BOUNDARY drift (occupancy TV is
-    * blind to it when the drifted mass spreads evenly over the cells;
-    * measured in the test body). One cosine per vector against the
-    * already-computed assignment: free inside the append's own pass.
-    */
-  private def meanFit(model: AnnIndex.Model, df: DataFrame): Double =
-    Similarity.cellIndex(df, model.centroids, "vec_id", "embedding")
-      .join(broadcast(model.centroids), Seq("cell_id"))
-      .select(avg(graft.plans.NativeFns.cosineSim($"embedding", $"cvec")).as("fit"))
-      .as[Double].head()
+  // the observables come from the LIBRARY rule API (AnnIndex.batchDrift,
+  // promoted r11) — the spec measures the shipped statistic, not a twin
 
   test("append drift decays stored-knob recall; assignment fit (not occupancy TV) predicts it before the append") {
     val path = java.nio.file.Files.createTempDirectory("graft-anndrift")
@@ -124,12 +100,10 @@ class AnnDriftSpec extends GraftSuite {
       path, "0001")
     val built = AnnIndex.read(spark, path, Some("0001"))
 
-    val fitLive = meanFit(built, baseA)
-
     // -- control: an in-distribution batch --
     val batchA = frame(2000 until 2400, aVec)
-    val tvA = batchTv(built, batchA)
-    val fitA = meanFit(built, batchA)
+    val dA = AnnIndex.batchDrift(built, batchA)
+    val (tvA, fitA, fitLive) = (dA.occupancyTv, dA.batchFit, dA.liveFit)
     AnnIndex.append(spark, path, "0001", batchA)
     val liveA = baseA.unionByName(batchA)
     val modelA = AnnIndex.read(spark, path, Some("0001"))
@@ -140,8 +114,8 @@ class AnnDriftSpec extends GraftSuite {
 
     // -- drift: an off-distribution batch of the same size --
     val batchB = frame(3000 until 3400, bVec)
-    val tvB = batchTv(modelA, batchB)
-    val fitB = meanFit(modelA, batchB)
+    val dB = AnnIndex.batchDrift(modelA, batchB)
+    val (tvB, fitB) = (dB.occupancyTv, dB.batchFit)
     AnnIndex.append(spark, path, "0001", batchB)
     val liveB = liveA.unionByName(batchB)
     val modelB = AnnIndex.read(spark, path, Some("0001"))
@@ -151,8 +125,8 @@ class AnnDriftSpec extends GraftSuite {
 
     // -- more drift: B grows to half the corpus --
     val batchB2 = frame(4000 until 5200, bVec)
-    val tvB2 = batchTv(modelB, batchB2)
-    val fitB2 = meanFit(modelB, batchB2)
+    val dB2 = AnnIndex.batchDrift(modelB, batchB2)
+    val (tvB2, fitB2) = (dB2.occupancyTv, dB2.batchFit)
     AnnIndex.append(spark, path, "0001", batchB2)
     val liveB2 = liveB.unionByName(batchB2)
     val modelB2 = AnnIndex.read(spark, path, Some("0001"))
@@ -184,5 +158,11 @@ class AnnDriftSpec extends GraftSuite {
     // corpus shape changed — re-derive the rule, don't loosen the bound.
     assert(tvB < 0.15 && tvB2 < 0.15,
       f"uniform-drift TV unexpectedly high ($tvB%.3f / $tvB2%.3f) — blindness finding drifted")
+    // the shipped rule (DriftStats.shouldRetrain) encodes exactly this
+    // separation — assert it END TO END so the API can't drift from the
+    // measurement that derived it
+    assert(!dA.shouldRetrain, s"control batch flagged for retrain: $dA")
+    assert(dB.shouldRetrain && dB2.shouldRetrain,
+      s"drifted batches not flagged for retrain: $dB / $dB2")
   }
 }

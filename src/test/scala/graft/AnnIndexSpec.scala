@@ -128,6 +128,53 @@ class AnnIndexSpec extends GraftSuite {
     assert(e.getMessage.contains("torn"))
   }
 
+  test("repairTornAppend re-encodes missing code rows; append rejects dimension drift") {
+    val path = freshDir("repair")
+    val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
+      kmeansIters = 1, pq = Some(AnnIndex.PqConfig(8, 16)))
+    AnnIndex.write(model, path, "v0001")
+    val healthy = AnnIndex.read(spark, path)
+
+    // torn state: a near-clone of vector 7 lands in cells but its codes
+    // write "crashed" (the append test's scenario)
+    val tornArrival = embs.filter($"vec_id" === 7L)
+      .select(($"vec_id" + 950000L).as("vec_id"),
+        transform($"embedding", x => x + lit(1e-4f)).cast("array<float>").as("embedding"),
+        $"label")
+    Similarity.cellIndex(tornArrival, healthy.centroids, "vec_id", "embedding")
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/version=v0001/cells")
+    intercept[IllegalArgumentException](AnnIndex.read(spark, path))
+
+    // repair writes exactly the missing code row and the read heals; the
+    // re-encoded code is what the crashed append would have written, so
+    // the provably-exact search surfaces the repaired vector as top-1
+    assert(AnnIndex.repairTornAppend(spark, path, "v0001") == 1L)
+    val repaired = AnnIndex.read(spark, path)
+    val top1 = AnnIndex.searchIvfPq(repaired, embs.filter($"vec_id" === 7L), 1,
+        nProbe = 16, candidates = 1000000)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1 == Map(7L -> 950007L),
+      s"repaired posting not surfaced by exact search: $top1")
+    // idempotent: a healthy index repairs nothing
+    assert(AnnIndex.repairTornAppend(spark, path, "v0001") == 0L)
+
+    // dimension gate (review r11): an embedding-model upgrade must fail
+    // the append loudly, not land unsearchable NULL-cell postings
+    val drifted = embs.filter($"vec_id" < 3)
+      .select(($"vec_id" + 970000L).as("vec_id"),
+        concat($"embedding", $"embedding").cast("array<float>").as("embedding"),
+        $"label")
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.append(spark, path, "v0001", drifted))
+    assert(e.getMessage.contains("drift"), e.getMessage)
+    // and a RAGGED batch (mixed dimensions) is named as such
+    val ragged = drifted.unionByName(embs.filter($"vec_id" === 5L)
+      .select(($"vec_id" + 980000L).as("vec_id"), $"embedding", $"label"))
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.append(spark, path, "v0001", ragged))
+    assert(e2.getMessage.contains("distinct vector dimensions"), e2.getMessage)
+  }
+
   test("compact rewrites append-fragmented postings with identical content") {
     val path = freshDir("compact")
     val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
