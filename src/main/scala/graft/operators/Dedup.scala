@@ -534,10 +534,10 @@ object Dedup {
     * band bucket → estimate Jaccard as signature agreement. The band bucket
     * is the blocking key; numPerms/rowsPerBand tune recall vs fan-out.
     *
-    * A bucket-size cap implies persistence of the banded index: the cap adds
-    * a bucket-count aggregate over it, and recomputing the full
-    * shingle+minhash pipeline three times would cost more than the quadratic
-    * join the cap avoids.
+    * The bucket-size cap is a count window riding the self-join's own `bk`
+    * exchange — NO persist implied (the body comment has the full shape;
+    * an earlier agg+join formulation needed one, which is why persistIndex
+    * exists as a separate knob).
     */
   /** Drop every row whose `key` bucket holds more than `cap` rows — the
     * quadratic-blowup guard of the banding family, in its two
@@ -634,7 +634,12 @@ object Dedup {
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(NativeFns.sigAgree(col("a.sig"), col("b.sig")), 4).as("est_jaccard"))
+        // engine-exact rounding (the l.107 jaccard rule, applied here too —
+        // review r11): agree/numPerms is exact binary only for power-of-2
+        // numPerms; Spark round()'s shortest-repr rule diverges from a
+        // binary-exact oracle on values like 57/800
+        graft.functions.NumFns.roundHalfUp(
+          NativeFns.sigAgree(col("a.sig"), col("b.sig")), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .groupBy(col("doc_a"), col("doc_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
     if (persistIndex) materializeAndRelease(result, banded) else result
@@ -763,6 +768,10 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20, checkEvery: Int = 2): DataFrame = {
+    // loud knob guards (the capIndexByDf convention): checkEvery = 0 would
+    // otherwise burn a full Spark round before dying on a bare '/ by zero'
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     // undirected edge list, both directions — checkpointed: every round
     // joins against it, and without materialization each round would
     // re-execute the full upstream pair pipeline. No distinct(): min-agg
@@ -838,6 +847,14 @@ object Dedup {
     * cannot be split by AQE when one span repeats 10⁶ times. The join's
     * build side has one row per distinct content, so clique fan-out on the
     * stream side is 1:1.
+    *
+    * CONTRACT: `order` must totally order the rows WITHIN each content
+    * clique — rows tying on the full `order` key are all flagged first
+    * (struct-equality against the clique minimum keeps every tied row), so
+    * a caller with possible ties must append a unique tiebreaker column.
+    * The operator cannot synthesize one: any internal fallback
+    * (monotonically_increasing_id) is partitioning-dependent and would
+    * make results nondeterministic across runs (review r11).
     */
   def firstOccurrenceFlags(rows: DataFrame, content: Column,
                            order: Seq[Column]): DataFrame = {
@@ -891,6 +908,21 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graftshim.ColumnBridge
+    // BloomFilterAggregate silently CLAMPS its arguments to the session
+    // confs (defaults 4M items / 64M bits) — a sketch sized for 10⁹ items
+    // would quietly build at fpp ≈ 1 and void the two-phase prefilter's
+    // whole point while still returning "correct" results. Fail loudly and
+    // name the knob instead (review r11).
+    val conf = hashes.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloomSketch($expectedItems items, $numBits bits) exceeds the session " +
+        s"ceilings ($maxItems items / $maxBits bits) and would be silently " +
+        "clamped — raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+        "maxNumBits to match the sketch you are sizing")
     val agg = ColumnBridge.column(
       new BloomFilterAggregate(ColumnBridge.expression(col(hashCol)),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
@@ -980,7 +1012,11 @@ object Dedup {
         col("a.blk") === col("b.blk") && col("a.slice") === col("b.slice") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(NativeFns.cosineSim(col("a.v"), col("b.v")), 3).as("cos"))
+        // engine-exact rounding (review r11; the l.107 rule) — cos here is
+        // threshold-compared, and output pairs all sit at cos >= minCos > 0
+        // where roundHalfUp equals the oracle's exact-binary round()
+        graft.functions.NumFns.roundHalfUp(
+          NativeFns.cosineSim(col("a.v"), col("b.v")), 3).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -1008,13 +1044,25 @@ object Dedup {
     */
   def boilerplateStrip(docs: DataFrame, id: Column, text: Column,
                        chunkTokens: Int, minDf: Long): DataFrame = {
-    val toks = TextFns.tokens(text)
-    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("long")
-    val chunks = docs
-      .select(id.as("doc_id"),
-        explode(transform(sequence(lit(0L), nChunks - 1),
+    // tokens MATERIALIZED in a prior projection (review r11): inlining the
+    // split expression into the transform lambda re-evaluates it once per
+    // chunk — the O(tokens²) trap TextFns.shingles documents. A bound
+    // attribute is evaluated once per row.
+    val base = docs.select(id.as("doc_id"), TextFns.tokens(text).as("_toks"))
+    val nChunks =
+      ceil(size(col("_toks")).cast("double") / chunkTokens).cast("long")
+    val chunks = base
+      .select(col("doc_id"),
+        // guarded sequence (review r11): under legacy non-ANSI confs
+        // size(NULL) is -1, nChunks 0, and sequence(0, -1) steps DOWN to
+        // [0, -1] — two phantom chunks per null-text doc. The when keeps
+        // the span empty for nChunks <= 0 (and NULL → otherwise → empty,
+        // matching ANSI's no-rows behavior), conf-independent.
+        explode(transform(
+          when(nChunks >= 1L, sequence(lit(0L), nChunks - 1))
+            .otherwise(array().cast("array<bigint>")),
           i => struct(i.as("chunk_idx"),
-            concat_ws(" ", slice(toks, (i * chunkTokens + 1).cast("int"),
+            concat_ws(" ", slice(col("_toks"), (i * chunkTokens + 1).cast("int"),
               lit(chunkTokens))).as("chunk_text")))).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
     val dfs = chunks.groupBy(col("chunk_text"))
@@ -1131,7 +1179,8 @@ object Dedup {
       .select(col(idCol).as("_h_id"), col("cell_id").as("_h_cell"),
         col(vecCol).as("_h_vec"))
     val dirty = trainIdx.join(heldIdx, col("cell_id") === col("_h_cell"))
-      .filter(round(NativeFns.cosineSim(col(vecCol), col("_h_vec")), 3)
+      .filter(graft.functions.NumFns.roundHalfUp(
+          NativeFns.cosineSim(col(vecCol), col("_h_vec")), 3)
         >= minCos)
       .select(col(idCol).as("_dirty_id")).distinct()
     trainIdx.join(dirty, col(idCol) === col("_dirty_id"), "left")
@@ -1159,11 +1208,20 @@ object Dedup {
                          n: Int): DataFrame = {
     val grams = docs.select(id.as("doc_id"),
       explode(NativeFns.charGramHashes(text, n)).as("gh"))
-    val withDf = grams.withColumn("gdf",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+    // "occurs in >= 2 docs" via hash-aggregate + join-back, NOT a count
+    // window over gh (review r11): WindowExec buffers each partition on
+    // one task, so one boilerplate gram in 10⁷ docs becomes a spilled
+    // straggler — the same hazard dropOverCapBuckets documents. The agg
+    // partials combine map-side; both the agg and the join need the gh
+    // partitioning, so exchange reuse materializes the gram exchange once
+    // (the dropOverCapBuckets shape), and the SMJ's buffered side has one
+    // row per key.
+    val dfs = grams.groupBy(col("gh"))
+      .agg((count(lit(1)) > 1L).as("shared"))
+    val withDf = grams.join(dfs, Seq("gh"))
     withDf.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("gdf") > 1L, 1L).otherwise(0L)).as("n_shared"))
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
         graft.functions.NumFns.roundHalfUp(
           col("n_shared").cast("double") / col("n_grams").cast("double"), 4)
@@ -1178,6 +1236,13 @@ object Dedup {
     * only two SAME-LENGTH texts colliding on the 64-bit hash could
     * undercount n_unique (probability < n²/2⁶⁵ per length class; the same
     * documented bound the exact-dedup family carries).
+    *
+    * NULL-text docs count in n_docs but NOT in n_unique — SQL-standard
+    * DISTINCT-skips-NULL semantics (length(NULL) voids the count key), the
+    * same answer `count(DISTINCT text)` gives, so engine and oracle agree
+    * by construction. Deliberate: a null-text doc carries no content and
+    * reads as duplicate mass in dup_ratio; filter nulls upstream if the
+    * report should ignore them (review r11: documented, not changed).
     */
   def corpusDupStats(docs: DataFrame, source: Column, id: Column,
                      text: Column): DataFrame =

@@ -649,12 +649,20 @@ object Relational {
                      chunkTokens: Int, strideTokens: Int): DataFrame = {
     require(chunkTokens >= 1 && strideTokens >= 1,
       s"chunkTokens/strideTokens must be >= 1, got $chunkTokens/$strideTokens")
-    val toks = graft.functions.TextFns.tokens(text)
-    val nChunks = ceil(size(toks).cast("double") / strideTokens).cast("long")
-    docs.select(id.as("doc_id"),
-        explode(transform(sequence(lit(0L), nChunks - 1),
+    // tokens materialized + guarded sequence: see Dedup.boilerplateStrip
+    // (review r11) — an inlined split re-evaluates per chunk (O(tokens²)),
+    // and under legacy non-ANSI confs sequence(0, -1) steps DOWN, emitting
+    // phantom chunks for null-text docs
+    val base = docs.select(id.as("doc_id"),
+      graft.functions.TextFns.tokens(text).as("_toks"))
+    val nChunks =
+      ceil(size(col("_toks")).cast("double") / strideTokens).cast("long")
+    base.select(col("doc_id"),
+        explode(transform(
+          when(nChunks >= 1L, sequence(lit(0L), nChunks - 1))
+            .otherwise(array().cast("array<bigint>")),
           i => struct(i.as("chunk_idx"),
-            concat_ws(" ", slice(toks, (i * strideTokens + 1).cast("int"),
+            concat_ws(" ", slice(col("_toks"), (i * strideTokens + 1).cast("int"),
               lit(chunkTokens))).as("chunk_text")))).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"))
   }
