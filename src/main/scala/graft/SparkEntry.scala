@@ -1459,6 +1459,20 @@ object SparkEntry {
           nProbe = 8)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
         .orderBy("query_id", "rnk")
+    }),
+
+    "q98_dup_span_coverage" -> ((s, dir) => {
+      // Duplicated-span coverage — the ExactSubstr REMOVAL criterion (Lee
+      // et al. 2022): the fraction of each document's characters lying
+      // inside a char 20-gram that also appears in ANOTHER document. q76
+      // counts duplicated gram TYPES (boilerplate tiling and wholesale
+      // copying score alike); this merges duplicated gram INSTANCES into
+      // maximal spans and measures the merged length — the number a
+      // strip-or-drop decision actually thresholds on. Every doc emitted
+      // (coverage 0 when nothing is shared).
+      Dedup.dupSpanCoverage(T(s, dir, "documents"), col("doc_id"),
+          col("text"), 20)
+        .orderBy("doc_id")
     })
   )
 
@@ -2758,6 +2772,34 @@ object SparkEntry {
 
     // probe-all over the full (build + two appends, compacted) postings is
     // exactly brute force — the artifact lifecycle runs under q26's oracle
-    "q97_ann_index_lifecycle" -> exactAnnTop5Oracle
+    "q97_ann_index_lifecycle" -> exactAnnTop5Oracle,
+
+    // the oracle works on the real substrings (q76's pattern), the engine
+    // on 8-byte gram hashes — agreement is the documented < n²/2⁶⁴
+    // collision class of the chargram family; positions are 0-based gram
+    // start codepoints on both sides, interval-merge arithmetic all-integer
+    "q98_dup_span_coverage" ->
+      """WITH pos AS (SELECT doc_id, text,
+        |  unnest(generate_series(0, length(text) - 20)) AS i FROM documents),
+        |inst AS (SELECT doc_id, i,
+        |  substring(text, CAST(i + 1 AS INTEGER), 20) AS gram FROM pos),
+        |dup AS (SELECT gram FROM (
+        |  SELECT gram, count(DISTINCT doc_id) AS dd FROM inst GROUP BY gram)
+        |  WHERE dd > 1),
+        |sh AS (SELECT doc_id, i FROM inst JOIN dup USING (gram)),
+        |m AS (SELECT doc_id, i, max(i + 20) OVER (PARTITION BY doc_id
+        |  ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM sh),
+        |cov AS (SELECT doc_id, sum(greatest(0,
+        |  i + 20 - greatest(coalesce(prev_end, i), i))) AS covered
+        |  FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(length(d.text), 0) AS BIGINT) AS n_cp,
+        | CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_cp,
+        | CASE WHEN coalesce(length(d.text), 0) > 0
+        |   THEN floor(CAST(coalesce(cov.covered, 0) AS DOUBLE)
+        |     / CAST(length(d.text) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |   ELSE 0.0 END AS dup_ratio
+        |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -1228,6 +1228,68 @@ object Dedup {
           .as("shared_ratio"))
   }
 
+  /** Duplicated-span COVERAGE per document — the ExactSubstr REMOVAL
+    * criterion (Lee et al. 2022): how many of a document's characters sit
+    * inside some char n-gram whose content also appears in ANOTHER
+    * document. [[charGramDupProfile]] counts duplicated gram TYPES (a
+    * boilerplate header tiled through a long document and a wholesale copy
+    * score alike); coverage merges the [start, start+n) intervals of every
+    * duplicated gram INSTANCE and measures the merged codepoint length, so
+    * it reads directly as "X% of this document is copied text" — the
+    * number a drop-or-strip decision thresholds on.
+    *
+    * Pipeline: (1) duplicated gram set from the PER-DOC-DISTINCT hashes
+    * ([[graft.plans.NativeExpressions.CharGramHashes]] dedups inside the
+    * expression, so the df aggregate collapses map-side and counts
+    * documents); (2) gram instances with positions via the position-ordered
+    * twin kernel (`posexplode` over
+    * [[graft.plans.NativeExpressions.CharGramHashSeq]] — hash-compatible by
+    * construction, one entry per start codepoint); (3) left-semi join
+    * instances to the duplicated set on the 8-byte hash; (4) per-document
+    * interval merge as a running-max-end window — contribution of an
+    * instance = the part of its interval past everything already covered,
+    * all-integer, so `covered_cp` is exact under any partitioning.
+    *
+    * Scale shape: the instance table is one row per corpus codepoint
+    * position (the same linear class as q54's token spans) and shuffles
+    * once on the gram hash; the window partitions by doc_id, bounded by a
+    * single document's length, never corpus-sized. Collision class: two
+    * DIFFERENT grams colliding on xxhash64 could mark an instance shared —
+    * the documented < n²/2⁶⁴ bound the whole chargram family carries.
+    * Docs with NULL/short text are emitted with coverage 0 (the verdict
+    * table must cover every document).
+    */
+  def dupSpanCoverage(docs: DataFrame, id: Column, text: Column,
+                      n: Int): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("_t"))
+    val sharedGh = base
+      .select(col("doc_id"), explode(NativeFns.charGramHashes(col("_t"), n)).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("_dd"))
+      .filter(col("_dd") > 1L).select(col("gh"))
+    val instances = base.select(col("doc_id"),
+      posexplode(NativeFns.charGramHashSeq(col("_t"), n)).as(Seq("pos", "gh")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val covered = instances.join(sharedGh, Seq("gh"), "left_semi")
+      .withColumn("_prev_end", max(col("pos") + lit(n)).over(w))
+      .withColumn("_contrib",
+        greatest(lit(0), col("pos") + lit(n) -
+          greatest(coalesce(col("_prev_end"), col("pos")), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_contrib")).cast("long").as("covered_cp"))
+    base
+      .select(col("doc_id"),
+        coalesce(length(col("_t")).cast("long"), lit(0L)).as("n_cp"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_cp"),
+        coalesce(col("covered_cp"), lit(0L)).as("covered_cp"))
+      .withColumn("dup_ratio",
+        when(col("n_cp") > 0L, graft.functions.NumFns.roundHalfUp(
+          col("covered_cp").cast("double") / col("n_cp").cast("double"), 4))
+          .otherwise(lit(0.0)))
+  }
+
   /** Per-source corpus duplication report: document counts, distinct text
     * counts, and the exact-dup ratio — the first number a curation run
     * reports per crawl/source before any near-dup work. One shuffle on

@@ -753,6 +753,41 @@ case class CharGramHashes(child: Expression, gramN: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Position-ordered character n-gram hashes
+  * ([[ShingleOps.charGramHashSeq]]): element i = hash of the gram starting
+  * at codepoint i, one entry PER INSTANCE (no dedup) — `posexplode`
+  * recovers (start, hash) pairs for duplicated-span interval merging.
+  * Hash-compatible with [[CharGramHashes]] (same walk, same seed). Empty
+  * array below n codepoints.
+  */
+case class CharGramHashSeq(child: Expression, gramN: Int)
+    extends UnaryExpression {
+
+  require(gramN >= 1, s"graft_chargram_hash_seq needs gramN >= 1, got $gramN")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_chargram_hash_seq expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_chargram_hash_seq"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleOps.charGramHashSeq(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], gramN))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad($ops.charGramHashSeq($t, $gramN));"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All unordered pairs (a(i), a(j)), i < j, of an `array<long>` as an
   * `array<struct<doc_a, doc_b>>` — the intra-bucket candidate expansion of
   * blocked dedup (safe ONLY under a bucket-size cap; the caller bounds
@@ -1102,6 +1137,8 @@ object NativeFns {
     ColumnBridge.column(PairCombos(ex(sortedIds)))
   def charGramHashes(text: Column, gramN: Int): Column =
     ColumnBridge.column(CharGramHashes(ex(text), gramN))
+  def charGramHashSeq(text: Column, gramN: Int): Column =
+    ColumnBridge.column(CharGramHashSeq(ex(text), gramN))
   def charLmScore(text: Column, sortedKeys: Array[Long],
                   permille: Array[Int]): Column =
     ColumnBridge.column(CharLmScore(ex(text), sortedKeys, permille))

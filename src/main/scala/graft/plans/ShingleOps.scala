@@ -215,6 +215,49 @@ object ShingleOps {
     else java.util.Arrays.copyOf(out, outN)
   }
 
+  /** POSITION-ORDERED char n-gram hashes: element i of the result is the
+    * xxhash64 (seed 42, identical to [[charGramHashes]]) of the gram
+    * starting at codepoint i — NO dedup, one entry per gram instance, so
+    * `posexplode` over the array recovers (start-codepoint, gram-hash)
+    * pairs directly. The position-aware twin [[charGramHashes]] cannot be:
+    * its open-addressed dedup drops repeat instances, and duplicated-span
+    * COVERAGE (merge the [i, i+n) intervals of duplicated grams, measure
+    * the merged length) needs every instance's offset. Same walk, same
+    * lead-byte table and tail clamp, same hash — a gram hash from this
+    * array joins against [[charGramHashes]] output bit-for-bit. Empty
+    * array when the text has fewer than n codepoints.
+    */
+  def charGramHashSeq(text: UTF8String, n: Int): Array[Long] = {
+    val nb = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val ring = new Array[Int](n + 1)
+    var cp = 0
+    var b = 0
+    var outN = 0
+    var out: Array[Long] = null
+    while (b < nb) {
+      ring(cp % (n + 1)) = b
+      b += UTF8String.numBytesForFirstByte(text.getByte(b))
+      if (b > nb) b = nb
+      cp += 1
+      if (cp >= n) {
+        if (out == null) {
+          val maxGrams = nb - n + 1
+          require(maxGrams <= (1 << 29),
+            s"charGramHashSeq supports documents < 512 MiB, got $nb bytes")
+          out = new Array[Long](math.max(maxGrams, 1))
+        }
+        val b0 = ring((cp - n) % (n + 1))
+        out(outN) = XXH64.hashUnsafeBytes(base, off + b0, b - b0, Seed1)
+        outN += 1
+      }
+    }
+    if (out == null) Array.emptyLongArray
+    else if (outN == out.length) out
+    else java.util.Arrays.copyOf(out, outN)
+  }
+
   /** Fused char-bigram LM scoring: one UTF-8 walk over the document,
     * hashing each adjacent-codepoint bigram's byte range in place and
     * looking it up in the SORTED model-key array (binary search; the model

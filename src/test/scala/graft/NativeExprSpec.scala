@@ -336,6 +336,38 @@ class NativeExprSpec extends GraftSuite {
       "fused char-gram hashes diverged from codepoint substring hashing")
   }
 
+  test("charGramHashSeq is the position-ordered instance twin of charGramHashes") {
+    val corpus = graft.sources.Readers.table(spark, sf, "documents")
+      .limit(100).select($"doc_id", $"text")
+    val edges = Seq((9001L, "héllo wörld — ünïcode tøkens ærø ßharp çedilla ñye"),
+      (9002L, "x" * 19), (9003L, "y" * 20), (9004L, ""),
+      (9005L, "abcabcabcabcabcabcabcabcabc")).toDF("doc_id", "text")
+    val docs = corpus.union(edges)
+    val n = 20
+    // (pos, hash) instances from the fused kernel
+    val fused = docs.select($"doc_id",
+      posexplode(graft.plans.NativeFns.charGramHashSeq($"text", n)).as(Seq("pos", "h")))
+    // composed twin: hash of substring(text, pos+1, n) at every 0-based pos
+    val composed = docs
+      .select($"doc_id", explode(expr(
+        s"CASE WHEN length(text) >= $n THEN " +
+          s"transform(sequence(1, length(text) - ${n - 1}), i -> " +
+          s"struct(i - 1 AS pos, substring(text, i, $n) AS g)) " +
+          s"ELSE array() END")).as("pg"))
+      .select($"doc_id", $"pg.pos".cast("int").as("pos"), xxhash64($"pg.g").as("h"))
+    assert(fused.exceptAll(composed).count() == 0L &&
+      composed.exceptAll(fused).count() == 0L,
+      "position-ordered gram hashes diverged from codepoint substring hashing")
+    // dedup of the seq == the deduped kernel (hash-compatible by construction)
+    val dedupSeq = docs.select($"doc_id",
+      explode(graft.plans.NativeFns.charGramHashSeq($"text", n)).as("h")).distinct()
+    val dedupK = docs.select($"doc_id",
+      explode(graft.plans.NativeFns.charGramHashes($"text", n)).as("h"))
+    assert(dedupSeq.exceptAll(dedupK).count() == 0L &&
+      dedupK.exceptAll(dedupSeq).count() == 0L,
+      "seq kernel's distinct hashes diverged from the deduping kernel")
+  }
+
   test("native pair combos equal the composed nested-transform expansion") {
     val df = Seq(
       Seq(1L, 2L, 3L, 4L), Seq(7L, 9L), Seq(5L), Seq.empty[Long]).toDF("ds")

@@ -679,6 +679,37 @@ class OperatorsSpec extends GraftSuite {
     assert(got(1L)._2 <= got(1L)._1)
   }
 
+  test("dupSpanCoverage merges duplicated gram instances into exact spans") {
+    val passage = "this exact passage of twenty plus characters is copied verbatim"
+    val docs = Seq(
+      // adjoining char differs (':' vs ';') so no boundary gram is shared
+      (1L, s"unique prefix one:$passage"),
+      (2L, s"different lead-in;$passage"),
+      (3L, "entirely original content with no overlap whatsoever in it"),
+      (4L, "short"), // < 20 chars: no grams, still emitted with coverage 0
+      (5L, "z" * 40), // all grams identical but SINGLE-doc: not duplicated
+      (6L, "wholesale duplicated document body of ample length"),
+      (7L, "wholesale duplicated document body of ample length"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(docs, $"doc_id", $"text", 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      "every document must appear in the verdict table")
+    // the shared passage's internal grams merge to exactly the passage span
+    assert(got(1L)._2 == passage.length.toLong,
+      s"doc 1 covered ${got(1L)._2}, want ${passage.length}")
+    assert(got(2L)._2 == passage.length.toLong)
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    assert(got(4L) == ((5L, 0L, 0.0)), "short doc: emitted, zero coverage")
+    assert(got(5L)._2 == 0L,
+      "within-doc repeats are not cross-doc duplication")
+    assert(got(6L)._2 == got(6L)._1 && got(6L)._3 == 1.0,
+      "verbatim copy must cover the whole document")
+    assert(got(7L)._3 == 1.0)
+  }
+
   test("heavyHitters equals the exact groupBy answer at several partitionings") {
     val docs = graft.sources.Readers.table(spark, sf, "documents")
       .select($"doc_id", $"text")
