@@ -1473,6 +1473,25 @@ object SparkEntry {
       Dedup.dupSpanCoverage(T(s, dir, "documents"), col("doc_id"),
           col("text"), 20)
         .orderBy("doc_id")
+    }),
+
+    "q99_dedup_normalized" -> ((s, dir) => {
+      // "Fuzzy-exact" dedup (the CCNet normalize-before-hash stage): exact
+      // dedup on ASCII-case-folded, whitespace-collapsed text, so reflowed
+      // or re-cased copies collapse. n_variants counts DISTINCT raw texts
+      // per group — the signal q21's byte-exact grouping cannot see.
+      Dedup.exactNormalized(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("keeper_id"), col("n_copies"), col("n_variants"))
+        .orderBy("keeper_id")
+    }),
+
+    "q100_script_profile" -> ((s, dir) => {
+      // Unicode-script gate BEFORE langid (CCNet/ROOTS shape): per-doc
+      // counts over a FIXED portable range table + deterministic dominant
+      // script — one fused codepoint walk, zero shuffles, no per-class
+      // regex passes and no JDK-Unicode-version dependence.
+      Scoring.scriptProfile(T(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2800,6 +2819,50 @@ object SparkEntry {
         |     / CAST(length(d.text) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
         |   ELSE 0.0 END AS dup_ratio
         |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // normalization is deliberately engine-portable: ASCII translate (no
+    // locale-dependent Unicode lowercasing) + an explicit whitespace class
+    // (Java \s and RE2 \s disagree on \x0B) + space-only trim
+    "q99_dedup_normalized" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(translate(text,
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies,
+        | CAST(count(DISTINCT text) AS BIGINT) AS n_variants
+        |FROM n GROUP BY norm ORDER BY keeper_id""".stripMargin,
+
+    // the oracle reproduces the fixed range table with one RE2 class per
+    // script (\x{...} ranges); the engine walks codepoints once — both are
+    // integer counts over the identical table, so they agree exactly.
+    // dominant = first letter class attaining the letter maximum.
+    "q100_script_profile" ->
+      """WITH c AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |k AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_cp,
+        | CAST(length(t) - length(regexp_replace(t, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]', '', 'g')) AS BIGINT) AS latin,
+        | CAST(length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS cyrillic,
+        | CAST(length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS greek,
+        | CAST(length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS arabic,
+        | CAST(length(t) - length(regexp_replace(t, '[\x{0590}-\x{05FF}]', '', 'g')) AS BIGINT) AS hebrew,
+        | CAST(length(t) - length(regexp_replace(t, '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS cjk,
+        | CAST(length(t) - length(regexp_replace(t, '[\x{AC00}-\x{D7A3}]', '', 'g')) AS BIGINT) AS hangul,
+        | CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+        | CAST(length(t) - length(regexp_replace(t, '[ \t\n\r\f]', '', 'g')) AS BIGINT) AS space
+        | FROM c)
+        |SELECT doc_id, n_cp, latin, cyrillic, greek, arabic, hebrew, cjk,
+        | hangul, digit, space,
+        | n_cp - (latin + cyrillic + greek + arabic + hebrew + cjk + hangul
+        |   + digit + space) AS other,
+        | CASE WHEN greatest(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) = 0 THEN 'none'
+        |  WHEN latin = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) THEN 'latin'
+        |  WHEN cyrillic = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) THEN 'cyrillic'
+        |  WHEN greek = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) THEN 'greek'
+        |  WHEN arabic = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) THEN 'arabic'
+        |  WHEN hebrew = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) THEN 'hebrew'
+        |  WHEN cjk = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) THEN 'cjk'
+        |  ELSE 'hangul' END AS dominant_script
+        |FROM k ORDER BY doc_id""".stripMargin
   )
 }

@@ -78,6 +78,41 @@ object Dedup {
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
       .drop("_content")
 
+  /** Exact dedup on NORMALIZED text — the "fuzzy-exact" stage every
+    * production curation run inserts between q21's byte-exact dedup and
+    * the near-dup families (CCNet normalizes before hashing for exactly
+    * this reason): ASCII case-fold + whitespace-run collapse + trim, so
+    * reflowed, re-indented, or case-shifted copies of the same content
+    * collapse into one group. Deliberately ASCII-only case folding
+    * (`translate`, a fixed 26-char map): full Unicode lowercasing is
+    * locale/version-dependent (ß, İ, Σ final forms) and silently diverges
+    * across engines — the normalization must be bit-reproducible
+    * everywhere or the dedup verdict depends on who computed it.
+    *
+    * Output per normalized group: keeper (min id), total copies, and
+    * n_variants = DISTINCT RAW texts in the group — n_variants > 1 is the
+    * added signal (groups q21 could not see); Σ(n_copies) over groups =
+    * corpus size. Same scale shape as [[exact]]: one shuffle on the
+    * normalized-content hash, raw text never shuffles (variants counted
+    * via the (length, xxhash64) pair, the [[corpusDupStats]] bound); the
+    * group key carries the normalized string only to keep hash collisions
+    * from merging groups, and is dropped before output. NULL text
+    * normalizes to NULL: it groups (SQL GROUP BY) but contributes no
+    * variant (count-distinct skips nulls) — both SQL-standard, so engine
+    * and oracle agree by construction.
+    */
+  def exactNormalized(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs
+      .select(id.as("_id"), text.as("_t"))
+      .withColumn("_norm", trim(regexp_replace(
+        translate(col("_t"),
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
+        "[ \\t\\n\\r\\f]+", " ")))
+      .groupBy(xxhash64(col("_norm")).as("norm_hash"), col("_norm"))
+      .agg(min(col("_id")).as("keeper_id"), count(lit(1)).as("n_copies"),
+        count_distinct(length(col("_t")), xxhash64(col("_t"))).as("n_variants"))
+      .drop("_norm")
+
   /** N-gram Jaccard near-dup pairs via inverted-index self-join: explode
     * distinct shingles, join on the shingle, count common, compute
     * |A∩B| / (|A|+|B|-|A∩B|). Shingle is the blocking key.

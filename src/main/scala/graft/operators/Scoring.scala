@@ -542,4 +542,39 @@ object Scoring {
         sum(col("n_docs_at")).over(w).as("n_docs_kept"),
         sum(col("_w_at")).over(w).as("weight_kept"))
   }
+
+  /** Unicode-script profile per document — the gate BEFORE language ID
+    * (CCNet/ROOTS shape: a CJK or Cyrillic document must never reach a
+    * Latin-ngram langid model, and mixed-script text is its own quality
+    * signal). Counts per fixed script class (latin, cyrillic, greek,
+    * arabic, hebrew, cjk incl. kana, hangul, digit, space) from ONE fused
+    * codepoint walk ([[graft.plans.NativeExpressions.ScriptCounts]] — no
+    * per-class regex passes, no JDK-Unicode-version dependence), "other"
+    * by subtraction from the shared-walk `length(text)` contract, and
+    * `dominant_script` = the first letter-class (fixed order above)
+    * attaining the letter-class maximum, `'none'` when all are zero.
+    * All-integer + a deterministic argmax ⇒ bit-exact under any
+    * partitioning; one codegen'd map pass, no shuffle at all.
+    */
+  def scriptProfile(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val names = Seq("latin", "cyrillic", "greek", "arabic", "hebrew",
+      "cjk", "hangul", "digit", "space")
+    val sc = NativeFns.scriptCounts(coalesce(text, lit("")))
+    val withCounts = docs
+      .select(id.as("doc_id"), sc.as("_sc"),
+        coalesce(length(text).cast("long"), lit(0L)).as("n_cp"))
+      .select(col("doc_id") +: col("n_cp") +:
+        names.zipWithIndex.map { case (nm, i) =>
+          col("_sc").getItem(i).as(nm) }: _*)
+    val letters = names.take(7)
+    val maxL = greatest(letters.map(col): _*)
+    withCounts
+      .withColumn("other",
+        col("n_cp") - names.map(col).reduce(_ + _))
+      .withColumn("dominant_script",
+        when(maxL === 0L, lit("none"))
+          .otherwise(letters.foldRight(lit("none")) { (nm, rest) =>
+            when(col(nm) === maxL, lit(nm)).otherwise(rest)
+          }))
+  }
 }

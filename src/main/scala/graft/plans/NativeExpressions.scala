@@ -788,6 +788,38 @@ case class CharGramHashSeq(child: Expression, gramN: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-script codepoint counts ([[ShingleOps.scriptCounts]]): a 9-long
+  * array (latin, cyrillic, greek, arabic, hebrew, cjk, hangul, digit,
+  * space) from ONE UTF-8 walk — the pre-langid script gate. The range
+  * table is fixed and engine-portable (no JDK Unicode-version dependence);
+  * "other" = `length(text) − sum` by the shared-walk contract.
+  */
+case class ScriptCounts(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_script_counts expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_script_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleOps.scriptCounts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      val gad = classOf[GenericArrayData].getName
+      s"${ev.value} = new $gad($ops.scriptCounts($t));"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All unordered pairs (a(i), a(j)), i < j, of an `array<long>` as an
   * `array<struct<doc_a, doc_b>>` — the intra-bucket candidate expansion of
   * blocked dedup (safe ONLY under a bucket-size cap; the caller bounds
@@ -1139,6 +1171,8 @@ object NativeFns {
     ColumnBridge.column(CharGramHashes(ex(text), gramN))
   def charGramHashSeq(text: Column, gramN: Int): Column =
     ColumnBridge.column(CharGramHashSeq(ex(text), gramN))
+  def scriptCounts(text: Column): Column =
+    ColumnBridge.column(ScriptCounts(ex(text)))
   def charLmScore(text: Column, sortedKeys: Array[Long],
                   permille: Array[Int]): Column =
     ColumnBridge.column(CharLmScore(ex(text), sortedKeys, permille))

@@ -258,6 +258,73 @@ object ShingleOps {
     else java.util.Arrays.copyOf(out, outN)
   }
 
+  /** Unicode-script class of a codepoint under graft's FIXED, engine-portable
+    * range table (documented in SURVEY §2b q100): 0 latin (ASCII letters +
+    * Latin-1/Extended letters, excluding × ÷), 1 cyrillic, 2 greek,
+    * 3 arabic, 4 hebrew, 5 cjk (unified ideographs + kana), 6 hangul,
+    * 7 digit, 8 space (the portable [ \t\n\r\f] class — Java \s and RE2 \s
+    * disagree on \x0B); −1 = none (counted as "other" by subtraction).
+    * Deliberately NOT Character.getType/UnicodeScript: those tables move
+    * with the JDK Unicode version, and a script verdict must be
+    * bit-reproducible across engines and upgrades.
+    */
+  private def scriptClass(cp: Int): Int = {
+    if (cp < 0x80) {
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) 0
+      else if (cp >= '0' && cp <= '9') 7
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == '\f') 8
+      else -1
+    }
+    else if (cp >= 0x00C0 && cp <= 0x024F) {
+      if (cp == 0x00D7 || cp == 0x00F7) -1 else 0
+    }
+    else if (cp >= 0x0370 && cp <= 0x03FF) 2
+    else if (cp >= 0x0400 && cp <= 0x04FF) 1
+    else if (cp >= 0x0590 && cp <= 0x05FF) 4
+    else if (cp >= 0x0600 && cp <= 0x06FF) 3
+    else if (cp >= 0x3040 && cp <= 0x30FF) 5
+    else if (cp >= 0x4E00 && cp <= 0x9FFF) 5
+    else if (cp >= 0xAC00 && cp <= 0xD7A3) 6
+    else -1
+  }
+
+  /** Per-script codepoint counts in ONE UTF-8 walk: a 9-long array in
+    * [[scriptClass]] order. The walk uses the same lead-byte table and tail
+    * clamp as every other kernel here, so the number of STEPS equals
+    * `length(text)` (Spark's numChars) exactly — "other" is recoverable as
+    * `length(text) − sum(counts)` with no second pass. Codepoints are
+    * decoded inline (standard UTF-8 bit assembly); an invalid lead byte or
+    * a truncated tail sequence decodes to no class and lands in "other",
+    * mirroring what a regex engine does with replacement-decoded garbage.
+    */
+  def scriptCounts(text: UTF8String): Array[Long] = {
+    val nb = text.numBytes
+    val out = new Array[Long](9)
+    var b = 0
+    while (b < nb) {
+      val lead = text.getByte(b)
+      val b0 = lead & 0xFF
+      val len = UTF8String.numBytesForFirstByte(lead)
+      var cp = -1
+      if (b0 < 0x80) cp = b0
+      else if (len == 2 && b + 1 < nb)
+        cp = ((b0 & 0x1F) << 6) | (text.getByte(b + 1) & 0x3F)
+      else if (len == 3 && b + 2 < nb)
+        cp = ((b0 & 0x0F) << 12) | ((text.getByte(b + 1) & 0x3F) << 6) |
+          (text.getByte(b + 2) & 0x3F)
+      else if (len == 4 && b + 3 < nb)
+        cp = ((b0 & 0x07) << 18) | ((text.getByte(b + 1) & 0x3F) << 12) |
+          ((text.getByte(b + 2) & 0x3F) << 6) | (text.getByte(b + 3) & 0x3F)
+      if (cp >= 0) {
+        val cls = scriptClass(cp)
+        if (cls >= 0) out(cls) += 1
+      }
+      b += len
+      if (b > nb) b = nb
+    }
+    out
+  }
+
   /** Fused char-bigram LM scoring: one UTF-8 walk over the document,
     * hashing each adjacent-codepoint bigram's byte range in place and
     * looking it up in the SORTED model-key array (binary search; the model

@@ -679,6 +679,29 @@ class OperatorsSpec extends GraftSuite {
     assert(got(1L)._2 <= got(1L)._1)
   }
 
+  test("exactNormalized collapses case/whitespace variants, ASCII-only") {
+    val docs = Seq(
+      (1L, "The Quick Brown Fox"),
+      (2L, "the quick brown fox"),        // case variant of 1
+      (3L, "  the\tquick   brown\nfox "), // whitespace variant of 1
+      (4L, "the quick brown fox"),        // byte-exact copy of 2
+      (5L, "entirely different text"),
+      (6L, "ÄPFEL und BIRNEN"),
+      (7L, "äpfel und birnen"))           // NOT collapsed: folding is ASCII-only
+      .toDF("doc_id", "text")
+    val got = Dedup.exactNormalized(docs, $"doc_id", $"text")
+      .select($"keeper_id", $"n_copies", $"n_variants")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 5L, 6L, 7L))
+    assert(got(1L) == ((4L, 3L)),
+      "docs 1-4 are one group of 4 copies with 3 distinct raw texts")
+    assert(got(5L) == ((1L, 1L)))
+    assert(got(6L) == ((1L, 1L)) && got(7L) == ((1L, 1L)),
+      "non-ASCII case variants must NOT collapse (portable folding only)")
+    assert(got.values.map(_._1).sum == docs.count(),
+      "groups must partition the corpus")
+  }
+
   test("dupSpanCoverage merges duplicated gram instances into exact spans") {
     val passage = "this exact passage of twenty plus characters is copied verbatim"
     val docs = Seq(

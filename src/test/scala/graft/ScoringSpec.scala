@@ -251,4 +251,65 @@ class ScoringSpec extends GraftSuite {
     val acc = a.count(r => r._4 == langs(r._1)).toDouble / a.size
     assert(acc > 0.6, s"train-set accuracy $acc should beat chance")
   }
+
+  test("scriptProfile counts fixed ranges, deterministic dominant, totals") {
+    val docs = Seq(
+      (1L, "plain ascii text 123"),
+      (2L, "русский текст здесь"),
+      (3L, "日本語のテキスト漢字"),             // cjk + kana, の is kana
+      (4L, "mixed русский and english words"), // latin majority
+      (5L, "αβγ абв"),                          // greek 3, cyrillic 3: tie → greek? no — cyrillic... order is latin,cyrillic,greek: tie at 3 → cyrillic
+      (6L, "×÷"),                               // excluded from latin: other
+      (7L, ""),
+      (8L, "한국어 텍스트"))
+      .toDF("doc_id", "text")
+    val got = Scoring.scriptProfile(docs, $"doc_id", $"text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("latin"), r.getAs[Long]("cyrillic"),
+          r.getAs[Long]("cjk"), r.getAs[Long]("other"),
+          r.getAs[String]("dominant_script"), r.getAs[Long]("n_cp")))).toMap
+    assert(got(1L)._5 == "latin" && got(1L)._1 == 14L)
+    assert(got(2L)._5 == "cyrillic" && got(2L)._1 == 0L)
+    assert(got(3L)._5 == "cjk" && got(3L)._3 == got(3L)._6,
+      "all-CJK doc: every codepoint in the cjk class")
+    assert(got(4L)._5 == "latin")
+    assert(got(5L)._5 == "cyrillic",
+      "ties break to the FIRST class in fixed order (cyrillic before greek)")
+    assert(got(6L) == ((0L, 0L, 0L, 2L, "none", 2L)),
+      "multiplication/division signs are excluded from latin")
+    assert(got(7L)._5 == "none" && got(7L)._6 == 0L)
+    assert(got(8L)._5 == "hangul")
+    // totals: counts + other always sum to n_cp
+    val full = Scoring.scriptProfile(docs, $"doc_id", $"text").collect()
+    full.foreach { r =>
+      val parts = Seq("latin", "cyrillic", "greek", "arabic", "hebrew",
+        "cjk", "hangul", "digit", "space", "other").map(r.getAs[Long](_)).sum
+      assert(parts == r.getAs[Long]("n_cp"), s"doc ${r.get(0)}: $parts")
+    }
+  }
+
+  test("fused script counts equal the composed per-class regex twin on the corpus") {
+    val corpus = graft.sources.Readers.table(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val classes = Seq(
+      "latin" -> "[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "greek" -> "[\\x{0370}-\\x{03FF}]",
+      "arabic" -> "[\\x{0600}-\\x{06FF}]",
+      "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+      "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",
+      "hangul" -> "[\\x{AC00}-\\x{D7A3}]",
+      "digit" -> "[0-9]",
+      "space" -> "[ \t\n\r\f]")
+    val fused = Scoring.scriptProfile(corpus, $"doc_id", $"text")
+      .select(col("doc_id") +: classes.map(c => col(c._1)): _*)
+    val composed = corpus.select(col("doc_id") +: classes.map { case (nm, re) =>
+      (length(coalesce($"text", lit(""))) -
+        length(regexp_replace(coalesce($"text", lit("")), re, "")))
+        .cast("long").as(nm)
+    }: _*)
+    assert(fused.exceptAll(composed).count() == 0L &&
+      composed.exceptAll(fused).count() == 0L,
+      "fused codepoint walk diverged from the per-class regex counts")
+  }
 }
