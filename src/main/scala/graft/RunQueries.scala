@@ -40,7 +40,14 @@ object RunQueries {
       def build(): (Long, String) = {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (explain) df.explain("formatted")
-        (df.count(),
+        // toRdd.count(), NOT df.count(): count() re-optimizes with an empty
+        // required-column set, so Catalyst prunes every projection and even
+        // eliminates unique-key outer joins — a map-only query "measures"
+        // as a bare parquet scan and a per-row kernel blow-up at sf10 would
+        // be invisible to the sweep. toRdd executes df's own plan (all
+        // output columns materialized into UnsafeRows), like Bench's noop
+        // sink, while still returning the row count for the OK line.
+        (df.queryExecution.toRdd.count(),
           df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
       }
       try {
