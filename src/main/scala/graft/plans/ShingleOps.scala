@@ -300,6 +300,13 @@ object ShingleOps {
   def scriptCounts(text: UTF8String): Array[Long] = {
     val nb = text.numBytes
     val out = new Array[Long](9)
+    // continuation byte = 10xxxxxx; a malformed sequence (bad continuation,
+    // overlong 2/4-byte form, lead > 0xF4) must decode to NO class — a raw
+    // 0xD0 'A' pair (reachable via cast(binary as string)) would otherwise
+    // assemble a spurious U+0401 and count as cyrillic (review r11).
+    // Surrogate/E0-overlong 3-byte forms decode to codepoints no class
+    // covers, so they land in "other" without an explicit check.
+    def cont(i: Int): Boolean = (text.getByte(i) & 0xC0) == 0x80
     var b = 0
     while (b < nb) {
       val lead = text.getByte(b)
@@ -307,12 +314,14 @@ object ShingleOps {
       val len = UTF8String.numBytesForFirstByte(lead)
       var cp = -1
       if (b0 < 0x80) cp = b0
-      else if (len == 2 && b + 1 < nb)
+      else if (len == 2 && b + 1 < nb && b0 >= 0xC2 && cont(b + 1))
         cp = ((b0 & 0x1F) << 6) | (text.getByte(b + 1) & 0x3F)
-      else if (len == 3 && b + 2 < nb)
+      else if (len == 3 && b + 2 < nb && cont(b + 1) && cont(b + 2))
         cp = ((b0 & 0x0F) << 12) | ((text.getByte(b + 1) & 0x3F) << 6) |
           (text.getByte(b + 2) & 0x3F)
-      else if (len == 4 && b + 3 < nb)
+      else if (len == 4 && b + 3 < nb && b0 <= 0xF4 &&
+          cont(b + 1) && cont(b + 2) && cont(b + 3) &&
+          !(b0 == 0xF0 && (text.getByte(b + 1) & 0xFF) < 0x90))
         cp = ((b0 & 0x07) << 18) | ((text.getByte(b + 1) & 0x3F) << 12) |
           ((text.getByte(b + 2) & 0x3F) << 6) | (text.getByte(b + 3) & 0x3F)
       if (cp >= 0) {

@@ -288,6 +288,35 @@ class ScoringSpec extends GraftSuite {
     }
   }
 
+  test("scriptCounts sends malformed UTF-8 to 'other', never a script class") {
+    // raw bytes via cast(binary as string): 0xD0 'A' (cyrillic lead, bad
+    // continuation — naive assembly would fabricate U+0401), overlong
+    // 0xC1 0x81 (would fabricate 'A'), lone continuation 0x80, truncated
+    // 3-byte lead at the tail, valid 'Я' (0xD0 0xAF) as the control
+    val cases = Seq(
+      (1L, Array(0xD0, 0x41).map(_.toByte)),
+      (2L, Array(0xC1, 0x81).map(_.toByte)),
+      (3L, Array(0x80).map(_.toByte)),
+      (4L, Array(0x41, 0xE4, 0xB8).map(_.toByte)), // 'A' + truncated CJK lead
+      (5L, Array(0xD0, 0xAF).map(_.toByte)))
+      .toDF("doc_id", "raw")
+    val got = cases
+      .select($"doc_id", graft.plans.NativeFns.scriptCounts(
+        $"raw".cast("string")).as("sc"),
+        length($"raw".cast("string")).cast("long").as("n_cp"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getSeq[Long](1).toVector, r.getAs[Long]("n_cp")))).toMap
+    assert(got(1L)._1.sum == 0L, "bad continuation must not count as cyrillic")
+    assert(got(2L)._1.sum == 0L, "overlong form must not count as latin")
+    assert(got(3L)._1.sum == 0L, "lone continuation byte is no class")
+    assert(got(4L)._1(0) == 1L && got(4L)._1.sum == 1L,
+      "the valid 'A' counts; the truncated tail lead does not")
+    assert(got(5L)._1(1) == 1L, "valid 2-byte cyrillic still classified")
+    // the shared-walk contract survives malformed input: sum + other == n_cp
+    got.foreach { case (id, (sc, n)) =>
+      assert(sc.sum <= n, s"doc $id: classified ${sc.sum} of $n steps") }
+  }
+
   test("fused script counts equal the composed per-class regex twin on the corpus") {
     val corpus = graft.sources.Readers.table(spark, sf, "documents")
       .select($"doc_id", $"text")
