@@ -88,6 +88,25 @@ case class PackedChunk(doc_id: Long, chunk_idx: Long, n_tok: Long,
   */
 case class ScoredWeight(doc_id: Long, score: Long, weight: Long)
 
+/** Per-document duplicated-span coverage verdict (the q98 row, typed):
+  * `covered_cp` of `n_cp` codepoints lie inside a char n-gram whose content
+  * also appears in another document.
+  */
+case class SpanCoverage(doc_id: Long, n_cp: Long, covered_cp: Long,
+                        dup_ratio: Double)
+
+/** One normalized-text ("fuzzy-exact") duplicate group (the q99 row,
+  * typed): `n_variants` distinct RAW texts collapsed into the group.
+  */
+case class NormalizedGroup(norm_hash: Long, keeper_id: Long, n_copies: Long,
+                           n_variants: Long)
+
+/** Per-document Unicode-script profile (the q100 row, typed). */
+case class ScriptProfile(doc_id: Long, n_cp: Long, latin: Long,
+                         cyrillic: Long, greek: Long, arabic: Long,
+                         hebrew: Long, cjk: Long, hangul: Long, digit: Long,
+                         space: Long, other: Long, dominant_script: String)
+
 /** One point of the filter-calibration curve (the q88 row, typed):
   * keep-everything-at-or-above `score` retains `n_docs_kept` docs /
   * `weight_kept` weight.
@@ -371,6 +390,36 @@ object Typed {
     import ds.sparkSession.implicits._
     graft.operators.Scoring.thresholdSweep(ds.toDF(), col("score"), col("weight"))
       .as[SweepPoint]
+  }
+
+  // ---- round-11 facade extensions: the late-round dedup/profile family.
+
+  /** Duplicated-span coverage, typed ([[graft.operators.Dedup
+    * .dupSpanCoverage]] — ExactSubstr removal criterion; every doc emitted).
+    */
+  def dupSpanCoverage(ds: Dataset[Document], n: Int): Dataset[SpanCoverage] = {
+    import ds.sparkSession.implicits._
+    graft.operators.Dedup.dupSpanCoverage(ds.toDF(), col("doc_id"),
+        col("text"), n)
+      .as[SpanCoverage]
+  }
+
+  /** Normalized-text exact dedup, typed ([[graft.operators.Dedup
+    * .exactNormalized]] — ASCII-fold + whitespace-collapse groups).
+    */
+  def dedupNormalized(ds: Dataset[Document]): Dataset[NormalizedGroup] = {
+    import ds.sparkSession.implicits._
+    graft.operators.Dedup.exactNormalized(ds.toDF(), col("doc_id"), col("text"))
+      .as[NormalizedGroup]
+  }
+
+  /** Unicode-script profile, typed ([[graft.operators.Scoring
+    * .scriptProfile]] — one fused codepoint walk, zero shuffles).
+    */
+  def scriptProfile(ds: Dataset[Document]): Dataset[ScriptProfile] = {
+    import ds.sparkSession.implicits._
+    graft.operators.Scoring.scriptProfile(ds.toDF(), col("doc_id"), col("text"))
+      .as[ScriptProfile]
   }
 
   /** IVF search against a STORED index version

@@ -288,4 +288,29 @@ class TypedApiSpec extends GraftSuite {
     assert(typed == rel)
     assert(typed == Set((30L, 1L, 1L, 10L), (20L, 1L, 2L, 60L), (10L, 2L, 4L, 185L)))
   }
+
+  test("typed dupSpanCoverage/dedupNormalized/scriptProfile equal the relational operators (r11)") {
+    val ds = Typed.documents(spark, sf)
+    val cov = Typed.dupSpanCoverage(ds, 20)
+      .collect().map(c => (c.doc_id, c.n_cp, c.covered_cp, c.dup_ratio)).toSet
+    val covRel = graft.operators.Dedup.dupSpanCoverage(ds.toDF(), $"doc_id",
+        $"text", 20)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(cov == covRel && cov.size == ds.count())
+    val grp = Typed.dedupNormalized(ds)
+      .collect().map(g => (g.keeper_id, g.n_copies, g.n_variants)).toSet
+    val grpRel = graft.operators.Dedup.exactNormalized(ds.toDF(), $"doc_id",
+        $"text")
+      .select($"keeper_id", $"n_copies", $"n_variants")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grp == grpRel && grp.toSeq.map(_._2).sum == ds.count(),
+      "groups must partition the corpus")
+    val sp = Typed.scriptProfile(ds)
+      .collect().map(p => (p.doc_id, p.latin, p.other, p.dominant_script)).toSet
+    val spRel = graft.operators.Scoring.scriptProfile(ds.toDF(), $"doc_id",
+        $"text")
+      .select($"doc_id", $"latin", $"other", $"dominant_script")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(sp == spRel && sp.size == ds.count())
+  }
 }
