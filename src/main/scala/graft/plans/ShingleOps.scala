@@ -301,11 +301,13 @@ object ShingleOps {
     val nb = text.numBytes
     val out = new Array[Long](9)
     // continuation byte = 10xxxxxx; a malformed sequence (bad continuation,
-    // overlong 2/4-byte form, lead > 0xF4) must decode to NO class — a raw
-    // 0xD0 'A' pair (reachable via cast(binary as string)) would otherwise
-    // assemble a spurious U+0401 and count as cyrillic (review r11).
-    // Surrogate/E0-overlong 3-byte forms decode to codepoints no class
-    // covers, so they land in "other" without an explicit check.
+    // overlong 2/3/4-byte form, lead > 0xF4) must decode to NO class — a
+    // raw 0xD0 'A' pair (reachable via cast(binary as string)) would
+    // otherwise assemble a spurious U+0401 and count as cyrillic, and an
+    // E0-overlong like 0xE0 0x90 0x80 would fabricate U+0400 (both caught
+    // by review r11 passes). Surrogate forms (0xED 0xA0-0xBF ..) decode to
+    // 0xD800-0xDFFF, which no class covers, so they land in "other"
+    // without an explicit check.
     def cont(i: Int): Boolean = (text.getByte(i) & 0xC0) == 0x80
     var b = 0
     while (b < nb) {
@@ -316,7 +318,8 @@ object ShingleOps {
       if (b0 < 0x80) cp = b0
       else if (len == 2 && b + 1 < nb && b0 >= 0xC2 && cont(b + 1))
         cp = ((b0 & 0x1F) << 6) | (text.getByte(b + 1) & 0x3F)
-      else if (len == 3 && b + 2 < nb && cont(b + 1) && cont(b + 2))
+      else if (len == 3 && b + 2 < nb && cont(b + 1) && cont(b + 2) &&
+          !(b0 == 0xE0 && (text.getByte(b + 1) & 0xFF) < 0xA0))
         cp = ((b0 & 0x0F) << 12) | ((text.getByte(b + 1) & 0x3F) << 6) |
           (text.getByte(b + 2) & 0x3F)
       else if (len == 4 && b + 3 < nb && b0 <= 0xF4 &&

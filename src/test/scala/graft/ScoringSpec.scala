@@ -298,7 +298,11 @@ class ScoringSpec extends GraftSuite {
       (2L, Array(0xC1, 0x81).map(_.toByte)),
       (3L, Array(0x80).map(_.toByte)),
       (4L, Array(0x41, 0xE4, 0xB8).map(_.toByte)), // 'A' + truncated CJK lead
-      (5L, Array(0xD0, 0xAF).map(_.toByte)))
+      (5L, Array(0xD0, 0xAF).map(_.toByte)),
+      // E0-overlongs (second byte < 0xA0): 0xE0 0x90 0x80 would fabricate
+      // U+0400 (cyrillic), 0xE0 0x81 0x81 would fabricate 'A' (latin)
+      (6L, Array(0xE0, 0x90, 0x80).map(_.toByte)),
+      (7L, Array(0xE0, 0x81, 0x81).map(_.toByte)))
       .toDF("doc_id", "raw")
     val got = cases
       .select($"doc_id", graft.plans.NativeFns.scriptCounts(
@@ -312,6 +316,8 @@ class ScoringSpec extends GraftSuite {
     assert(got(4L)._1(0) == 1L && got(4L)._1.sum == 1L,
       "the valid 'A' counts; the truncated tail lead does not")
     assert(got(5L)._1(1) == 1L, "valid 2-byte cyrillic still classified")
+    assert(got(6L)._1.sum == 0L, "E0-overlong must not count as cyrillic")
+    assert(got(7L)._1.sum == 0L, "E0-overlong must not count as latin")
     // the shared-walk contract survives malformed input: sum + other == n_cp
     got.foreach { case (id, (sc, n)) =>
       assert(sc.sum <= n, s"doc $id: classified ${sc.sum} of $n steps") }
