@@ -249,6 +249,39 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming script profile equals the batch operator across micro-batches") {
+    // scriptProfile is a stateless one-walk projection (zero shuffles), so
+    // the BATCH operator runs unchanged on a stream — the script gate an
+    // ingest pipeline applies before routing documents to per-language
+    // cleaners (blocklistFilter's profiling sibling)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-scstream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = graft.operators.Scoring
+      .scriptProfile(stream, col("doc_id"), col("text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("script_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple micro-batches")
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("latin"),
+          r.getAs[Long]("other"), r.getAs[String]("dominant_script"))
+      val streamed = spark.table("script_out").collect().map(key).toSet
+      val batch = graft.operators.Scoring
+        .scriptProfile(docs, col("doc_id"), col("text"))
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup equals batch ngramJaccardAgainstIndex across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
