@@ -125,6 +125,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLitArg("graft_chargram_hashes", args(1), "gramN"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_chargram_hash_seq"),
+      new ExpressionInfo(classOf[graft.plans.CharGramHashSeq].getName,
+        "graft_chargram_hash_seq"),
+      (args: Seq[Expression]) => {
+        arity("graft_chargram_hash_seq", "(text, gramN)", args, 2, 2)
+        graft.plans.CharGramHashSeq(args.head,
+          intLitArg("graft_chargram_hash_seq", args(1), "gramN"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_script_counts"),
+      new ExpressionInfo(classOf[graft.plans.ScriptCounts].getName,
+        "graft_script_counts"),
+      (args: Seq[Expression]) => {
+        arity("graft_script_counts", "(text)", args, 1, 1)
+        graft.plans.ScriptCounts(args.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_sig_agree"),
       new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agree"),
       (args: Seq[Expression]) => {

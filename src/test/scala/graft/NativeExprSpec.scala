@@ -392,4 +392,18 @@ class NativeExprSpec extends GraftSuite {
     assert(row.getDouble(0) == 1.0)
     assert(row.getInt(1) == 4)
   }
+
+  test("SQL registration: graft_chargram_hash_seq / graft_script_counts") {
+    val row = spark.sql(
+      """SELECT size(graft_chargram_hash_seq('abcabc', 3)) AS n_seq,
+        |       graft_chargram_hash_seq('abcabc', 3)[0] =
+        |         graft_chargram_hash_seq('abcabc', 3)[3] AS rep,
+        |       graft_script_counts('ab я 1')[0] AS lat,
+        |       graft_script_counts('ab я 1')[1] AS cyr,
+        |       graft_script_counts('ab я 1')[7] AS dig
+        |""".stripMargin).collect().head
+    assert(row.getInt(0) == 4, "position-ordered: one entry per instance")
+    assert(row.getBoolean(1), "repeated gram hashes equal at both positions")
+    assert(row.getLong(2) == 2L && row.getLong(3) == 1L && row.getLong(4) == 1L)
+  }
 }
