@@ -421,6 +421,53 @@ class PropertySpec extends GraftSuite {
         val he = graft.plans.ShingleOps.charGramHashes(exact, n)
         assert(java.util.Arrays.equals(hv, he),
           s"char-gram kernel read past payload for n=$n bytes=${a.toSeq}")
+        // the position-ordered twin under the same sentinel proof, plus the
+        // hash-compat contract (its distinct set == the deduping kernel's)
+        val sv = graft.plans.ShingleOps.charGramHashSeq(view, n)
+        val se = graft.plans.ShingleOps.charGramHashSeq(exact, n)
+        assert(java.util.Arrays.equals(sv, se),
+          s"seq kernel read past payload for n=$n bytes=${a.toSeq}")
+        assert(se.toSet == he.toSet,
+          s"seq kernel hashes diverged from the deduping kernel for n=$n")
+        // scriptCounts under the same proof: bounds-safe and step-capped
+        val scv = graft.plans.ShingleOps.scriptCounts(view)
+        val sce = graft.plans.ShingleOps.scriptCounts(exact)
+        assert(java.util.Arrays.equals(scv, sce),
+          s"script kernel read past payload for bytes=${a.toSeq}")
+        assert(sce.sum <= exact.numChars(),
+          "script kernel classified more steps than numChars")
+      }
+    }
+  }
+
+  test("charGramHashSeq instance count and dupSpanCoverage bounds hold for any unicode text") {
+    val frag = Gen.oneOf("a", "b", "я", "ы", "日", "本", " ", "\t", "0",
+      "ß", "€", "😀") // incl. a 4-byte (surrogate-pair) codepoint
+    val text = Gen.chooseNum(0, 50).flatMap(k => Gen.listOfN(k, frag).map(_.mkString))
+    val corpus = Gen.chooseNum(2, 6).flatMap(k => Gen.listOfN(k, text))
+    val n = 3
+    forAll(corpus) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = df.select(length($"text").as("len"),
+          graft.plans.NativeFns.charGramHashSeq($"text", n).as("seq"),
+          graft.plans.NativeFns.charGramHashes($"text", n).as("ded"))
+        .collect()
+      rows.foreach { r =>
+        val len = r.getInt(0)
+        val seq = r.getSeq[Long](1)
+        val ded = r.getSeq[Long](2)
+        assert(seq.length == math.max(0, len - n + 1),
+          s"instance count must be codepoints−n+1 (len=$len got=${seq.length})")
+        assert(seq.toSet == ded.toSet, "distinct(seq) must equal the deduped kernel")
+        assert(ded.distinct.length == ded.length, "deduped kernel must be duplicate-free")
+      }
+      val cov = Dedup.dupSpanCoverage(df, $"doc_id", $"text", n).collect()
+      assert(cov.length == ts.length, "every doc emitted")
+      cov.foreach { r =>
+        val ncp = r.getLong(1); val c = r.getLong(2); val ratio = r.getDouble(3)
+        assert(c >= 0L && c <= ncp, s"covered $c out of bounds for n_cp $ncp")
+        assert(ratio >= 0.0 && ratio <= 1.0, s"ratio $ratio out of [0,1]")
       }
     }
   }
