@@ -156,5 +156,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         EditDistance(args(0), args(1),
           intLitArg("graft_edit_distance", args(2), "maxDist"))
       }))
+    // aggregates register the raw AggregateFunction — the analyzer wraps it
+    // in an AggregateExpression during UnresolvedFunction resolution, the
+    // same path Spark's built-in aggregate registry entries take
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_min"),
+      new ExpressionInfo(classOf[graft.plans.CountMinAgg].getName,
+        "graft_count_min"),
+      (args: Seq[Expression]) => {
+        arity("graft_count_min", "(tokens, depth, width)", args, 3, 3)
+        graft.plans.CountMinAgg(args.head,
+          intLitArg("graft_count_min", args(1), "depth"),
+          intLitArg("graft_count_min", args(2), "width"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[graft.plans.MisraGriesAgg].getName,
+        "graft_misra_gries"),
+      (args: Seq[Expression]) => {
+        arity("graft_misra_gries", "(tokens, k)", args, 2, 2)
+        graft.plans.MisraGriesAgg(args.head,
+          intLitArg("graft_misra_gries", args(1), "k"))
+      }))
   }
 }

@@ -1492,6 +1492,98 @@ object SparkEntry {
       // regex passes and no JDK-Unicode-version dependence.
       Scoring.scriptProfile(T(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")
+    }),
+
+    "q101_cms_df" -> ((s, dir) => {
+      // Count-Min document-frequency estimation (round 11): the corpus'
+      // 3-gram shingle dfs summarized into ONE depth×width counter grid
+      // (CountMinAgg, a mergeable TypedImperativeAggregate — each map task
+      // ships 4×8192 longs, 256 KiB, regardless of corpus size), then a
+      // deterministic probe set (md5-first-nibble '0', ~1/16 of the vocab)
+      // estimated from the grid: est = min over rows of the probed cell.
+      // The row hash is the engine-portable md5 bucket (q96 precedent), so
+      // the WHOLE sketch — every cell sum and every min — is reproduced by
+      // the flat DuckDB oracle: a direct hash-check of an approximate
+      // structure, overcounts included. true_df rides along (exact groupBy;
+      // at 100 TB you'd recount only the probe set via semi-join) so the
+      // oracle also pins est >= true cell by cell.
+      val depth = 4; val width = 8192
+      val sh = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextFns.shingles(col("text"), 3)).as("sh"))
+      val sketch = sh.agg(
+        graft.plans.CountMin.countMin(col("sh"), depth, width).as("cms"))
+      val probes = sh.groupBy(col("sh"))
+        .agg(count(lit(1)).as("true_df"))
+        .filter(substring(md5(col("sh")), 1, 1) === "0")
+      probes.crossJoin(broadcast(sketch))
+        .select(col("sh"), col("true_df"),
+          least((0 until depth).map(r =>
+            element_at(col("cms"),
+              (lit(r.toLong * width) +
+                conv(substring(md5(concat(col("sh"), lit(":" + r))), 1, 15),
+                  16, 10).cast("long") % width + 1L).cast("int"))): _*)
+            .as("est_df"))
+        .withColumn("overcount", col("est_df") - col("true_df"))
+        .orderBy("sh")
+    }),
+
+    "q102_snapshot_diff" -> ((s, dir) => {
+      // Corpus snapshot diff (round 11): what did the nightly merge DO —
+      // classify every doc_id across two corpus versions as added/removed/
+      // changed, dropping the unchanged majority. v1 is derived from v0 by
+      // a deterministic evolution (doc_id%17==3 removed, ==5 re-texted,
+      // ==7 re-keyed +1e9 as new docs), so the oracle can rebuild both
+      // sides flat. The operator pre-projects each side to (key, md5 row
+      // signature) BEFORE the full-outer join — the shuffle carries 32
+      // bytes per row, never document payloads — while the oracle compares
+      // payload columns directly (IS DISTINCT FROM): the driver hash-check
+      // pins signature-diff ≡ semantic-diff on the whole corpus.
+      val v0 = T(s, dir, "documents")
+      val payload = Seq("text", "lang", "source", "n_chars")
+      val m = pmod(col("doc_id"), lit(17L))
+      val v1 = v0.filter(m =!= 3 && m =!= 5)
+        .unionByName(v0.filter(m === 5)
+          .withColumn("text", concat(col("text"), lit(" v2")))
+          .withColumn("n_chars", col("n_chars") + 3L))
+        .unionByName(v0.filter(m === 7)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+      Relational.snapshotDiff(v0, v1, Seq("doc_id"), payload)
+        .orderBy("doc_id")
+    }),
+
+    "q103_image_dhash" -> ((s, dir) => {
+      // Multimodal CONTENT loop under a direct oracle (round 11): per-doc
+      // real 18×8 greyscale PNGs (Multimodal.encodePng: filter-0 scanlines
+      // + one Deflater stream) are pushed through the production path —
+      // IDAT inflate, scanline unfilter, luma fold, exact-integer dHash —
+      // while the oracle computes the SAME hash analytically from the
+      // synthesis formula, never touching a PNG byte. A hash match proves
+      // the codec round-trip is lossless and the perceptual-hash
+      // arithmetic engine-exact; q32 checked containers, this checks
+      // content. groups scales planted-duplicate multiplicity to ~12 per
+      // template at every SF (the q104 blocking stays non-degenerate).
+      val docs = T(s, dir, "documents")
+      val groups = math.max(40L, docs.count() / 12L)
+      Multimodal.imageHashes(Multimodal.synthImageTable(docs, "doc_id", groups))
+        .orderBy("doc_id")
+    }),
+
+    "q104_image_dhash_dup" -> ((s, dir) => {
+      // Image near-dup dedup over q103's hashes: 4×16-bit band blocking +
+      // hamming<=8 confirm, with the oracle-checked q96 bucket cap riding
+      // the join's own bk exchange. Same-template docs are exact dups
+      // (hamming 0); the +40 column-0 bump gives bumped-vs-unbumped pairs
+      // of the same template a small nonzero hamming, so the confirm stage
+      // is exercised on both sides of the threshold. Every stage — hash,
+      // banding, cap, hamming — is reproduced flat by the DuckDB oracle.
+      val docs = T(s, dir, "documents")
+      val groups = math.max(40L, docs.count() / 12L)
+      Multimodal.imageNearDups(
+          Multimodal.synthImageTable(docs, "doc_id", groups),
+          maxHamming = 8, maxBucket = 50)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2863,6 +2955,110 @@ object SparkEntry {
         |  WHEN hebrew = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) THEN 'hebrew'
         |  WHEN cjk = greatest(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) THEN 'cjk'
         |  ELSE 'hangul' END AS dominant_script
-        |FROM k ORDER BY doc_id""".stripMargin
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // the sketch itself reproduced flat: per-(row, bucket) cell sums over
+    // ALL shingles (not just probed ones), then min over rows per probe.
+    // Bucket = first 60 bits of md5(shingle ':' row) mod width — the same
+    // bytes CountMin.md5Bucket hashes on the Spark side.
+    "q101_cms_df" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |cnt AS (SELECT sh, CAST(count(*) AS BIGINT) AS true_df FROM sh GROUP BY 1),
+        |hb AS (SELECT c.sh, c.true_df, r,
+        |  CAST(concat('0x', substr(md5(concat(c.sh, ':', CAST(r AS VARCHAR))), 1, 15))
+        |    AS BIGINT) % 8192 AS b
+        | FROM cnt c CROSS JOIN range(4) rr(r)),
+        |cell AS (SELECT r, b, sum(true_df) AS cellsum FROM hb GROUP BY 1, 2),
+        |est AS (SELECT h.sh, h.true_df, CAST(min(cell.cellsum) AS BIGINT) AS est_df
+        | FROM hb h JOIN cell ON cell.r = h.r AND cell.b = h.b GROUP BY 1, 2)
+        |SELECT sh, true_df, est_df, est_df - true_df AS overcount
+        |FROM est WHERE substr(md5(sh), 1, 1) = '0' ORDER BY sh""".stripMargin,
+
+    // the oracle rebuilds v1 by the same deterministic evolution, then
+    // diffs SEMANTICALLY (IS DISTINCT FROM per payload column) — the Spark
+    // side diffs md5 row signatures, so a hash-match here proves the
+    // signature reduction loses nothing on real data
+    "q102_snapshot_diff" ->
+      """WITH v1 AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 5 THEN text || ' v2' ELSE text END AS text,
+        |  lang, source,
+        |  CASE WHEN doc_id % 17 = 5 THEN n_chars + 3 ELSE n_chars END AS n_chars
+        | FROM documents WHERE doc_id % 17 <> 3
+        | UNION ALL
+        | SELECT doc_id + 1000000000, text, lang, source, n_chars
+        | FROM documents WHERE doc_id % 17 = 7),
+        |d AS (
+        | SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |   WHEN b.doc_id IS NULL THEN 'removed'
+        |   WHEN (a.text IS DISTINCT FROM b.text)
+        |     OR (a.lang IS DISTINCT FROM b.lang)
+        |     OR (a.source IS DISTINCT FROM b.source)
+        |     OR (a.n_chars IS DISTINCT FROM b.n_chars) THEN 'changed'
+        |   ELSE 'unchanged' END AS status
+        | FROM documents a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+
+    // the oracle never decodes a PNG: it evaluates the synthesis formula
+    // per (doc, x, y), box-averages the 9×8 grid, compares adjacent cells
+    // (equal cell counts at 18×8, so sum comparison ≡ the operator's
+    // cross-multiplied average comparison), and assembles the 64-bit hash
+    // with bit_or — the analytic twin of the decode-side computation
+    "q103_image_dhash" ->
+      """WITH g AS (SELECT greatest(40, (SELECT count(*) FROM documents) // 12) AS grp),
+        |px AS (SELECT d.doc_id, x, y,
+        |  (((d.doc_id % g.grp) * 7 + 13) * (x + 3) + (x + 1) * (y + 2)) % 200
+        |   + CASE WHEN d.doc_id % 5 = 0 AND x < 2 THEN 40 ELSE 0 END AS v
+        | FROM documents d CROSS JOIN g
+        |  CROSS JOIN range(18) rx(x) CROSS JOIN range(8) ry(y)),
+        |cells AS (SELECT doc_id, y AS gr, x // 2 AS gc, sum(v) AS s
+        | FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, CAST(a.gr * 8 + a.gc AS INTEGER) AS bit
+        | FROM cells a JOIN cells b
+        |  ON a.doc_id = b.doc_id AND a.gr = b.gr AND b.gc = a.gc + 1
+        | WHERE a.s > b.s)
+        |SELECT d.doc_id,
+        | coalesce(bit_or(CASE WHEN bit = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |   ELSE CAST(1 AS BIGINT) << bit END), 0) AS dhash,
+        | 'png' AS format
+        |FROM documents d LEFT JOIN bits USING (doc_id)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q104_image_dhash_dup" ->
+      """WITH g AS (SELECT greatest(40, (SELECT count(*) FROM documents) // 12) AS grp),
+        |px AS (SELECT d.doc_id, x, y,
+        |  (((d.doc_id % g.grp) * 7 + 13) * (x + 3) + (x + 1) * (y + 2)) % 200
+        |   + CASE WHEN d.doc_id % 5 = 0 AND x < 2 THEN 40 ELSE 0 END AS v
+        | FROM documents d CROSS JOIN g
+        |  CROSS JOIN range(18) rx(x) CROSS JOIN range(8) ry(y)),
+        |cells AS (SELECT doc_id, y AS gr, x // 2 AS gc, sum(v) AS s
+        | FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, CAST(a.gr * 8 + a.gc AS INTEGER) AS bit
+        | FROM cells a JOIN cells b
+        |  ON a.doc_id = b.doc_id AND a.gr = b.gr AND b.gc = a.gc + 1
+        | WHERE a.s > b.s),
+        |h AS (SELECT d.doc_id,
+        |  coalesce(bit_or(CASE WHEN bit = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |    ELSE CAST(1 AS BIGINT) << bit END), 0) AS dhash
+        | FROM documents d LEFT JOIN bits USING (doc_id) GROUP BY 1),
+        |banded0 AS (SELECT doc_id, dhash,
+        |  b * 65536 + ((dhash >> CAST(16 * b AS INTEGER)) & 65535) AS bk
+        | FROM h CROSS JOIN range(4) rb(b)),
+        |banded AS (SELECT doc_id, dhash, bk FROM (
+        |  SELECT doc_id, dhash, bk, count(*) OVER (PARTITION BY bk) AS bc
+        |  FROM banded0)
+        | WHERE bc <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.dhash AS ha, b.dhash AS hb
+        | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+        |ORDER BY 1, 2""".stripMargin
   )
 }

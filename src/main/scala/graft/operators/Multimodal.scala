@@ -422,6 +422,239 @@ object Multimodal {
     * batch of results, amortizing per-call overhead. Output is identical to
     * [[decode]].
     */
+  /** Minimal PNG encoder (filter 0 + one zlib stream), JDK-only — the
+    * fixture/synthesis counterpart of [[pngPixelBytes]]. Greyscale
+    * (colorType 0) or RGB (colorType 2), depth 8. Used by the q103/q104
+    * image synthesis and the multimodal specs; NOT size-optimized (no
+    * filter search) because the decode side is what's under test.
+    */
+  private[graft] def encodePng(pixels: Array[Byte], width: Int, height: Int,
+                               channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"encodePng: 1 or 3 channels, got $channels")
+    require(pixels.length == width * height * channels,
+      s"encodePng: ${pixels.length} bytes for ${width}x$height x$channels")
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(out)
+      d.writeInt(data.length)
+      val tb = typ.getBytes("US-ASCII")
+      d.write(tb); d.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      d.writeInt(crc.getValue.toInt)
+      out.toByteArray
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val hd = new java.io.DataOutputStream(ihdr)
+    hd.writeInt(width); hd.writeInt(height)
+    hd.writeByte(8) // bit depth
+    hd.writeByte(if (channels == 1) 0 else 2) // grey / truecolor
+    hd.writeByte(0); hd.writeByte(0); hd.writeByte(0) // deflate/filter/no interlace
+    val rowBytes = width * channels
+    val raw = new Array[Byte]((rowBytes + 1) * height) // filter byte 0 per row
+    var r = 0
+    while (r < height) {
+      System.arraycopy(pixels, r * rowBytes, raw, r * (rowBytes + 1) + 1, rowBytes)
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val z = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    out.write(chunk("IHDR", ihdr.toByteArray))
+    out.write(chunk("IDAT", z.toByteArray))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Synthesize a REAL-PNG media table from a keyed corpus (round 11): one
+    * 18×8 greyscale PNG per row, pixel
+    * `v(x,y) = ((tpl·7 + 13)·(x+3) + (x+1)·(y+2)) % 200 (+40 iff
+    * doc_id%5=0 ∧ x<2)` with `tpl = doc_id % groups` — pure integer
+    * arithmetic a flat SQL oracle can replicate WITHOUT decoding any PNG.
+    * That is the point: q103/q104 push these payloads through the real
+    * encode→inflate→unfilter→luma→dHash loop while the oracle computes the
+    * expected hash analytically, so a driver hash-match certifies the
+    * whole codec loop is lossless and the hash arithmetic engine-exact.
+    * `groups` controls planted-duplicate multiplicity (same tpl ⇒ same base
+    * image); the +40 bump on grid column 0 gives some same-template pairs
+    * a nonzero-but-small hamming distance.
+    */
+  def synthImageTable(docs: DataFrame, idCol: String, groups: Long): DataFrame = {
+    require(groups >= 1, s"synthImageTable: groups must be >= 1, got $groups")
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val tpl = ((id % groups) + groups) % groups
+          val bump = id % 5 == 0
+          val px = new Array[Byte](18 * 8)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 18) {
+              var v = (((tpl * 7 + 13) * (x + 3) + (x + 1) * (y + 2)) % 200).toInt
+              if (bump && x < 2) v += 40
+              px(y * 18 + x) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          val payload = encodePng(px, 18, 8, 1)
+          Row(id, "image", payload, payload.length.toLong)
+        }
+      }(enc)
+  }
+
+  /** Greyscale plane of a decodable image payload: PNG via
+    * [[pngPixelBytes]] (depth-8 colorTypes 0/2/4/6; palette and sub-byte
+    * depths are outside the envelope — indices aren't intensities), JPEG
+    * via [[jpegPixelBytes]] (always RGB). Luma is the integer ITU-R 601
+    * fold (299·R + 587·G + 114·B)/1000; grey(+alpha) takes the grey byte.
+    */
+  private[operators] def grayPlane(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    parseImageHeader(p) match {
+      case Some((wL, hL, "png")) =>
+        val depth = p(24) & 0xFF
+        val colorType = p(25) & 0xFF
+        if (depth != 8 || colorType == 3) return None
+        val ch = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4 }
+        pngPixelBytes(p).map { px =>
+          val w = wL.toInt; val h = hL.toInt
+          val g = new Array[Int](w * h)
+          var i = 0
+          while (i < w * h) {
+            val o = i * ch
+            g(i) = ch match {
+              case 1 | 2 => px(o) & 0xFF
+              case _ => (299 * (px(o) & 0xFF) + 587 * (px(o + 1) & 0xFF) +
+                114 * (px(o + 2) & 0xFF)) / 1000
+            }
+            i += 1
+          }
+          (w, h, g)
+        }
+      case Some((wL, hL, "jpeg")) =>
+        jpegPixelBytes(p).map { px =>
+          val w = wL.toInt; val h = hL.toInt
+          val g = new Array[Int](w * h)
+          var i = 0
+          while (i < w * h) {
+            val o = i * 3
+            g(i) = (299 * (px(o) & 0xFF) + 587 * (px(o + 1) & 0xFF) +
+              114 * (px(o + 2) & 0xFF)) / 1000
+            i += 1
+          }
+          (w, h, g)
+        }
+      case _ => None
+    }
+
+  /** Perceptual difference hash (dHash) over a greyscale plane: box-average
+    * into a 9×8 grid (integer cell boundaries `c·w/9`, `r·h/8`), then bit
+    * `r·8+c` = 1 iff cell (r,c) is strictly brighter than cell (r,c+1).
+    * The brightness comparison cross-multiplies sums by counts (cells can
+    * differ in pixel count when 9∤w), so the whole hash is EXACT integer
+    * arithmetic: deterministic, and invariant under exact k× box upsampling
+    * (sums and counts both scale by k²) and under uniform brightness shift
+    * away from clamp (gradients are preserved) — the two invariances
+    * MultimodalHashSpec pins. None when the grid is undersampled (w<9 or
+    * h<8: thumbnails have no stable gradient signal).
+    */
+  private[operators] def dHash64(gray: Array[Int], w: Int, h: Int): Option[Long] = {
+    if (w < 9 || h < 8) return None
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gr = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gc = x * 9 / w
+        sums(gr)(gc) += gray(y * w + x)
+        cnts(gr)(gc) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        // avg(r,c) > avg(r,c+1)  ⇔  sum·cnt' > sum'·cnt (counts positive)
+        if (sums(r)(c) * cnts(r)(c + 1) > sums(r)(c + 1) * cnts(r)(c))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-image dHash table: `(doc_id, dhash, format)` for every payload
+    * inside the decodable envelope (rows outside it are dropped, not
+    * nulled — a near-dup pass has no use for unhashable rows). One
+    * partition-local pass, decode and hash fused; the 100 TB path raises
+    * partition count.
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dhash", LongType, nullable = false),
+      StructField("format", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          if (p == null) None
+          else for {
+            (w, h, g) <- grayPlane(p)
+            hash <- dHash64(g, w, h)
+            fmt <- parseImageHeader(p).map(_._3)
+          } yield Row(raw(r, "doc_id"), hash, fmt)
+        }
+      }(enc)
+  }
+
+  /** Banded dHash near-dup: 4×16-bit exact-match bands propose, hamming
+    * confirms — the q24/q96 blocking shape on image content. A band
+    * containing > `maxBucket` images is dropped before the self-join (the
+    * oracle-checked q96 cap idiom: the count window rides the join's own
+    * `bk` exchange), bounding candidates at `4·2^16·C(maxBucket,2)` pairs
+    * regardless of corpus size — monochrome/template images are exactly the
+    * degenerate cliques the cap exists for.
+    */
+  def imageNearDups(media: DataFrame, maxHamming: Int,
+                    maxBucket: Int = 50): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"imageNearDups: 0 <= maxHamming <= 64, got $maxHamming")
+    val hashes = imageHashes(media)
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          lit(b.toLong * 65536L) +
+            shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as("bk"))
+      .withColumn("bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("bc") <= maxBucket)
+      .drop("bc")
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   def decodeBatched(media: DataFrame, batchSize: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
     media.select("doc_id", "media_type", "payload", "n_bytes")

@@ -698,4 +698,42 @@ object Relational {
       .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("shard"),
         col("pack_id"))
   }
+
+  /** Keyed snapshot diff (round 11): classify every key of two corpus
+    * versions as `added` / `removed` / `changed`, dropping the unchanged
+    * majority — the audit primitive behind "what did last night's crawl
+    * merge actually do" (the read-side complement of
+    * [[graft.sources.Writers.upsert]]).
+    *
+    * Scale shape: each side is pre-projected to `(keys, row signature)`
+    * BEFORE the join, so the full-outer shuffle carries a 32-char md5 per
+    * row instead of document payloads — at 100 TB the exchange is keys +
+    * 32 bytes, and AQE plans the join on that reduced width. The signature
+    * is the engine-portable md5 over null-tagged payload columns (each
+    * value prefixed '1', NULL encoded as a bare '0' tag, fields joined on
+    * U+0001), so `changed` means payload-byte difference, never
+    * null-vs-empty ambiguity; a value containing U+0001 itself is the
+    * standard concat-delimiter caveat and outside the contract. The
+    * contract-query oracle compares payload columns directly (`IS DISTINCT
+    * FROM`), so the driver hash-check pins signature-diff ≡ semantic-diff
+    * on real data; SnapshotDiffSpec pins it on crafted null/empty edges.
+    */
+  def snapshotDiff(v0: DataFrame, v1: DataFrame, keys: Seq[String],
+                   payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(payload.nonEmpty, "snapshotDiff needs at least one payload column")
+    def sig(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+
+        md5(concat_ws("\u0001", payload.map(c =>
+          when(col(c).isNull, lit("0"))
+            .otherwise(concat(lit("1"), col(c).cast("string")))): _*)).as(as): _*)
+    sig(v0, "_sig0").join(sig(v1, "_sig1"), keys, "full_outer")
+      .withColumn("status",
+        when(col("_sig0").isNull, lit("added"))
+          .when(col("_sig1").isNull, lit("removed"))
+          .when(col("_sig0") =!= col("_sig1"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(keys.map(col) :+ col("status"): _*)
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, Row}
+
+class MultimodalHashSpec extends GraftSuite {
+
+  /** Deterministic 36×16 RGB test scene: a diagonal gradient plus a block
+    * pattern — enough structure that every dHash row has both set and
+    * unset bits.
+    */
+  private def scene(w: Int = 36, h: Int = 16, shift: Int = 0): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 4 + y * 3 + (if ((x / 6 + y / 4) % 2 == 0) 60 else 0) + shift)
+        .min(255)
+      val o = (y * w + x) * 3
+      px(o) = base.toByte
+      px(o + 1) = ((base + 10).min(255)).toByte
+      px(o + 2) = ((base / 2)).toByte
+    }
+    px
+  }
+
+  private def upscale2x(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * 2 * h * 2 * 3)
+    for (y <- 0 until h * 2; x <- 0 until w * 2; c <- 0 until 3)
+      out((y * w * 2 + x) * 3 + c) = px(((y / 2) * w + x / 2) * 3 + c)
+    out
+  }
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
+    spark.createDataset(rows.map { case (id, p) =>
+      Row(id, "image", p, p.length.toLong)
+    })(enc)
+  }
+
+  private def hashOf(p: Array[Byte]): Long =
+    mediaDf(Seq((1L, p))).transform(Multimodal.imageHashes)
+      .collect() match {
+        case Array(r) => r.getLong(r.fieldIndex("dhash"))
+        case other => fail(s"expected one hash row, got ${other.length}")
+      }
+
+  test("encodePng round-trips through the real decoder (RGB and grey)") {
+    val rgb = scene()
+    val png = Multimodal.encodePng(rgb, 36, 16, 3)
+    val grey = Multimodal.encodePng(rgb.grouped(3).map(_.head).toArray, 36, 16, 1)
+    val rows = Multimodal.decode(mediaDf(Seq((1L, png), (2L, grey))))
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("format") == "png")
+      assert(r.getAs[Long]("width") == 36L && r.getAs[Long]("height") == 16L)
+      assert(r.get(r.fieldIndex("content_checksum")) != null,
+        "pixel decode must succeed on our own encoder's output")
+    }
+  }
+
+  test("dHash: byte-different pixel-identical encodes agree (PNG vs JDK ImageIO)") {
+    val rgb = scene()
+    val ours = Multimodal.encodePng(rgb, 36, 16, 3)
+    val img = new java.awt.image.BufferedImage(36, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 36) {
+      val o = (y * 36 + x) * 3
+      img.setRGB(x, y, ((rgb(o) & 0xFF) << 16) | ((rgb(o + 1) & 0xFF) << 8) |
+        (rgb(o + 2) & 0xFF))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val jdk = baos.toByteArray
+    assert(!java.util.Arrays.equals(ours, jdk), "encodes should differ byte-wise")
+    assert(hashOf(ours) == hashOf(jdk))
+  }
+
+  test("dHash invariances: uniform brightness shift and exact 2x upsample") {
+    val base = hashOf(Multimodal.encodePng(scene(), 36, 16, 3))
+    val bright = hashOf(Multimodal.encodePng(scene(shift = 20), 36, 16, 3))
+    val up = hashOf(Multimodal.encodePng(upscale2x(scene(), 36, 16), 72, 32, 3))
+    assert(base == bright, "uniform brightness shift must not change dHash")
+    assert(base == up, "exact 2x box upsample must not change dHash")
+  }
+
+  test("dHash separates distinct scenes; undersampled images are dropped") {
+    val a = hashOf(Multimodal.encodePng(scene(), 36, 16, 3))
+    // inverted-gradient scene: structurally different
+    val inv = new Array[Byte](36 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 36; c <- 0 until 3)
+      inv((y * 36 + x) * 3 + c) = (255 - (x * 6 + y)).max(0).toByte
+    val b = hashOf(Multimodal.encodePng(inv, 36, 16, 3))
+    assert(java.lang.Long.bitCount(a ^ b) > 10,
+      s"distinct scenes too close: ${java.lang.Long.bitCount(a ^ b)}")
+    // 8x4 thumbnail: below the 9x8 grid, no hash row
+    val tiny = Multimodal.encodePng(new Array[Byte](8 * 4 * 3), 8, 4, 3)
+    assert(mediaDf(Seq((1L, tiny))).transform(Multimodal.imageHashes).count() == 0L)
+  }
+
+  test("imageNearDups finds re-encoded and brightness-shifted copies only") {
+    val rgb = scene()
+    val copies = Seq(
+      1L -> Multimodal.encodePng(rgb, 36, 16, 3),
+      2L -> Multimodal.encodePng(scene(shift = 15), 36, 16, 3), // hamming 0
+      3L -> Multimodal.encodePng(upscale2x(rgb, 36, 16), 72, 32, 3)) // hamming 0
+    val inv = new Array[Byte](36 * 16 * 3)
+    for (i <- inv.indices) inv(i) = (250 - (i % 251)).toByte
+    val unrelated = Seq(4L -> Multimodal.encodePng(inv, 36, 16, 3))
+    val pairs = Multimodal.imageNearDups(mediaDf(copies ++ unrelated), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("q103/q104 contract shapes: hash per doc; near-dup pairs symmetric-free") {
+    val out = SparkEntry.queries("q103_image_dhash")(spark, sf).collect()
+    assert(out.length > 0 && out.forall(_.getAs[String]("format") == "png"))
+    val dups = SparkEntry.queries("q104_image_dhash_dup")(spark, sf).collect()
+    assert(dups.nonEmpty)
+    assert(dups.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(dups.forall(r => r.getLong(r.fieldIndex("hamming")) <= 8))
+  }
+}
