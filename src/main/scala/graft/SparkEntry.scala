@@ -1522,8 +1522,8 @@ object SparkEntry {
           least((0 until depth).map(r =>
             element_at(col("cms"),
               (lit(r.toLong * width) +
-                conv(substring(md5(concat(col("sh"), lit(":" + r))), 1, 15),
-                  16, 10).cast("long") % width + 1L).cast("int"))): _*)
+                conv(substring(md5(col("sh")), 1 + 8 * r, 8), 16, 10)
+                  .cast("long") % width + 1L).cast("int"))): _*)
             .as("est_df"))
         .withColumn("overcount", col("est_df") - col("true_df"))
         .orderBy("sh")
@@ -2969,7 +2969,7 @@ object SparkEntry {
         | WHERE len(words) >= 3),
         |cnt AS (SELECT sh, CAST(count(*) AS BIGINT) AS true_df FROM sh GROUP BY 1),
         |hb AS (SELECT c.sh, c.true_df, r,
-        |  CAST(concat('0x', substr(md5(concat(c.sh, ':', CAST(r AS VARCHAR))), 1, 15))
+        |  CAST(concat('0x', substr(md5(c.sh), CAST(1 + 8 * r AS INTEGER), 8))
         |    AS BIGINT) % 8192 AS b
         | FROM cnt c CROSS JOIN range(4) rr(r)),
         |cell AS (SELECT r, b, sum(true_df) AS cellsum FROM hb GROUP BY 1, 2),
@@ -3005,24 +3005,25 @@ object SparkEntry {
         |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
 
-    // the oracle never decodes a PNG: it evaluates the synthesis formula
-    // per (doc, x, y), box-averages the 9×8 grid, compares adjacent cells
-    // (equal cell counts at 18×8, so sum comparison ≡ the operator's
-    // cross-multiplied average comparison), and assembles the 64-bit hash
+    // the oracle never decodes a PNG: the synthesis is CELL-constant (the
+    // 2×1-px dHash cells), so it evaluates the md5 cell formula per
+    // (doc, gc, y), compares adjacent cells directly (equal cell counts ⇒
+    // value comparison ≡ the operator's cross-multiplied average
+    // comparison over the decoded pixels), and assembles the 64-bit hash
     // with bit_or — the analytic twin of the decode-side computation
     "q103_image_dhash" ->
       """WITH g AS (SELECT greatest(40, (SELECT count(*) FROM documents) // 12) AS grp),
-        |px AS (SELECT d.doc_id, x, y,
-        |  (((d.doc_id % g.grp) * 7 + 13) * (x + 3) + (x + 1) * (y + 2)) % 200
-        |   + CASE WHEN d.doc_id % 5 = 0 AND x < 2 THEN 40 ELSE 0 END AS v
+        |cells AS (SELECT d.doc_id, y AS gr, gc,
+        |  CAST(concat('0x',
+        |    substr(md5(concat(d.doc_id % g.grp, ':', gc, ':', y)), 1, 4))
+        |   AS BIGINT) % 200
+        |   + CASE WHEN d.doc_id % 5 = 0 AND gc = 0 THEN 40 ELSE 0 END AS v
         | FROM documents d CROSS JOIN g
-        |  CROSS JOIN range(18) rx(x) CROSS JOIN range(8) ry(y)),
-        |cells AS (SELECT doc_id, y AS gr, x // 2 AS gc, sum(v) AS s
-        | FROM px GROUP BY 1, 2, 3),
+        |  CROSS JOIN range(9) rgc(gc) CROSS JOIN range(8) ry(y)),
         |bits AS (SELECT a.doc_id, CAST(a.gr * 8 + a.gc AS INTEGER) AS bit
         | FROM cells a JOIN cells b
         |  ON a.doc_id = b.doc_id AND a.gr = b.gr AND b.gc = a.gc + 1
-        | WHERE a.s > b.s)
+        | WHERE a.v > b.v)
         |SELECT d.doc_id,
         | coalesce(bit_or(CASE WHEN bit = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
         |   ELSE CAST(1 AS BIGINT) << bit END), 0) AS dhash,
@@ -3032,17 +3033,17 @@ object SparkEntry {
 
     "q104_image_dhash_dup" ->
       """WITH g AS (SELECT greatest(40, (SELECT count(*) FROM documents) // 12) AS grp),
-        |px AS (SELECT d.doc_id, x, y,
-        |  (((d.doc_id % g.grp) * 7 + 13) * (x + 3) + (x + 1) * (y + 2)) % 200
-        |   + CASE WHEN d.doc_id % 5 = 0 AND x < 2 THEN 40 ELSE 0 END AS v
+        |cells AS (SELECT d.doc_id, y AS gr, gc,
+        |  CAST(concat('0x',
+        |    substr(md5(concat(d.doc_id % g.grp, ':', gc, ':', y)), 1, 4))
+        |   AS BIGINT) % 200
+        |   + CASE WHEN d.doc_id % 5 = 0 AND gc = 0 THEN 40 ELSE 0 END AS v
         | FROM documents d CROSS JOIN g
-        |  CROSS JOIN range(18) rx(x) CROSS JOIN range(8) ry(y)),
-        |cells AS (SELECT doc_id, y AS gr, x // 2 AS gc, sum(v) AS s
-        | FROM px GROUP BY 1, 2, 3),
+        |  CROSS JOIN range(9) rgc(gc) CROSS JOIN range(8) ry(y)),
         |bits AS (SELECT a.doc_id, CAST(a.gr * 8 + a.gc AS INTEGER) AS bit
         | FROM cells a JOIN cells b
         |  ON a.doc_id = b.doc_id AND a.gr = b.gr AND b.gc = a.gc + 1
-        | WHERE a.s > b.s),
+        | WHERE a.v > b.v),
         |h AS (SELECT d.doc_id,
         |  coalesce(bit_or(CASE WHEN bit = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
         |    ELSE CAST(1 AS BIGINT) << bit END), 0) AS dhash

@@ -107,6 +107,23 @@ case class ScriptProfile(doc_id: Long, n_cp: Long, latin: Long,
                          hebrew: Long, cjk: Long, hangul: Long, digit: Long,
                          space: Long, other: Long, dominant_script: String)
 
+/** One snapshot-diff verdict (the q102 row, typed): `status` is
+  * added / removed / changed; unchanged keys are never emitted.
+  */
+case class SnapshotChange(doc_id: Long, status: String)
+
+/** One media blob (binary payload + typed metadata), the multimodal input
+  * row shape ([[graft.operators.Multimodal.mediaSchema]] typed).
+  */
+case class MediaBlob(doc_id: Long, media_type: String,
+                     payload: Array[Byte], n_bytes: Long)
+
+/** One perceptual image hash (the q103 row, typed). */
+case class ImageHash(doc_id: Long, dhash: Long, format: String)
+
+/** One confirmed image near-dup pair (the q104 row, typed). */
+case class ImagePair(doc_a: Long, doc_b: Long, hamming: Long)
+
 /** One point of the filter-calibration curve (the q88 row, typed):
   * keep-everything-at-or-above `score` retains `n_docs_kept` docs /
   * `weight_kept` weight.
@@ -420,6 +437,36 @@ object Typed {
     import ds.sparkSession.implicits._
     graft.operators.Scoring.scriptProfile(ds.toDF(), col("doc_id"), col("text"))
       .as[ScriptProfile]
+  }
+
+  /** Snapshot diff, typed ([[graft.operators.Relational.snapshotDiff]] —
+    * md5 row signatures; the shuffle carries 32 bytes per row).
+    */
+  def snapshotDiff(v0: Dataset[Document],
+                   v1: Dataset[Document]): Dataset[SnapshotChange] = {
+    import v0.sparkSession.implicits._
+    graft.operators.Relational.snapshotDiff(v0.toDF(), v1.toDF(),
+        Seq("doc_id"), Seq("text", "lang", "source", "n_chars"))
+      .as[SnapshotChange]
+  }
+
+  /** Perceptual image hashes, typed ([[graft.operators.Multimodal
+    * .imageHashes]] — real decode, exact-integer dHash; undecodable blobs
+    * are dropped, not nulled).
+    */
+  def imageHashes(media: Dataset[MediaBlob]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.imageHashes(media.toDF()).as[ImageHash]
+  }
+
+  /** Banded image near-dup pairs, typed ([[graft.operators.Multimodal
+    * .imageNearDups]] — 4×16-bit bands + hamming confirm + bucket cap).
+    */
+  def imageNearDups(media: Dataset[MediaBlob], maxHamming: Int,
+                    maxBucket: Int = 50): Dataset[ImagePair] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.imageNearDups(media.toDF(), maxHamming, maxBucket)
+      .as[ImagePair]
   }
 
   /** IVF search against a STORED index version

@@ -473,33 +473,62 @@ object Multimodal {
   }
 
   /** Synthesize a REAL-PNG media table from a keyed corpus (round 11): one
-    * 18×8 greyscale PNG per row, pixel
-    * `v(x,y) = ((tpl·7 + 13)·(x+3) + (x+1)·(y+2)) % 200 (+40 iff
-    * doc_id%5=0 ∧ x<2)` with `tpl = doc_id % groups` — pure integer
-    * arithmetic a flat SQL oracle can replicate WITHOUT decoding any PNG.
-    * That is the point: q103/q104 push these payloads through the real
+    * 18×8 greyscale PNG per row, CELL-constant pixels (2×1-px dHash cells)
+    * `v(gc, y) = hex16(md5(tpl ":" gc ":" y)) % 200 (+40 iff doc_id%5=0 ∧
+    * gc=0)` with `tpl = doc_id % groups` — engine-portable arithmetic a
+    * flat SQL oracle replicates WITHOUT decoding any PNG. That is the
+    * point: q103/q104 push these payloads through the real
     * encode→inflate→unfilter→luma→dHash loop while the oracle computes the
     * expected hash analytically, so a driver hash-match certifies the
     * whole codec loop is lossless and the hash arithmetic engine-exact.
-    * `groups` controls planted-duplicate multiplicity (same tpl ⇒ same base
-    * image); the +40 bump on grid column 0 gives some same-template pairs
-    * a nonzero-but-small hamming distance.
+    *
+    * md5 (not a linear formula) matters at SCALE: distinct templates must
+    * get near-distinct dHashes, or every band bucket exceeds the q104 cap
+    * and the query reads 0 rows on big corpora (measured: the first
+    * linear-gradient formula collapsed 41k sf10 templates onto a handful
+    * of hashes — the q96-at-sf10 degeneracy, caught the same session).
+    * `groups` controls planted-duplicate multiplicity (same tpl ⇒ same
+    * base image); the +40 bump on grid column 0 gives bumped-vs-unbumped
+    * same-template pairs a nonzero-but-small hamming distance. Cell
+    * values are memoized per template (one 72-digest set per template per
+    * partition, not per doc).
     */
   def synthImageTable(docs: DataFrame, idCol: String, groups: Long): DataFrame = {
     require(groups >= 1, s"synthImageTable: groups must be >= 1, got $groups")
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     docs.select(col(idCol).cast("long").as("doc_id"))
       .mapPartitions { rows =>
+        val cellCache = new java.util.HashMap[Long, Array[Int]]()
+        def cells(tpl: Long): Array[Int] = {
+          val hit = cellCache.get(tpl)
+          if (hit != null) return hit
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val cv = new Array[Int](9 * 8)
+          var y = 0
+          while (y < 8) {
+            var gc = 0
+            while (gc < 9) {
+              val d = md.digest(s"$tpl:$gc:$y".getBytes("UTF-8"))
+              // first 4 hex chars = first 2 digest bytes, big-endian
+              cv(y * 9 + gc) = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200
+              gc += 1
+            }
+            y += 1
+          }
+          cellCache.put(tpl, cv)
+          cv
+        }
         rows.map { r =>
           val id = r.getLong(0)
           val tpl = ((id % groups) + groups) % groups
           val bump = id % 5 == 0
+          val cv = cells(tpl)
           val px = new Array[Byte](18 * 8)
           var y = 0
           while (y < 8) {
             var x = 0
             while (x < 18) {
-              var v = (((tpl * 7 + 13) * (x + 3) + (x + 1) * (y + 2)) % 200).toInt
+              var v = cv(y * 9 + x / 2)
               if (bump && x < 2) v += 40
               px(y * 18 + x) = v.toByte
               x += 1

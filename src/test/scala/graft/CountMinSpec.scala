@@ -23,7 +23,7 @@ class CountMinSpec extends GraftSuite {
     val toks = Seq("a", "tok42", "naïve", "日本語", "x y", "", ":", "0:1")
     val rows = toks.toDF("tok").select(col("tok") +:
         (0 until depth).map(r =>
-          (conv(substring(md5(concat(col("tok"), lit(":" + r))), 1, 15), 16, 10)
+          (conv(substring(md5(col("tok")), 1 + 8 * r, 8), 16, 10)
             .cast("long") % width).as(s"b$r")): _*)
       .collect()
     rows.foreach { row =>

@@ -313,4 +313,36 @@ class TypedApiSpec extends GraftSuite {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(sp == spRel && sp.size == ds.count())
   }
+
+  test("typed snapshotDiff/imageHashes/imageNearDups equal the relational operators (r11)") {
+    import graft.api.MediaBlob
+    val ds = Typed.documents(spark, sf)
+    val m = org.apache.spark.sql.functions.pmod($"doc_id",
+      org.apache.spark.sql.functions.lit(7L))
+    val v1 = ds.filter(m =!= 2).toDF()
+      .withColumn("text", org.apache.spark.sql.functions.concat($"text",
+        org.apache.spark.sql.functions.lit(" x")))
+      .withColumn("n_chars", $"n_chars" + 2L)
+      .as[graft.api.Document]
+    val typed = Typed.snapshotDiff(ds, v1)
+      .collect().map(c => (c.doc_id, c.status)).toSet
+    val rel = graft.operators.Relational.snapshotDiff(ds.toDF(), v1.toDF(),
+        Seq("doc_id"), Seq("text", "lang", "source", "n_chars"))
+      .as[(Long, String)].collect().toSet
+    assert(typed == rel && typed.nonEmpty)
+    assert(typed.forall(c => c._2 == "changed" || c._2 == "removed"))
+
+    val media = graft.operators.Multimodal
+      .synthImageTable(ds.toDF(), "doc_id", groups = 40).as[MediaBlob]
+    val th = Typed.imageHashes(media)
+      .collect().map(h => (h.doc_id, h.dhash, h.format)).toSet
+    val rh = graft.operators.Multimodal.imageHashes(media.toDF())
+      .as[(Long, Long, String)].collect().toSet
+    assert(th == rh && th.size == ds.count())
+    val tp = Typed.imageNearDups(media, maxHamming = 8)
+      .collect().map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+    val rp = graft.operators.Multimodal.imageNearDups(media.toDF(), 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tp == rp && tp.nonEmpty)
+  }
 }
