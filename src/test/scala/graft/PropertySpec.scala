@@ -471,4 +471,46 @@ class PropertySpec extends GraftSuite {
       }
     }
   }
+
+  test("CMS slice bucket: Java and Catalyst agree on arbitrary unicode tokens") {
+    // the engine-portability contract behind q101: the aggregate's
+    // MessageDigest slice and the probe side's conv/substring/md5 must be
+    // the same function on ANY token, or est < true becomes possible
+    val anyTok = Gen.listOfN(6, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)), Gen.oneOf("日本語", "naïve:0", "", " ",
+        "tag", "γλώσσα", "emoji😀")))
+    forAll(anyTok) { toks =>
+      val width = 64
+      val rows = toks.distinct.toDF("tok").select(col("tok") +:
+          (0 until 4).map(r =>
+            (conv(substring(md5(col("tok")), 1 + 8 * r, 8), 16, 10)
+              .cast("long") % width).as(s"b$r")): _*)
+        .collect()
+      rows.foreach { row =>
+        (0 until 4).foreach { r =>
+          assert(row.getLong(r + 1) ==
+            graft.plans.CountMin.md5Bucket(row.getString(0), r, width))
+        }
+      }
+    }
+  }
+
+  test("CMS never underestimates on arbitrary corpora, any partitioning") {
+    forAll(docs) { texts =>
+      val toks = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        val width = 16 // tiny width: collisions guaranteed, bound still holds
+        val grid = toks.toDF("tok").repartition(5)
+          .agg(graft.plans.CountMin.countMin(col("tok"), 4, width))
+          .as[Seq[Long]].head()
+        assert(grid.sum == 4L * toks.size, "every instance hits once per row")
+        toks.groupBy(identity).foreach { case (t, is) =>
+          val est = (0 until 4)
+            .map(r => grid(r * width + graft.plans.CountMin.md5Bucket(t, r, width)))
+            .min
+          assert(est >= is.size, s"underestimated '$t'")
+        }
+      }
+    }
+  }
 }

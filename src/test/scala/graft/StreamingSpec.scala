@@ -960,4 +960,35 @@ class StreamingSpec extends GraftSuite {
     assert(manifest3.values.map(_._1).sum == docs.count(),
       "bound-column manifest must cover every row")
   }
+
+  test("streaming image hashing equals the batch operator across micro-batches") {
+    // imageHashes is a stateless per-partition decode+hash pass, so the
+    // BATCH operator runs unchanged on a binary-blob stream — the shape of
+    // a live media-ingest pipeline hashing images for near-dup routing as
+    // they arrive (binaryFile source in production; staged parquet here)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+    val media = graft.operators.Multimodal
+      .synthImageTable(docs, "doc_id", groups = 40)
+    val staged = java.nio.file.Files.createTempDirectory("graft-imgstream").toString
+    media.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY, n_bytes BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = graft.operators.Multimodal.imageHashes(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("imghash_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple micro-batches")
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("dhash"), r.getAs[String]("format"))
+      val streamed = spark.table("imghash_out").collect().map(key).toSet
+      val batch = graft.operators.Multimodal.imageHashes(media)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
 }
