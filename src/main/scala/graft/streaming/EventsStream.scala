@@ -248,4 +248,29 @@ object EventsStream {
         graft.plans.HeavyHitters.misraGries(keyExpr, k).as("candidates"))
       .select(start.as("window_start"), col("n_events"), col("candidates"))
   }
+
+  /** Per-window Count-Min sketch over a key expression — the CMS sibling of
+    * [[windowedHeavyHitters]] (MG proposes a candidate SET per window, this
+    * keeps a fixed-size per-window frequency summary answering "roughly how
+    * often did key X occur in window W" for ANY X after the fact). State
+    * per window is `depth·width` longs regardless of key cardinality, and
+    * the watermark finalizes and evicts each window's grid exactly like any
+    * other windowed aggregate — bounded state on an unbounded stream.
+    * Probe finalized grids with [[graft.plans.CountMin.md5Bucket]] or the
+    * q101 `least(element_at(...))` column form.
+    */
+  def windowedTokenSketch(events: DataFrame, keyExpr: Column,
+                          windowDuration: String, watermark: String,
+                          depth: Int, width: Int): DataFrame = {
+    val ntzIn = events.schema("ts").dataType == TimestampNTZType
+    val start =
+      if (ntzIn) col("window.start").cast("timestamp_ntz") else col("window.start")
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(count(lit(1)).as("n_events"),
+        graft.plans.CountMin.countMin(keyExpr, depth, width).as("cms"))
+      .select(start.as("window_start"), col("n_events"), col("cms"))
+  }
 }

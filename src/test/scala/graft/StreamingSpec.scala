@@ -927,6 +927,57 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed CMS sketch: per-window grids equal the batch sketch, estimates bound truth") {
+    import org.apache.spark.sql.functions.{col, get_json_object, window => fwindow, count => fcount, lit => flit}
+    val staged = java.nio.file.Files.createTempDirectory("graft-cmsw").toString
+    val ev = graft.sources.Readers.table(spark, sf, "events")
+    ev.write.mode("overwrite").parquet(staged)
+    val (depth, width) = (4, 32)
+    val keyExpr = get_json_object(col("props"), "$.k")
+    val stream = spark.readStream.schema(EventsStream.eventSchema).parquet(staged)
+    val q = EventsStream.windowedTokenSketch(stream, keyExpr, "1 hour", "2 hours",
+        depth, width)
+      .writeStream.outputMode("complete").format("memory").queryName("cmsw_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cmsw_out")
+        .select(col("window_start").cast("timestamp").cast("long").as("ws"),
+          col("n_events"), col("cms"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+      assert(got.nonEmpty)
+      // batch truth per window: the streamed grid must equal the
+      // single-threaded reference build (CMS partials are order-independent
+      // sums, so stream merge trees change nothing), and every per-key
+      // estimate must bound the true in-window count from above
+      val batch = ev
+        .groupBy(fwindow(col("ts").cast("timestamp"), "1 hour").as("w"), keyExpr.as("key"))
+        .agg(fcount(flit(1)).as("cnt"))
+        .select(col("w.start").cast("long").as("ws"), col("key"), col("cnt"))
+        .collect()
+        .groupBy(_.getLong(0))
+      for ((ws, rows) <- batch) {
+        val keyed = rows.filter(_.getString(1) != null)
+        val ref = new Array[Long](depth * width)
+        keyed.foreach { r =>
+          (0 until depth).foreach { d =>
+            ref(d * width + graft.plans.CountMin.md5Bucket(r.getString(1), d, width)) +=
+              r.getLong(2)
+          }
+        }
+        val (n, grid) = got(ws)
+        assert(n == rows.map(_.getLong(2)).sum)
+        assert(grid == ref.toSeq, s"window $ws grid diverged from reference")
+        keyed.foreach { r =>
+          val est = (0 until depth)
+            .map(d => grid(d * width + graft.plans.CountMin.md5Bucket(r.getString(1), d, width)))
+            .min
+          assert(est >= r.getLong(2), s"window $ws underestimated ${r.getString(1)}")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("Writers.shardedExport round-trips all rows and its manifest matches the files") {
     import org.apache.spark.sql.functions.{col, octet_length, sum => fsum, count => fcount, lit => flit}
     val docs = graft.sources.Readers.table(spark, sf, "documents")
