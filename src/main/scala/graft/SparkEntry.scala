@@ -1584,6 +1584,22 @@ object SparkEntry {
           Multimodal.synthImageTable(docs, "doc_id", groups),
           maxHamming = 8, maxBucket = 50)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "q105_audio_envelope_hash" -> ((s, dir) => {
+      // Audio CONTENT loop under a direct oracle (round 11): per-doc real
+      // 16-bit PCM WAVs (Multimodal.encodeWav) pushed through the
+      // production path — range-checked RIFF walk, fmt gate, PCM parse,
+      // exact-integer energy-envelope hash (the audio dHash: 65 box
+      // segments, cross-multiplied strict comparisons) — while the oracle
+      // computes the same 64-bit hash analytically from the segment
+      // formula. Completes the modality ladder: q32 containers, q103/q104
+      // image pixels, this audio samples. Near-dup blocking over these
+      // hashes is q104's already-oracle-checked kernel (shared
+      // hashNearDups), so one hash query suffices.
+      Multimodal.audioHashes(
+          Multimodal.synthAudioTable(T(s, dir, "documents"), "doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3060,6 +3076,24 @@ object SparkEntry {
         | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the audio twin of the q103 analytic oracle: segment-constant PCM, so
+    // the envelope comparison reduces to the md5 segment values — never a
+    // WAV byte touched on the oracle side
+    "q105_audio_envelope_hash" ->
+      """WITH seg AS (SELECT doc_id, s,
+        |  CAST(concat('0x', substr(md5(concat(doc_id, ':', s)), 1, 4))
+        |   AS BIGINT) % 16384 AS a
+        | FROM documents CROSS JOIN range(65) rs(s)),
+        |bits AS (SELECT a.doc_id, CAST(a.s AS INTEGER) AS bit
+        | FROM seg a JOIN seg b ON a.doc_id = b.doc_id AND b.s = a.s + 1
+        | WHERE a.a > b.a)
+        |SELECT d.doc_id,
+        | coalesce(bit_or(CASE WHEN bit = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |   ELSE CAST(1 AS BIGINT) << bit END), 0) AS ahash,
+        | CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels
+        |FROM documents d LEFT JOIN bits USING (doc_id)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

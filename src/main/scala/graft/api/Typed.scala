@@ -124,6 +124,10 @@ case class ImageHash(doc_id: Long, dhash: Long, format: String)
 /** One confirmed image near-dup pair (the q104 row, typed). */
 case class ImagePair(doc_a: Long, doc_b: Long, hamming: Long)
 
+/** One audio energy-envelope hash (the q105 row, typed). */
+case class AudioHash(doc_id: Long, ahash: Long, sample_rate: Long,
+                     channels: Long)
+
 /** One point of the filter-calibration curve (the q88 row, typed):
   * keep-everything-at-or-above `score` retains `n_docs_kept` docs /
   * `weight_kept` weight.
@@ -467,6 +471,15 @@ object Typed {
     import media.sparkSession.implicits._
     graft.operators.Multimodal.imageNearDups(media.toDF(), maxHamming, maxBucket)
       .as[ImagePair]
+  }
+
+  /** Audio energy-envelope hashes, typed ([[graft.operators.Multimodal
+    * .audioHashes]] — real RIFF/PCM decode, exact-integer envelope hash;
+    * blobs outside the 16-bit-PCM envelope are dropped, not nulled).
+    */
+  def audioHashes(media: Dataset[MediaBlob]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.audioHashes(media.toDF()).as[AudioHash]
   }
 
   /** IVF search against a STORED index version

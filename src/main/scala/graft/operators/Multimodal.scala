@@ -541,6 +541,38 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthesize a REAL-WAV media table from a keyed corpus (round 11,
+    * q105): one 650-frame mono 16-bit PCM WAV per row, SEGMENT-constant
+    * samples (the 65 envelope segments, 10 frames each)
+    * `a(s) = hex16(md5(doc_id ":" s)) % 16384` — the audio twin of
+    * [[synthImageTable]]'s analytic-oracle trick: the payload goes through
+    * the real RIFF walk → PCM parse → envelope hash while a flat SQL
+    * oracle computes the expected hash from the formula without touching
+    * a WAV byte. Per-doc (no template groups): q105 certifies the decode
+    * loop; near-dup blocking is q104's already-oracle-checked kernel.
+    */
+  def synthAudioTable(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val pcm = new Array[Short](650)
+          var s = 0
+          while (s < 65) {
+            val d = md.digest(s"$id:$s".getBytes("UTF-8"))
+            val a = ((((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 16384).toShort
+            var f = 0
+            while (f < 10) { pcm(s * 10 + f) = a; f += 1 }
+            s += 1
+          }
+          val payload = encodeWav(pcm, 8000, 1)
+          Row(id, "audio", payload, payload.length.toLong)
+        }
+      }(enc)
+  }
+
   /** Greyscale plane of a decodable image payload: PNG via
     * [[pngPixelBytes]] (depth-8 colorTypes 0/2/4/6; palette and sub-byte
     * depths are outside the envelope — indices aren't intensities), JPEG
@@ -627,6 +659,161 @@ object Multimodal {
     Some(hash)
   }
 
+  /** Minimal WAV (RIFF/PCM) encoder, JDK-only — the fixture/synthesis
+    * counterpart of [[wavPcmBytes]]: 16-bit signed little-endian PCM,
+    * mono or interleaved multi-channel.
+    */
+  private[graft] def encodeWav(samples: Array[Short], sampleRate: Int,
+                               channels: Int): Array[Byte] = {
+    require(channels >= 1, s"encodeWav: channels >= 1, got $channels")
+    require(samples.length % channels == 0,
+      s"encodeWav: ${samples.length} samples not a whole number of $channels-channel frames")
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * channels * 2) // byte rate
+    out.putShort((channels * 2).toShort) // block align
+    out.putShort(16) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** 16-bit PCM frames of a WAV payload: `(channels, samples)` with
+    * samples interleaved exactly as stored. None outside the envelope
+    * (non-PCM audioFormat, bits ≠ 16, truncated data chunk) — the same
+    * degrade-don't-throw contract as the image decoders.
+    */
+  private[operators] def wavPcm16(p: Array[Byte]): Option[(Int, Array[Short])] = {
+    def u16le(i: Int): Int = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+    def tag(i: Int, s: String): Boolean =
+      i + 3 < p.length && p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+    if (p.length < 28 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    // locate fmt for audioFormat/channels/bits, then reuse the range-checked
+    // data-chunk walk for the PCM bytes
+    var i = 12L
+    var fmt: Option[(Int, Int, Int)] = None
+    while (fmt.isEmpty && i + 8 <= p.length) {
+      val ii = i.toInt
+      val size = ((p(ii + 4) & 0xFFL) | ((p(ii + 5) & 0xFFL) << 8) |
+        ((p(ii + 6) & 0xFFL) << 16) | ((p(ii + 7) & 0xFFL) << 24))
+      if (tag(ii, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > p.length) return None
+        fmt = Some((u16le(ii + 8), u16le(ii + 10), u16le(ii + 22)))
+      }
+      i += 8L + size + (size & 1L)
+    }
+    fmt match {
+      case Some((1, ch, 16)) if ch >= 1 =>
+        wavPcmBytes(p).flatMap { data =>
+          if (data.length % (2 * ch) != 0) None
+          else {
+            val s = new Array[Short](data.length / 2)
+            var j = 0
+            while (j < s.length) {
+              s(j) = ((data(2 * j) & 0xFF) | (data(2 * j + 1) << 8)).toShort
+              j += 1
+            }
+            Some((ch, s))
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Perceptual audio hash over a 16-bit PCM signal: per-frame energy =
+    * Σ|channel samples| (integer, gain-order preserving), box-summed into
+    * 65 segments (integer boundaries `s·frames/65`), then bit `s` = 1 iff
+    * segment `s` is strictly louder than segment `s+1` — the energy-envelope
+    * analog of [[dHash64]], with the same cross-multiplied exact-integer
+    * comparison, hence the same invariances: exact k× sample duplication
+    * (time-stretch by repetition) and uniform integer gain away from clip
+    * leave the hash unchanged. None below 65 frames (no stable envelope).
+    */
+  private[operators] def audioHash64(channels: Int,
+                                     samples: Array[Short]): Option[Long] = {
+    val frames = samples.length / channels
+    if (frames < 65) return None
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var f = 0
+    while (f < frames) {
+      val seg = (f.toLong * 65 / frames).toInt
+      var c = 0
+      var e = 0L
+      while (c < channels) { e += math.abs(samples(f * channels + c).toLong); c += 1 }
+      sums(seg) += e
+      cnts(seg) += 1L
+      f += 1
+    }
+    var hash = 0L
+    var s = 0
+    while (s < 64) {
+      if (sums(s) * cnts(s + 1) > sums(s + 1) * cnts(s)) hash |= 1L << s
+      s += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-audio envelope-hash table: `(doc_id, ahash, sample_rate,
+    * channels)` for every payload inside the 16-bit-PCM envelope
+    * (undecodable rows dropped) — the audio twin of [[imageHashes]].
+    */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ahash", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          if (p == null) None
+          else for {
+            (sr, _) <- parseWavHeader(p)
+            (ch, pcm) <- wavPcm16(p)
+            hash <- audioHash64(ch, pcm)
+          } yield Row(raw(r, "doc_id"), hash, sr, ch.toLong)
+        }
+      }(enc)
+  }
+
+  /** Banded hamming near-dup over ANY 64-bit perceptual-hash table —
+    * the blocking kernel [[imageNearDups]] and audio near-dup share:
+    * 4×16-bit exact-match bands propose, hamming confirms, the
+    * oracle-checked count-window bucket cap bounds degenerate cliques.
+    */
+  def hashNearDups(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int, maxBucket: Int = 50): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"hashNearDups: 0 <= maxHamming <= 64, got $maxHamming")
+    val banded = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h"),
+        explode(array((0 until 4).map(b =>
+          lit(b.toLong * 65536L) +
+            shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as("bk"))
+      .withColumn("bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("bc") <= maxBucket)
+      .drop("bc")
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Per-image dHash table: `(doc_id, dhash, format)` for every payload
     * inside the decodable envelope (rows outside it are dropped, not
     * nulled — a near-dup pass has no use for unhashable rows). One
@@ -662,27 +849,8 @@ object Multimodal {
     * degenerate cliques the cap exists for.
     */
   def imageNearDups(media: DataFrame, maxHamming: Int,
-                    maxBucket: Int = 50): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 64,
-      s"imageNearDups: 0 <= maxHamming <= 64, got $maxHamming")
-    val hashes = imageHashes(media)
-    val banded = hashes.select(col("doc_id"), col("dhash"),
-        explode(array((0 until 4).map(b =>
-          lit(b.toLong * 65536L) +
-            shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as("bk"))
-      .withColumn("bc", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-      .filter(col("bc") <= maxBucket)
-      .drop("bc")
-    banded.as("a").join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-  }
+                    maxBucket: Int = 50): DataFrame =
+    hashNearDups(imageHashes(media), "doc_id", "dhash", maxHamming, maxBucket)
 
   def decodeBatched(media: DataFrame, batchSize: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)

@@ -110,6 +110,50 @@ class MultimodalHashSpec extends GraftSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("audioHash64: gain and sample-duplication invariances; channels summed") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(650)(i =>
+      ((math.sin(i / 9.0) * 3000).toInt + rnd.nextInt(400)).toShort)
+    def hash(samples: Array[Short], ch: Int = 1): Long = {
+      val media = mediaDf(Seq((1L, Multimodal.encodeWav(samples, 8000, ch))))
+      Multimodal.audioHashes(media).collect() match {
+        case Array(r) => r.getLong(r.fieldIndex("ahash"))
+        case other => fail(s"expected one audio hash, got ${other.length}")
+      }
+    }
+    val dec = Multimodal.decode(
+      mediaDf(Seq((1L, Multimodal.encodeWav(base, 8000, 1))))).collect()(0)
+    assert(dec.getAs[String]("format") == "wav" &&
+      dec.getAs[Long]("sample_rate") == 8000L &&
+      dec.get(dec.fieldIndex("content_checksum")) != null,
+      "encodeWav must round-trip through the real RIFF decode")
+    val h = hash(base)
+    assert(hash(base.map(s => (s * 3).toShort)) == h, "uniform gain must not change the hash")
+    assert(hash(base.flatMap(s => Array(s, s))) == h, "exact 2x duplication must not change the hash")
+    // stereo with identical channels = mono envelope doubled -> same hash
+    assert(hash(base.flatMap(s => Array(s, s)), ch = 2) == h)
+    val other = Array.tabulate(650)(i => ((i % 100) * 300 - 15000).toShort)
+    assert(java.lang.Long.bitCount(h ^ hash(other)) > 10, "distinct signals too close")
+    // below 65 frames: no stable envelope, row dropped
+    val tiny = mediaDf(Seq((1L, Multimodal.encodeWav(new Array[Short](64), 8000, 1))))
+    assert(Multimodal.audioHashes(tiny).count() == 0L)
+  }
+
+  test("audio near-dups via the shared banding kernel find gain-scaled copies") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(650)(i =>
+      ((math.cos(i / 7.0) * 2500).toInt + rnd.nextInt(300)).toShort)
+    val unrelated = Array.tabulate(650)(i => ((i * 37 % 200) * 80 - 8000).toShort)
+    val media = mediaDf(Seq(
+      1L -> Multimodal.encodeWav(base, 8000, 1),
+      2L -> Multimodal.encodeWav(base.map(s => (s * 2).toShort), 8000, 1),
+      3L -> Multimodal.encodeWav(unrelated, 8000, 1)))
+    val pairs = Multimodal.hashNearDups(Multimodal.audioHashes(media),
+        "doc_id", "ahash", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("q103/q104 contract shapes: hash per doc; near-dup pairs symmetric-free") {
     val out = SparkEntry.queries("q103_image_dhash")(spark, sf).collect()
     assert(out.length > 0 && out.forall(_.getAs[String]("format") == "png"))
@@ -117,5 +161,11 @@ class MultimodalHashSpec extends GraftSuite {
     assert(dups.nonEmpty)
     assert(dups.forall(r => r.getLong(0) < r.getLong(1)))
     assert(dups.forall(r => r.getLong(r.fieldIndex("hamming")) <= 8))
+    val audio = SparkEntry.queries("q105_audio_envelope_hash")(spark, sf).collect()
+    assert(audio.length ==
+      graft.sources.Readers.table(spark, sf, "documents").count(),
+      "one audio hash row per document — every synth WAV must decode")
+    assert(audio.forall(r => r.getAs[Long]("sample_rate") == 8000L &&
+      r.getAs[Long]("channels") == 1L))
   }
 }

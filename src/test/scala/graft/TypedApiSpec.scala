@@ -344,5 +344,13 @@ class TypedApiSpec extends GraftSuite {
     val rp = graft.operators.Multimodal.imageNearDups(media.toDF(), 8)
       .as[(Long, Long, Long)].collect().toSet
     assert(tp == rp && tp.nonEmpty)
+
+    val audio = graft.operators.Multimodal
+      .synthAudioTable(ds.toDF(), "doc_id").as[MediaBlob]
+    val ta = Typed.audioHashes(audio)
+      .collect().map(h => (h.doc_id, h.ahash, h.sample_rate, h.channels)).toSet
+    val ra = graft.operators.Multimodal.audioHashes(audio.toDF())
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ta == ra && ta.size == ds.count())
   }
 }
