@@ -82,6 +82,44 @@ class MultimodalHashSpec extends GraftSuite {
     assert(base == up, "exact 2x box upsample must not change dHash")
   }
 
+  test("dHash survives lossy JPEG re-encoding — the realistic cross-codec transform") {
+    // THE near-dup case a real image pipeline faces: the same picture
+    // stored once as PNG and once as JPEG. The dHash reads gradient
+    // structure, which baseline JPEG coding preserves: measured hamming 0
+    // at qualities 0.95/0.85/0.75 on this scene; asserted <= 2 to leave
+    // headroom for JDK codec drift
+    val rgb = scene()
+    val img = new java.awt.image.BufferedImage(36, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 36) {
+      val o = (y * 36 + x) * 3
+      img.setRGB(x, y, ((rgb(o) & 0xFF) << 16) | ((rgb(o + 1) & 0xFF) << 8) |
+        (rgb(o + 2) & 0xFF))
+    }
+    def jpeg(q: Float): Array[Byte] = {
+      val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val ios = new java.io.ByteArrayOutputStream()
+      wtr.setOutput(javax.imageio.ImageIO.createImageOutputStream(ios))
+      val p = wtr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      wtr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wtr.dispose()
+      ios.toByteArray
+    }
+    val hPng = hashOf(Multimodal.encodePng(rgb, 36, 16, 3))
+    Seq(0.95f, 0.75f).foreach { q =>
+      val d = java.lang.Long.bitCount(hPng ^ hashOf(jpeg(q)))
+      assert(d <= 2, s"JPEG q=$q drifted hamming $d from the PNG original")
+    }
+    // and the near-dup join pairs them across formats
+    val pairs = Multimodal.imageNearDups(
+        mediaDf(Seq(1L -> Multimodal.encodePng(rgb, 36, 16, 3), 2L -> jpeg(0.85f))),
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("dHash separates distinct scenes; undersampled images are dropped") {
     val a = hashOf(Multimodal.encodePng(scene(), 36, 16, 3))
     // inverted-gradient scene: structurally different
