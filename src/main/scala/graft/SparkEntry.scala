@@ -1600,6 +1600,54 @@ object SparkEntry {
       Multimodal.audioHashes(
           Multimodal.synthAudioTable(T(s, dir, "documents"), "doc_id"))
         .orderBy("doc_id")
+    }),
+
+    "q106_minhash_md5" -> ((s, dir) => {
+      // The approximate MINHASH+LSH algorithm under a DIRECT oracle — the
+      // q96 move applied to the q23 family (q96 closed simhash; this
+      // closes minhash, the last lexical rows-only asymmetry): q23 stays
+      // rows-only because DuckDB can't reproduce xxhash64, so this variant
+      // swaps in engine-shared md5 permutation hashes (perm d·4+j = the
+      // j-th 32-bit slice of md5(shingle ':' d) — 3 digests per shingle
+      // serve 12 permutations, the q101 single-digest economy) and runs
+      // the FULL pipeline: 12-permutation signature as ONE wide aggregate
+      // (12 min columns collapse map-side; the shuffle is 12 scalars per
+      // doc, never a per-permutation row explosion — q96's shape), 4
+      // bands × 3 rows with string band keys, the oracle-checked bucket
+      // cap riding the band join's own exchange, and the agreement
+      // confirm n_agree >= 6 (est jaccard >= 0.5). Every stage — hashing,
+      // min-fold, banding recall, cap, agreement — is hash-checked flat.
+      val perms = 12; val bands = 4; val rowsPerBand = 3
+      val maxBucket = 50; val minAgree = 6
+      val sh = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(min(conv(substring(md5(concat(col("sh"), lit(":0"))), 1, 8), 16, 10)
+            .cast("long")).as("m0"),
+          (1 until perms).map { p =>
+            val d = p / 4; val j = p % 4
+            min(conv(substring(md5(concat(col("sh"), lit(":" + d))), 1 + 8 * j, 8),
+                16, 10).cast("long")).as(s"m$p")
+          }: _*)
+      val banded = sig.select(col("doc_id") +: (0 until perms).map(p => col(s"m$p")) :+
+          explode(array((0 until bands).map(b =>
+            concat_ws(":", lit(b.toString) +:
+              (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)): _*))
+            .as("bk"): _*)
+        .withColumn("bc", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+        .filter(col("bc") <= maxBucket)
+        .drop("bc")
+      val agree = (0 until perms).map(p =>
+        when(col(s"a.m$p") === col(s"b.m$p"), 1L).otherwise(0L)).reduce(_ + _)
+      banded.as("a").join(banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          agree.as("n_agree"))
+        .distinct()
+        .filter(col("n_agree") >= minAgree)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -3094,6 +3142,48 @@ object SparkEntry {
         |   ELSE CAST(1 AS BIGINT) << bit END), 0) AS ahash,
         | CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels
         |FROM documents d LEFT JOIN bits USING (doc_id)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the q96 oracle idiom for the minhash family: 12 permutation mins
+    // from md5 slices, string band keys, the capped band self-join, and
+    // the agreement count — every stage flat SQL
+    "q106_minhash_md5" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |hh AS (SELECT doc_id, d * 4 + j AS perm,
+        |  CAST(concat('0x', substr(md5(concat(sh, ':', d)),
+        |    CAST(1 + 8 * j AS INTEGER), 8)) AS BIGINT) AS h
+        | FROM sh CROSS JOIN range(3) rd(d) CROSS JOIN range(4) rj(j)),
+        |sig AS (SELECT doc_id,
+        |  min(CASE WHEN perm = 0 THEN h END) AS m0,
+        |  min(CASE WHEN perm = 1 THEN h END) AS m1,
+        |  min(CASE WHEN perm = 2 THEN h END) AS m2,
+        |  min(CASE WHEN perm = 3 THEN h END) AS m3,
+        |  min(CASE WHEN perm = 4 THEN h END) AS m4,
+        |  min(CASE WHEN perm = 5 THEN h END) AS m5,
+        |  min(CASE WHEN perm = 6 THEN h END) AS m6,
+        |  min(CASE WHEN perm = 7 THEN h END) AS m7,
+        |  min(CASE WHEN perm = 8 THEN h END) AS m8,
+        |  min(CASE WHEN perm = 9 THEN h END) AS m9,
+        |  min(CASE WHEN perm = 10 THEN h END) AS m10,
+        |  min(CASE WHEN perm = 11 THEN h END) AS m11
+        | FROM hh GROUP BY 1),
+        |banded0 AS (SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
+        |  CASE b WHEN 0 THEN concat('0:', m0, ':', m1, ':', m2)
+        |   WHEN 1 THEN concat('1:', m3, ':', m4, ':', m5)
+        |   WHEN 2 THEN concat('2:', m6, ':', m7, ':', m8)
+        |   ELSE concat('3:', m9, ':', m10, ':', m11) END AS bk
+        | FROM sig CROSS JOIN range(4) rb(b)),
+        |banded AS (SELECT * FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY bk) AS bc FROM banded0)
+        | WHERE bc <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END) + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END) + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) + (CASE WHEN a.m8 = b.m8 THEN 1 ELSE 0 END) + (CASE WHEN a.m9 = b.m9 THEN 1 ELSE 0 END) + (CASE WHEN a.m10 = b.m10 THEN 1 ELSE 0 END) + (CASE WHEN a.m11 = b.m11 THEN 1 ELSE 0 END) AS n_agree
+        | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(n_agree AS BIGINT) AS n_agree
+        |FROM cand WHERE n_agree >= 6 ORDER BY 1, 2""".stripMargin
   )
 }
