@@ -67,13 +67,16 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
+  // one provider lookup per task, not per row (update runs once per token
+  // instance — 26M times at sf10); digest() resets the instance after use
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) return buf
     // ONE digest per token, 4 bytes per row (measured 4x cheaper than a
     // salted digest per row at sf10's 26M shingle instances)
-    val d = MessageDigest.getInstance("MD5")
-      .digest(v.asInstanceOf[UTF8String].getBytes)
+    val d = md.digest(v.asInstanceOf[UTF8String].getBytes)
     var r = 0
     while (r < depth) {
       buf(r * width + CountMin.sliceBucket(d, r, width)) += 1L
