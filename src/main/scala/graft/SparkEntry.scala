@@ -1607,46 +1607,16 @@ object SparkEntry {
       // q96 move applied to the q23 family (q96 closed simhash; this
       // closes minhash, the last lexical rows-only asymmetry): q23 stays
       // rows-only because DuckDB can't reproduce xxhash64, so this variant
-      // swaps in engine-shared md5 permutation hashes (perm d·4+j = the
-      // j-th 32-bit slice of md5(shingle ':' d) — 3 digests per shingle
-      // serve 12 permutations, the q101 single-digest economy) and runs
-      // the FULL pipeline: 12-permutation signature as ONE wide aggregate
-      // (12 min columns collapse map-side; the shuffle is 12 scalars per
-      // doc, never a per-permutation row explosion — q96's shape), 4
-      // bands × 3 rows with string band keys, the oracle-checked bucket
-      // cap riding the band join's own exchange, and the agreement
-      // confirm n_agree >= 6 (est jaccard >= 0.5). Every stage — hashing,
-      // min-fold, banding recall, cap, agreement — is hash-checked flat.
-      val perms = 12; val bands = 4; val rowsPerBand = 3
-      val maxBucket = 50; val minAgree = 6
-      val sh = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(TextFns.shingles(col("text"), 3)).as("sh"))
-      val sig = sh.groupBy(col("doc_id"))
-        .agg(min(conv(substring(md5(concat(col("sh"), lit(":0"))), 1, 8), 16, 10)
-            .cast("long")).as("m0"),
-          (1 until perms).map { p =>
-            val d = p / 4; val j = p % 4
-            min(conv(substring(md5(concat(col("sh"), lit(":" + d))), 1 + 8 * j, 8),
-                16, 10).cast("long")).as(s"m$p")
-          }: _*)
-      val banded = sig.select(col("doc_id") +: (0 until perms).map(p => col(s"m$p")) :+
-          explode(array((0 until bands).map(b =>
-            concat_ws(":", lit(b.toString) +:
-              (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)): _*))
-            .as("bk"): _*)
-        .withColumn("bc", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-        .filter(col("bc") <= maxBucket)
-        .drop("bc")
-      val agree = (0 until perms).map(p =>
-        when(col(s"a.m$p") === col(s"b.m$p"), 1L).otherwise(0L)).reduce(_ + _)
-      banded.as("a").join(banded.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          agree.as("n_agree"))
-        .distinct()
-        .filter(col("n_agree") >= minAgree)
+      // swaps in engine-shared md5 permutation hashes and runs the FULL
+      // pipeline — signature, banding, oracle-checked bucket cap,
+      // n_agree >= 6 agreement confirm (est jaccard >= 0.5) — with every
+      // stage hash-checked flat by DuckDB. Promoted to
+      // Dedup.minhashMd5Pairs so ZipfDfCapSpec can measure this exact
+      // configuration's banding recall on realistic long-tailed text;
+      // q23 keeps the fused-xxhash64 operator for production.
+      Dedup.minhashMd5Pairs(T(s, dir, "documents"), col("doc_id"),
+          col("text"), shingleN = 3, digests = 3, rowsPerBand = 3,
+          minAgree = 6, maxBucket = 50)
         .orderBy("doc_a", "doc_b")
     })
   )

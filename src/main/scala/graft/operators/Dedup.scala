@@ -1354,4 +1354,61 @@ object Dedup {
         graft.functions.NumFns.roundHalfUp(
           (col("n_docs") - col("n_unique")).cast("double") /
             col("n_docs").cast("double"), 4).as("dup_ratio"))
+
+  /** MinHash+LSH near-dup pairs with ENGINE-PORTABLE md5 permutation
+    * hashes (q106; the q96 reproduce-the-hash-in-SQL move applied to the
+    * minhash family): permutation `d·4+j` is the j-th 32-bit slice of
+    * `md5(shingle ":" d)` — `digests` md5 calls per shingle serve
+    * `digests·4` permutations (the single-digest economy measured on the
+    * CMS build). Signature = one wide aggregate of `digests·4` mins (the
+    * shuffle is that many scalars per doc, never a per-permutation row
+    * explosion); banding = `bands` string keys of `rowsPerBand`
+    * colon-joined mins; the bucket cap rides the band join's own
+    * exchange (count window, SQL-reproducible); confirm = agreement
+    * count `n_agree >= minAgree` (est jaccard = n_agree/perms). Output
+    * (doc_a, doc_b, n_agree) — fully deterministic, every stage flat-SQL
+    * reproducible, which is what q106's DuckDB oracle checks.
+    * [[minhashLshPairs]] (fused xxhash64 kernel) remains the production
+    * variant; this one trades per-shingle digest cost for oracle
+    * portability.
+    */
+  def minhashMd5Pairs(docs: DataFrame, id: Column, text: Column,
+                      shingleN: Int, digests: Int, rowsPerBand: Int,
+                      minAgree: Int, maxBucket: Long = 50L): DataFrame = {
+    require(digests >= 1 && rowsPerBand >= 1, "digests and rowsPerBand must be >= 1")
+    val perms = digests * 4
+    require(perms % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide perms=$perms")
+    val bands = perms / rowsPerBand
+    require(minAgree >= 1 && minAgree <= perms,
+      s"minAgree=$minAgree out of [1, $perms]")
+    val sh = docs.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFns.shingles(text, shingleN)).as("sh"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(min(conv(substring(md5(concat(col("sh"), lit(":0"))), 1, 8), 16, 10)
+          .cast("long")).as("m0"),
+        (1 until perms).map { p =>
+          val d = p / 4; val j = p % 4
+          min(conv(substring(md5(concat(col("sh"), lit(":" + d))), 1 + 8 * j, 8),
+              16, 10).cast("long")).as(s"m$p")
+        }: _*)
+    val banded = sig.select(col("doc_id") +: (0 until perms).map(p => col(s"m$p")) :+
+        explode(array((0 until bands).map(b =>
+          concat_ws(":", lit(b.toString) +:
+            (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)): _*))
+          .as("bk"): _*)
+      .withColumn("bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("bc") <= maxBucket)
+      .drop("bc")
+    val agree = (0 until perms).map(p =>
+      when(col(s"a.m$p") === col(s"b.m$p"), 1L).otherwise(0L)).reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        agree.as("n_agree"))
+      .distinct()
+      .filter(col("n_agree") >= minAgree)
+  }
 }

@@ -75,7 +75,12 @@ class PlanSpec extends GraftSuite {
       "q94_source_drift",
       // q95: BOTH by-design shapes at once — q70's packed-centroid 1-row
       // broadcast (assignment) and q94's 1-row grand total (TV core)
-      "q95_cluster_balance")
+      "q95_cluster_balance",
+      // q101: probe table × the broadcast ONE-ROW CMS grid (the whole
+      // sketch is a single 256 KiB array row) — the q61/q75/q94
+      // one-row-stats shape; the sketch build and the truth counts are
+      // plain aggregates
+      "q101_cms_df")
     val offenders = allPlans.toSeq.sortBy(_._1)
       .filterNot(q => exceptions.contains(q._1))
       .collect { case (name, plan)

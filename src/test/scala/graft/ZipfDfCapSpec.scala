@@ -234,6 +234,27 @@ class ZipfDfCapSpec extends GraftSuite {
       assert(r200 >= 0.95, f"cap 200 lost real-text evidence: recall $r200%.3f")
       assert(r50 >= 0.95, f"cap 50 lost real-text evidence: recall $r50%.3f")
 
+      // ---- q106 configuration: md5-minhash, 12 perms / 4 bands x 3 ----
+      // the direct-oracle variant's banding recall on realistic text (the
+      // oracle checks implementation, THIS measures the knob): 12 perms /
+      // 4 bands x 3 rows is coarser than q23's 32-perm config (oracle
+      // cost scales with perms), yet measures r11 at 0.765 overall /
+      // 0.964 strong / 0.566 weak vs LSH(32,4)'s 0.757 / 0.528 weak —
+      // wider bands (3 rows vs 4) raise per-band hit probability enough
+      // to offset the smaller signature on this corpus. Pinned at
+      // measured-margin as a regression tripwire; the corpus-shape rule
+      // is unchanged (caps own the jaccard task on long-tailed text at
+      // 0.98-1.00)
+      val md5Pairs = pairSet(Dedup.minhashMd5Pairs(docs, $"doc_id", $"text",
+        shingleN = 3, digests = 3, rowsPerBand = 3, minAgree = 6,
+        maxBucket = 1000L))
+      val rMd5 = recall(md5Pairs, truth)
+      val rMd5Weak = recall(md5Pairs, weak)
+      val rMd5Strong = recall(md5Pairs, strong)
+      info(f"q106 md5-minhash(12,4x3) recall: $rMd5%.3f (strong $rMd5Strong%.3f, weak $rMd5Weak%.3f; got ${md5Pairs.size})")
+      assert(rMd5 >= 0.70, f"q106-config banding recall regressed: $rMd5%.3f (r11 measured 0.765)")
+      assert(rMd5Strong >= 0.90, f"q106-config lost STRONG twins: $rMd5Strong%.3f (r11 measured 0.964)")
+
       // ---- q57 family: cross-set standing-index ingest ----
       // twins arrive as the batch, everything else is the standing corpus:
       // every planted pair is a cross-set pair
