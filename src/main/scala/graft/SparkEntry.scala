@@ -1618,6 +1618,24 @@ object SparkEntry {
           col("text"), shingleN = 3, digests = 3, rowsPerBand = 3,
           minAgree = 6, maxBucket = 50)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "q107_ann_int_lsh" -> ((s, dir) => {
+      // The approximate ANN algorithm under a DIRECT oracle — the q96/q106
+      // move applied to the LAST rows-only family (float-cosine ANN:
+      // q27/q48/q63/q65 stay rows-only because float sums are
+      // accumulation-order-dependent across engines). Fixed-point int8
+      // quantization makes every vector identical in any engine;
+      // md5-derived hyperplanes make the sign-LSH BUCKETING reproducible
+      // (the REAL banding config — 4 bits × 16 tables, q27's
+      // recall-validated shape — not probe-all); integer dots/norms make
+      // the cosine RANKING exact. Every stage — quantize, bucket,
+      // candidate join, score, top-5 — is hash-checked flat by DuckDB.
+      // Recall vs the float exact baseline is pinned in IntAnnSpec.
+      val embs = T(s, dir, "embeddings")
+      Similarity.intLshTopK(embs, embs.filter(col("vec_id") < 10), "vec_id",
+          "embedding", 5, planesPerTable = 4, numTables = 16, dims = 64)
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -3154,6 +3172,43 @@ object SparkEntry {
         |  (CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END) + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END) + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) + (CASE WHEN a.m8 = b.m8 THEN 1 ELSE 0 END) + (CASE WHEN a.m9 = b.m9 THEN 1 ELSE 0 END) + (CASE WHEN a.m10 = b.m10 THEN 1 ELSE 0 END) + (CASE WHEN a.m11 = b.m11 THEN 1 ELSE 0 END) AS n_agree
         | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(n_agree AS BIGINT) AS n_agree
-        |FROM cand WHERE n_agree >= 6 ORDER BY 1, 2""".stripMargin
+        |FROM cand WHERE n_agree >= 6 ORDER BY 1, 2""".stripMargin,
+
+    // q107: the full integer-quantized sign-LSH ANN pipeline, reproduced
+    // stage-for-stage — int8 quantize (floor(x·127 + 0.5) on the exact
+    // float→double value), md5-derived hyperplane weights (the same
+    // "p:d" → first-8-hex-chars map Similarity.md5PlaneWeight computes),
+    // 4-bit × 16-table bucket keys, integer dot/norm scoring, one
+    // IEEE-deterministic divide+sqrt, shared (cos DESC, neighbor_id) rank.
+    "q107_ann_int_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = 64),
+        |qv AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS BIGINT)) AS q
+        | FROM e),
+        |nz AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+        | FROM qv WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) > 0),
+        |w AS (SELECT p, d,
+        |  CAST(concat('0x', substr(md5(concat(p, ':', d)), 1, 8)) AS BIGINT) % 2001 - 1000 AS wt
+        | FROM range(64) rp(p) CROSS JOIN range(64) rd(d)),
+        |dims AS (SELECT vec_id, i, q[i + 1] AS qd
+        | FROM nz, LATERAL (SELECT unnest(range(64)) AS i) t),
+        |bits AS (SELECT vec_id, p, CASE WHEN sum(qd * wt) >= 0 THEN '1' ELSE '0' END AS bit
+        | FROM dims JOIN w ON w.d = dims.i GROUP BY vec_id, p),
+        |keys AS (SELECT vec_id, concat(p // 4, ':', string_agg(bit, '' ORDER BY p)) AS bk
+        | FROM bits GROUP BY vec_id, p // 4),
+        |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        | FROM keys a JOIN keys b ON a.bk = b.bk AND b.vec_id <> a.vec_id
+        | WHERE a.vec_id < 10),
+        |pairs AS (SELECT query_id, neighbor_id, a.q AS qa, b.q AS qb, a.nrm AS na, b.nrm AS nb
+        | FROM cand JOIN nz a ON a.vec_id = cand.query_id JOIN nz b ON b.vec_id = cand.neighbor_id),
+        |ex AS (SELECT query_id, neighbor_id, na, nb, unnest(qa) AS x, unnest(qb) AS y FROM pairs),
+        |s AS (SELECT query_id, neighbor_id, CAST(sum(x * y) AS BIGINT) AS dot,
+        |  round(CAST(sum(x * y) AS DOUBLE) /
+        |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos
+        | FROM ex GROUP BY query_id, neighbor_id, na, nb),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        | FROM s)
+        |SELECT query_id, neighbor_id, dot, cos, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
   )
 }

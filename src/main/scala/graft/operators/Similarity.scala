@@ -620,4 +620,102 @@ object Similarity {
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
     topKPerQuery(scored, k)
   }
+
+  /** Fixed-point quantization of a float embedding: each component becomes
+    * `round_half_up(x * scale)` as a LONG. float→double is exact, one double
+    * multiply + `floor(x + 0.5)` is IEEE-deterministic, so ANY engine
+    * produces the identical integer vector — the property [[intLshTopK]]
+    * builds on. (int8 at scale=127; the LONG carrier costs nothing at rest
+    * because it exists only inside the query pipeline.)
+    */
+  def intQuantize(v: Column, scale: Int): Column =
+    transform(v, x => floor(x.cast("double") * lit(scale.toDouble) + lit(0.5d)).cast("long"))
+
+  /** Engine-portable pseudo-random hyperplane weight: the first 8 hex chars
+    * of `md5("p:d")` read as an unsigned 32-bit int, mapped to
+    * [-span, span] via `% (2·span+1) − span`. SQL engines reproduce it as
+    * `CAST(concat('0x', substr(md5(p || ':' || d), 1, 8)) AS BIGINT)
+    * % (2*span+1) - span` — the q96/q106 md5 move applied to ANN geometry.
+    */
+  private[graft] def md5PlaneWeight(p: Int, d: Int, span: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % (2L * span + 1L) - span
+  }
+
+  /** Integer-quantized LSH ANN — the APPROXIMATE sign-LSH configuration with
+    * every stage exact-integer reproducible by another SQL engine (q107's
+    * contract; the q96/q106 algorithm-level-oracle move applied to the one
+    * family that was still rows-only, float-cosine ANN):
+    *
+    *   1. quantize: [[intQuantize]] → integer vectors, identical everywhere;
+    *   2. bucket:   sign bits against [[md5PlaneWeight]] hyperplanes —
+    *                `sum(q[d]·w[p][d]) >= 0` is exact LONG arithmetic
+    *                (|q|≤scale, |w|≤span, dims≤2^20 stays far under 2^63);
+    *                `planesPerTable` bits per key across `numTables` tables;
+    *   3. score:    integer dot and integer norms, then ONE double divide +
+    *                sqrt on exact integer inputs — order-independent, so the
+    *                rounded cosine is bit-identical across engines (the float
+    *                path's sum-order hazard is gone: integer sums commute);
+    *   4. rank:     the shared [[topKPerQuery]] contract.
+    *
+    * Same shuffle shape as [[lshTopK]] (bucket-key join; scalars not vectors
+    * through the pair-dedup exchange) and the same q27 scale posture — this
+    * is the algorithm-oracle twin, not a new production path (IVF/IVFPQ
+    * remain the 100 TB ANN route). `dims` pins the hyperplane width; rows with
+    * a different dimensionality or a zero quantized norm are excluded on
+    * BOTH engines (cosine undefined).
+    */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** [[intLshTopK]]'s bucketing stage, split out so specs can measure the
+    * candidate structure directly (bucket fan-out, sub-exhaustive candidate
+    * counts): emits one (idCol, _qv, _nrm, bk) row per (vector, table).
+    */
+  private[graft] def intLshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                                   planesPerTable: Int, numTables: Int, dims: Int,
+                                   scale: Int, span: Int): DataFrame = {
+    val weights: IndexedSeq[Seq[Long]] =
+      (0 until planesPerTable * numTables).map(p =>
+        (0 until dims).map(d => md5PlaneWeight(p, d, span)))
+    def bit(p: Int): Column =
+      when(intDot(col("_qv"), typedlit(weights(p))) >= 0, lit("1")).otherwise(lit("0"))
+    df.filter(size(col(vecCol)) === dims)
+      .withColumn("_qv", intQuantize(col(vecCol), scale))
+      .withColumn("_nrm", intDot(col("_qv"), col("_qv")))
+      .filter(col("_nrm") > 0)
+      .select(col(idCol), col("_qv"), col("_nrm"),
+        explode(array((0 until numTables).map(t =>
+          concat((lit(s"$t:") +: (0 until planesPerTable).map(i =>
+            bit(t * planesPerTable + i))): _*)): _*)).as("bk"))
+  }
+
+  def intLshTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 planesPerTable: Int, numTables: Int, dims: Int,
+                 scale: Int = 127, span: Int = 1000): DataFrame = {
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    require(planesPerTable >= 1, s"planesPerTable must be >= 1, got $planesPerTable")
+    def bucketed(df: DataFrame): DataFrame =
+      intLshBuckets(df, idCol, vecCol, planesPerTable, numTables, dims, scale, span)
+    val c = bucketed(corpus).as("c")
+    val q = bucketed(queries).as("q")
+    // mirror lshTopK: score map-side BEFORE the pair dedup so the exchange
+    // carries four scalars per candidate, not two 64-long vectors; dedup via
+    // groupBy/max (duplicate table hits carry identical integer scores)
+    val scored = q.join(c,
+        col("q.bk") === col("c.bk") && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        intDot(col("q._qv"), col("c._qv")).as("dot"),
+        col("q._nrm").as("na"), col("c._nrm").as("nb"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("dot")).as("dot"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .select(col("query_id"), col("neighbor_id"), col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4).as("cos"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("cos"), col("rnk"))
+  }
 }
