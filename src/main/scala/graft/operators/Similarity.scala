@@ -117,9 +117,13 @@ object Similarity {
                       k: Int, iters: Int, trainSample: Int = 65536): DataFrame = {
     // the sample feeds EVERY Lloyd round: left lazy, each round's job
     // would re-run the corpus-sized TakeOrdered from scratch — checkpoint
-    // it once so rounds are O(sample) as documented (released on return)
+    // it once so rounds are O(sample) as documented (released on return).
+    // iters <= 1 consumes the sample in exactly ONE round job, so the
+    // checkpoint's own materialization job would be pure overhead there
+    // (r12, part of the q97 protocol trim) — checkpoint only when a
+    // second round exists to amortize it
     val (trainDf, trainBlocks) =
-      if (iters <= 0) (trainSampleOf(corpus, idCol, trainSample), Seq.empty[org.apache.spark.rdd.RDD[_]])
+      if (iters <= 1) (trainSampleOf(corpus, idCol, trainSample), Seq.empty[org.apache.spark.rdd.RDD[_]])
       else Checkpoints.tracked(trainSampleOf(corpus, idCol, trainSample))
     // seeds are NOT checkpointed: a k-row TakeOrdered is cheaper to recompute
     // than the extra materialization job a checkpoint costs; per-ROUND
