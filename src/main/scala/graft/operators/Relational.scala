@@ -709,11 +709,10 @@ object Relational {
     * BEFORE the join, so the full-outer shuffle carries a 32-char md5 per
     * row instead of document payloads — at 100 TB the exchange is keys +
     * 32 bytes, and AQE plans the join on that reduced width. The signature
-    * is the engine-portable md5 over null-tagged payload columns (each
-    * value prefixed '1', NULL encoded as a bare '0' tag, fields joined on
-    * U+0001), so `changed` means payload-byte difference, never
-    * null-vs-empty ambiguity; a value containing U+0001 itself is the
-    * standard concat-delimiter caveat and outside the contract. The
+    * is [[rowSignature]] — engine-portable md5 over an injective
+    * null-tagged, length-prefixed encoding (advisor r11 closed the old
+    * U+0001-delimiter aliasing caveat), so `changed` means payload
+    * difference, never null-vs-empty or delimiter ambiguity. The
     * contract-query oracle compares payload columns directly (`IS DISTINCT
     * FROM`), so the driver hash-check pins signature-diff ≡ semantic-diff
     * on real data; SnapshotDiffSpec pins it on crafted null/empty edges.
@@ -723,10 +722,7 @@ object Relational {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
     require(payload.nonEmpty, "snapshotDiff needs at least one payload column")
     def sig(df: DataFrame, as: String): DataFrame =
-      df.select(keys.map(col) :+
-        md5(concat_ws("\u0001", payload.map(c =>
-          when(col(c).isNull, lit("0"))
-            .otherwise(concat(lit("1"), col(c).cast("string")))): _*)).as(as): _*)
+      df.select(keys.map(col) :+ rowSignature(payload).as(as): _*)
     sig(v0, "_sig0").join(sig(v1, "_sig1"), keys, "full_outer")
       .withColumn("status",
         when(col("_sig0").isNull, lit("added"))
@@ -736,4 +732,21 @@ object Relational {
       .filter(col("status") =!= "unchanged")
       .select(keys.map(col) :+ col("status"): _*)
   }
+
+  /** The ONE row-signature encoding [[snapshotDiff]] and its streaming twin
+    * ([[graft.streaming.DocsStream.snapshotDiffStream]]) hash — INJECTIVE
+    * over payload values (advisor r11: the previous '1'-prefix +
+    * U+0001-join encoding could alias two semantically different rows when
+    * a value itself contained U+0001, and real crawl text does): NULL
+    * encodes as the bare tag 'n', a value as `<length>:<value>`. Each field
+    * self-delimits — 'n' is not a digit, a length is digits up to the ':' —
+    * so no value content can shift field boundaries, and signature equality
+    * is payload equality up to md5 collision (the standard 2^-128-class
+    * bound).
+    */
+  private[graft] def rowSignature(payload: Seq[String]): Column =
+    md5(concat_ws("", payload.map(c =>
+      when(col(c).isNull, lit("n"))
+        .otherwise(concat(length(col(c).cast("string")).cast("string"),
+          lit(":"), col(c).cast("string")))): _*))
 }

@@ -69,6 +69,40 @@ object Writers {
     deleteRecursively(tmpOld)
   }
 
+  /** Replace the parquet table at `path` with `next` — [[upsert]]'s
+    * staged-swap/crash-recovery dance without the merge semantics, for
+    * callers that computed the next table state themselves (e.g. the
+    * streaming snapshot-diff monitor, whose per-batch update includes
+    * DELETES that upsert's union-and-collapse cannot express). `next` MAY
+    * read from `path`: it is localCheckpoint-materialized before the swap,
+    * so the write never consumes files it is replacing.
+    */
+  def replaceTable(spark: SparkSession, path: String, next: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    val tmpOld = Paths.get(path + ".old")
+    val stagingDir = Paths.get(path + ".staging")
+    if (!Files.exists(dir) && Files.exists(tmpOld)) {
+      Files.move(tmpOld, dir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(tmpOld)
+    deleteRecursively(stagingDir)
+    val materialized = next.localCheckpoint()
+    // release the checkpoint's RDD blocks, not Dataset.unpersist (a no-op
+    // for LogicalRDD-backed plans — the Dedup.Checkpoints rationale)
+    val blocks = materialized.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    try {
+      materialized.write.mode("overwrite").parquet(stagingDir.toString)
+      if (Files.exists(dir)) {
+        Files.move(dir, tmpOld, StandardCopyOption.ATOMIC_MOVE)
+      }
+      Files.move(stagingDir, dir, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(tmpOld)
+    } finally blocks.foreach(_.unpersist(blocking = false))
+  }
+
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
