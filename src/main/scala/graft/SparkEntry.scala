@@ -17,6 +17,18 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Readers.table(s, dir, name)
 
+  /** documents row count per (session, sfDir), memoized (advisor r11:
+    * q103/q104 ran an eager `docs.count()` inside the query BUILDER, so
+    * merely constructing the plan fired a table-scan job — twice across
+    * the two queries, and once more per PlanSpec enumeration). The
+    * testdata corpus at a directory is immutable for a session's
+    * lifetime, so the first count serves every later builder call.
+    */
+  private val docsCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docsCount(s: SparkSession, dir: String): Long =
+    docsCountCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir",
+      _ => java.lang.Long.valueOf(T(s, dir, "documents").count()))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q18_revenue_join")(spark, "/root/testdata/sf0.001")
@@ -1573,7 +1585,7 @@ object SparkEntry {
       // content. groups scales planted-duplicate multiplicity to ~12 per
       // template at every SF (the q104 blocking stays non-degenerate).
       val docs = T(s, dir, "documents")
-      val groups = math.max(40L, docs.count() / 12L)
+      val groups = math.max(40L, docsCount(s, dir) / 12L)
       Multimodal.imageHashes(Multimodal.synthImageTable(docs, "doc_id", groups))
         .orderBy("doc_id")
     }),
@@ -1587,7 +1599,7 @@ object SparkEntry {
       // is exercised on both sides of the threshold. Every stage — hash,
       // banding, cap, hamming — is reproduced flat by the DuckDB oracle.
       val docs = T(s, dir, "documents")
-      val groups = math.max(40L, docs.count() / 12L)
+      val groups = math.max(40L, docsCount(s, dir) / 12L)
       Multimodal.imageNearDups(
           Multimodal.synthImageTable(docs, "doc_id", groups),
           maxHamming = 8, maxBucket = 50)

@@ -579,7 +579,12 @@ object Multimodal {
     * via [[jpegPixelBytes]] (always RGB). Luma is the integer ITU-R 601
     * fold (299·R + 587·G + 114·B)/1000; grey(+alpha) takes the grey byte.
     */
-  private[operators] def grayPlane(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+  /** Returns (w, h, greyscale plane, format) — the format rides along so
+    * the one header parse serves both decode and labeling (advisor r11:
+    * imageHashes parsed the header twice per row in the corpus-scale hot
+    * path just to recover the format string).
+    */
+  private[operators] def grayPlane(p: Array[Byte]): Option[(Int, Int, Array[Int], String)] =
     parseImageHeader(p) match {
       case Some((wL, hL, "png")) =>
         val depth = p(24) & 0xFF
@@ -599,7 +604,7 @@ object Multimodal {
             }
             i += 1
           }
-          (w, h, g)
+          (w, h, g, "png")
         }
       case Some((wL, hL, "jpeg")) =>
         jpegPixelBytes(p).map { px =>
@@ -612,7 +617,7 @@ object Multimodal {
               114 * (px(o + 2) & 0xFF)) / 1000
             i += 1
           }
-          (w, h, g)
+          (w, h, g, "jpeg")
         }
       case _ => None
     }
@@ -832,9 +837,8 @@ object Multimodal {
           val p = r.getAs[Array[Byte]]("payload")
           if (p == null) None
           else for {
-            (w, h, g) <- grayPlane(p)
+            (w, h, g, fmt) <- grayPlane(p)
             hash <- dHash64(g, w, h)
-            fmt <- parseImageHeader(p).map(_._3)
           } yield Row(raw(r, "doc_id"), hash, fmt)
         }
       }(enc)
