@@ -1143,6 +1143,41 @@ case class EditDistance(left: Expression, right: Expression, maxDist: Int)
     copy(left = l, right = r)
 }
 
+/** Duplicated-span coverage ([[ShingleOps.coveredSpanLength]]): merged
+  * codepoint length of the duplicated-gram intervals of one document,
+  * given the document's shared-gram hash set — the q98 ExactSubstr
+  * criterion as a single map-side fold (no per-position explode, no
+  * per-position shuffle; r12 sf10 fix).
+  */
+case class CoveredSpanLength(left: Expression, right: Expression, gramN: Int)
+    extends BinaryExpression {
+
+  require(gramN >= 1, s"graft_covered_span needs gramN >= 1, got $gramN")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_covered_span expects (string, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_covered_span"
+
+  override def nullSafeEval(t: Any, s: Any): Any =
+    ShingleOps.coveredSpanLength(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], gramN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) => {
+      val ops = ShingleOps.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $ops.coveredSpanLength($t, $s, $gramN);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object NativeFns {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column =
@@ -1185,4 +1220,6 @@ object NativeFns {
     ColumnBridge.column(BlocklistHits(ex(text), sortedHashes, words))
   def editDistance(a: Column, b: Column, maxDist: Int): Column =
     ColumnBridge.column(EditDistance(ex(a), ex(b), maxDist))
+  def coveredSpan(text: Column, sharedHashes: Column, gramN: Int): Column =
+    ColumnBridge.column(CoveredSpanLength(ex(text), ex(sharedHashes), gramN))
 }

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-level word-shingle kernels shared by the fused native expressions
@@ -719,5 +720,63 @@ object ShingleOps {
       cp += 1
     }
     Array(n, sum)
+  }
+
+  /** Duplicated-span coverage in ONE per-document pass (r12, the q98 sf10
+    * fix): merged codepoint length of the [pos, pos+n) intervals of every
+    * gram instance whose hash is in `shared` (membership via an
+    * open-addressed probe). Replaces the corpus-by-positions
+    * posexplode -> shuffle-on-hash -> per-doc window pipeline with a
+    * map-side fold over [[charGramHashSeq]]'s instance array: positions
+    * arrive ascending by construction, so the interval merge is the
+    * running-max-end recurrence the old window computed - bit-identical
+    * (`contrib = max(0, pos+n - max(prev_end, pos))`, prev_end over
+    * PRIOR shared instances only), oracle-asserted.
+    */
+  def coveredSpanLength(text: UTF8String, shared: ArrayData, n: Int): Long = {
+    val s = shared.numElements()
+    if (s == 0) return 0L
+    val seq = charGramHashSeq(text, n)
+    if (seq.isEmpty) return 0L
+    // open-addressed membership set, 0 as the empty sentinel (a real 0
+    // hash - possible, if astronomically rare, from xxhash64 - is
+    // tracked by a flag)
+    var cap = 4
+    while (cap < s * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var hasZero = false
+    var i = 0
+    while (i < s) {
+      val v = shared.getLong(i)
+      if (v == 0L) hasZero = true
+      else {
+        var j = java.lang.Long.hashCode(v * -7046029254386353131L) & mask
+        while (table(j) != 0L && table(j) != v) j = (j + 1) & mask
+        table(j) = v
+      }
+      i += 1
+    }
+    var prevEnd = 0L
+    var tot = 0L
+    var pos = 0
+    while (pos < seq.length) {
+      val v = seq(pos)
+      val hit =
+        if (v == 0L) hasZero
+        else {
+          var j = java.lang.Long.hashCode(v * -7046029254386353131L) & mask
+          while (table(j) != 0L && table(j) != v) j = (j + 1) & mask
+          table(j) == v
+        }
+      if (hit) {
+        val end = pos.toLong + n
+        val start = math.max(prevEnd, pos.toLong)
+        if (end > start) tot += end - start
+        if (end > prevEnd) prevEnd = end
+      }
+      pos += 1
+    }
+    tot
   }
 }

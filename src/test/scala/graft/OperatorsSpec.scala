@@ -255,6 +255,41 @@ class OperatorsSpec extends GraftSuite {
     assert(banded4 == got)
   }
 
+  test("simhashPairs first-band emission: one row per pair, set-equal to a groupBy dedup") {
+    // r12 (the q24 sf10 trim): the join emits a pair once per matching
+    // band; the first-matching-band filter must keep EXACTLY one row per
+    // pair — same set as an explicit dedup, with zero duplicate rows —
+    // at both probe settings. Mixed corpus: exact clones (match all 4
+    // bands), near-clones (match some), unrelated (match none).
+    val docs = (1L to 40L).map { i =>
+      val base = s"tok${i % 8} alpha beta gamma delta eps${i % 3} zeta eta theta"
+      (i, if (i % 5 == 0) base + " extra drift words" else base)
+    }.toDF("doc_id", "text")
+    for (pb <- Seq(0, 1)) {
+      val rows = Dedup.simhashPairs(docs, $"doc_id", $"text", 8, probeBits = pb)
+        .as[(Long, Long, Long)].collect()
+      assert(rows.length == rows.map(r => (r._1, r._2)).distinct.length,
+        s"probeBits=$pb emitted a duplicate pair row")
+      val viaDedup = rows.map(r => (r._1, r._2)).toSet
+      // independent truth: every candidate pair from ANY band, deduped,
+      // hamming-confirmed (the old groupBy formulation, reconstructed)
+      val sigs = docs.select($"doc_id",
+          graft.plans.NativeFns.simhash(graft.functions.TextFns.tokens($"text")).as("s"))
+        .as[(Long, Long)].collect().toMap
+      val expect = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+        if ham <= 8
+        // candidate iff SOME band within pb bits
+        if (0 until 4).exists(i => java.lang.Long.bitCount(
+          (((sigs(a) >>> (i * 16)) ^ (sigs(b) >>> (i * 16))) & 0xFFFFL)) <= pb)
+      } yield (a, b)).toSet
+      assert(viaDedup == expect,
+        s"probeBits=$pb: ${(expect -- viaDedup).take(3)} missing, ${(viaDedup -- expect).take(3)} extra")
+      assert(expect.nonEmpty, "fixture produced no pairs — strengthen it")
+    }
+  }
+
   test("Dedup.minhashLshPairs rowsPerBand=numPerms: one band, pairs iff full signatures agree") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
       .toDF("doc_id", "text")
