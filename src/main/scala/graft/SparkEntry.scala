@@ -200,17 +200,29 @@ object SparkEntry {
       val exploded = pts
         .withColumn("nclat", explode(array(col("clat") - 1, col("clat"), col("clat") + 1)))
         .withColumn("nclon", explode(array(col("clon") - 1, col("clon"), col("clon") + 1)))
+      // roundHalfUp, not round(): Spark rounds the shortest decimal
+      // repr, DuckDB the exact binary — a distance near a .5 boundary
+      // at the 6th decimal would diverge (and near 0.5 km, flip pairs)
+      val dist = NumFns.roundHalfUp(
+        GeoFns.haversineKm(col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")), 6)
+      // Predicate ORDER is explicit in the join condition (r12, the q25
+      // plan lesson applied here): written as a post-join .filter, the
+      // dist threshold was pushed into the join condition AHEAD of the
+      // one-instruction id test, so the trig kernel ran on every ORDERED
+      // candidate. Stated in order — id test, then a provably-lossless
+      // bounding-box prescreen (on a sphere the central angle >= the
+      // latitude separation, so |dlat| >= 0.0045 deg implies dist >=
+      // 0.50038 km, outside the rounded 0.5 km cut with 0.00038 margin
+      // over the 5e-7 rounding slack; the 3x3-cell neighborhood spans
+      // dlat in (-0.02, 0.02), so ~78% of candidates prune here), then
+      // the trig threshold — the haversine runs on ~11% of the ordered
+      // candidates it used to.
       exploded.as("a").join(pts.as("b"),
           col("a.nclat") === col("b.clat") && col("a.nclon") === col("b.clon") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          // roundHalfUp, not round(): Spark rounds the shortest decimal
-          // repr, DuckDB the exact binary — a distance near a .5 boundary
-          // at the 6th decimal would diverge (and near 0.5 km, flip pairs)
-          NumFns.roundHalfUp(
-            GeoFns.haversineKm(col("a.lat"), col("a.lon"), col("b.lat"), col("b.lon")), 6)
-            .as("dist_km"))
-        .filter(col("dist_km") < 0.5)
+            col("a.id") < col("b.id") &&
+            abs(col("a.lat") - col("b.lat")) < 0.0045 &&
+            dist < 0.5)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), dist.as("dist_km"))
         .orderBy("id_a", "id_b")
     }),
 

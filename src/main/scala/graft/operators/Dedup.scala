@@ -1081,16 +1081,30 @@ object Dedup {
       explode(sequence(lit(0), lit(slices - 1))))
     val build = t.withColumn("slice",
       pmod(xxhash64(col("vec_id")), lit(slices.toLong)).cast("int"))
-    probe.as("a").join(build.as("b"),
+    // engine-exact rounding (review r11; the l.107 rule) — cos here is
+    // threshold-compared, and output pairs all sit at cos >= minCos > 0
+    // where roundHalfUp equals the oracle's exact-binary round()
+    val cos = graft.functions.NumFns.roundHalfUp(
+      NativeFns.cosineSim(col("a.v"), col("b.v")), 3)
+    // The threshold lives IN the join condition, AFTER the id test, and
+    // the join is hinted to merge (r12, the q25 sf10 trim — two findings
+    // from the 248 s plan):
+    //  1. written as a post-join .filter, Catalyst pushed `cos >= minCos`
+    //     into the join condition AHEAD of `a.id < b.id`, so the 64-dim
+    //     cosine kernel ran on every ORDERED candidate (2x the unordered
+    //     count) before the one-instruction id test that discards half;
+    //     stated explicitly in this order, half the kernel evaluations
+    //     disappear (the output projection re-evaluates cos only for
+    //     surviving pairs — result-sized, not candidate-sized);
+    //  2. post-explode row-count stats undercount the x`slices` fan-out,
+    //     so AQE broadcast the REPLICATED side (~800 MB at sf10 — a
+    //     driver-heap hazard and exactly the relation the slice salting
+    //     exists to keep off single tasks); the merge hint pins the
+    //     sort-merge shape the salting was designed for at every scale.
+    probe.as("a").hint("merge").join(build.as("b"),
         col("a.blk") === col("b.blk") && col("a.slice") === col("b.slice") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        // engine-exact rounding (review r11; the l.107 rule) — cos here is
-        // threshold-compared, and output pairs all sit at cos >= minCos > 0
-        // where roundHalfUp equals the oracle's exact-binary round()
-        graft.functions.NumFns.roundHalfUp(
-          NativeFns.cosineSim(col("a.v"), col("b.v")), 3).as("cos"))
-      .filter(col("cos") >= minCos)
+          col("a.vec_id") < col("b.vec_id") && cos >= minCos)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
   }
 
   /** Boilerplate removal at chunk granularity — the CCNet/RefinedWeb
