@@ -41,6 +41,19 @@ case class QualityVerdict(doc_id: Long, heur_pass: Boolean, gopher_pass: Boolean
   */
 case class Neighbor(query_id: Long, neighbor_id: Long, cos: Double, rnk: Long)
 
+/** [[Typed.annTopKInt]] row: the integer-exact ANN contract — `dot` is the
+  * exact integer dot product of the quantized vectors (the engine-portable
+  * evidence q107's oracle hashes), `cos` its rounded cosine.
+  */
+case class IntNeighbor(query_id: Long, neighbor_id: Long, dot: Long,
+                       cos: Double, rnk: Long)
+
+/** [[Typed.nearDupAuto]] row: `method` names the family the corpus-shape
+  * router dispatched to (minhash | simhash | dfcap); `score` is a
+  * similarity in every branch.
+  */
+case class RoutedPair(doc_a: Long, doc_b: Long, method: String, score: Double)
+
 /** One numeric column's describe() row (the q82 row, typed). `stddev` is
   * None at n = 1 (sample deviation, pandas ddof=1 parity).
   */
@@ -300,6 +313,33 @@ object Typed {
         "vec_id", "embedding", k, numCells, nProbe, kmeansIters)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
       .as[Neighbor]
+  }
+
+  /** Integer-quantized LSH ANN, typed ([[graft.operators.Similarity
+    * .intLshTopK]] — q107's engine-portable configuration: int8
+    * quantization, md5 hyperplanes, integer cosine). `dims` pins the
+    * hyperplane width to the embedding dimensionality.
+    */
+  def annTopKInt(corpus: Dataset[Embedding], queries: Dataset[Embedding],
+                 k: Int, planesPerTable: Int, numTables: Int,
+                 dims: Int): Dataset[IntNeighbor] = {
+    import corpus.sparkSession.implicits._
+    graft.operators.Similarity.intLshTopK(corpus.toDF(), queries.toDF(),
+        "vec_id", "embedding", k, planesPerTable, numTables, dims)
+      .as[IntNeighbor]
+  }
+
+  /** Corpus-shape-routed near-dup pairs, typed ([[graft.operators.Dedup
+    * .nearDupAuto]] — measures the corpus on a bounded sample and
+    * dispatches to minhash / simhash / df-cap per the §5 shape rule).
+    */
+  def nearDupAuto(ds: Dataset[Document], n: Int = 3,
+                  minJaccard: Double = 0.5,
+                  maxHam: Int = 8): Dataset[RoutedPair] = {
+    import ds.sparkSession.implicits._
+    graft.operators.Dedup.nearDupAuto(ds.toDF(), col("doc_id"), textOrEmpty,
+        n, minJaccard, maxHam)
+      .as[RoutedPair]
   }
 
   /** pandas-describe() numeric profile, typed

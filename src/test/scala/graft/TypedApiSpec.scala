@@ -353,4 +353,27 @@ class TypedApiSpec extends GraftSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(ta == ra && ta.size == ds.count())
   }
+
+  test("typed annTopKInt/nearDupAuto equal the relational operators (r12)") {
+    val embs = Typed.embeddings(spark, sf)
+    val queries = embs.filter(_.vec_id < 5L)
+    val typed = Typed.annTopKInt(embs, queries, 5, planesPerTable = 4,
+        numTables = 16, dims = 64)
+      .collect().map(n => (n.query_id, n.neighbor_id, n.dot, n.cos, n.rnk)).toSet
+    val rel = graft.operators.Similarity.intLshTopK(embs.toDF(), queries.toDF(),
+        "vec_id", "embedding", 5, 4, 16, 64)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(typed == rel && typed.nonEmpty)
+
+    val ds = Typed.documents(spark, sf)
+    val tr = Typed.nearDupAuto(ds)
+      .collect().map(p => (p.doc_a, p.doc_b, p.method, p.score)).toSet
+    val rr = graft.operators.Dedup.nearDupAuto(ds.toDF(),
+        $"doc_id", coalesce($"text", lit("")))
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(tr == rr)
+    // the sf0.001 documents corpus is long-tailed realistic text: the
+    // router must measure it into the dfcap branch
+    assert(tr.isEmpty || tr.forall(_._3 == "dfcap"))
+  }
 }
