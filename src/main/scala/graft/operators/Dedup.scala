@@ -1552,6 +1552,15 @@ object Dedup {
     * design — pin a family explicitly (call it directly) when the
     * pipeline's similarity NOTION is fixed; route when the corpus shape
     * is the unknown (the ingest-audit posture).
+    *
+    * HONEST LIMIT: a bounded-sample probe measures BYTE-level clone mass
+    * and template dominance; JITTERED-clone degeneracy (copies perturbed
+    * enough to break normalized equality — the sf10 key-shift corpus)
+    * lives in signature space, which no sample-sized statistic can see
+    * without running a dedup. Such corpora measure as long-tailed and
+    * route to the df-cap family — the right landing: its df caps are
+    * exactly the guard that absorbs jittered-clone cliques (measured:
+    * q52's knobs sweep sf10 in 11-16 s at recall 0.98-1.00).
     */
   def nearDupAuto(docs: DataFrame, id: Column, text: Column,
                   n: Int = 3, minJaccard: Double = 0.5, maxHam: Int = 8,
