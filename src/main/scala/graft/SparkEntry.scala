@@ -1686,6 +1686,23 @@ object SparkEntry {
       // branches on measured reference shapes.
       Dedup.nearDupAuto(T(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "q109_video_meta" -> ((s, dir) => {
+      // Video CONTAINER under a direct oracle (r12): the modality ladder's
+      // fourth rung — q32 image/audio containers, q103/q104 image pixels,
+      // q105 audio samples, now a real ISO BMFF (MP4) box walk. Per-doc
+      // synthesized-but-structurally-real MP4s (version-0 mvhd/tkhd at
+      // their ISO 14496-12 byte layouts, big-endian, md5-derived
+      // parameters) are pushed through the production parser — the
+      // range-checked box walk, 16.16 fixed-point dimensions, exact
+      // integer duration_ms — while the oracle recomputes every column
+      // analytically from the same md5 slices (the q103/q105 move). The
+      // codec payload (mdat) is the brief's declared stub; the container
+      // plumbing is real and hash-checked.
+      Multimodal.videoMeta(
+          Multimodal.synthVideoTable(T(s, dir, "documents"), "doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3281,6 +3298,32 @@ object SparkEntry {
         | SELECT doc_a, doc_b,
         |  floor(CAST(n_common_rare AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common_rare) * 10000.0 + 0.5) / 10000.0 AS score
         | FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id)
-        |WHERE score >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+        |WHERE score >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q109: every column recomputed analytically from the synthesis
+    // formula's md5 slices — a match proves the MP4 encode → box walk →
+    // metadata round trip byte-exact (n_bytes = 164 + 100·tracks is the
+    // container's structural size; duration_ms is exact integer
+    // arithmetic in both engines).
+    "q109_video_meta" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat(doc_id, ':vmeta')), 1, 8)) AS BIGINT) AS h0,
+        |  CAST(concat('0x', substr(md5(concat(doc_id, ':vmeta')), 9, 8)) AS BIGINT) AS h1,
+        |  CAST(concat('0x', substr(md5(concat(doc_id, ':vmeta')), 17, 8)) AS BIGINT) AS h2,
+        |  CAST(concat('0x', substr(md5(concat(doc_id, ':vmeta')), 25, 8)) AS BIGINT) AS h3
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        |  CASE h0 % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS timescale,
+        |  1000 + h1 % 100000 AS dur_ticks,
+        |  1 + h0 % 2 AS n_tracks,
+        |  16 * (4 + h2 % 100) AS width,
+        |  16 * (3 + h3 % 60) AS height
+        | FROM p)
+        |SELECT doc_id, CAST(164 + n_tracks * 100 AS BIGINT) AS n_bytes,
+        |  CAST(timescale AS BIGINT) AS timescale,
+        |  CAST(dur_ticks * 1000 // timescale AS BIGINT) AS duration_ms,
+        |  CAST(n_tracks AS BIGINT) AS n_tracks,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height
+        |FROM q ORDER BY doc_id""".stripMargin
   )
 }

@@ -54,6 +54,14 @@ case class IntNeighbor(query_id: Long, neighbor_id: Long, dot: Long,
   */
 case class RoutedPair(doc_a: Long, doc_b: Long, method: String, score: Double)
 
+/** [[Typed.videoMeta]] row: container metadata from a real ISO BMFF box
+  * walk — duration in exact integer milliseconds, first video track's
+  * dimensions from the 16.16 fixed-point tkhd fields.
+  */
+case class VideoMeta(doc_id: Long, n_bytes: Long, timescale: Long,
+                     duration_ms: Long, n_tracks: Long,
+                     width: Long, height: Long)
+
 /** One numeric column's describe() row (the q82 row, typed). `stddev` is
   * None at n = 1 (sample deviation, pandas ddof=1 parity).
   */
@@ -517,6 +525,12 @@ object Typed {
     * .audioHashes]] — real RIFF/PCM decode, exact-integer envelope hash;
     * blobs outside the 16-bit-PCM envelope are dropped, not nulled).
     */
+  def videoMeta(media: Dataset[MediaBlob]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.videoMeta(media.toDF()).as[VideoMeta]
+  }
+
+  /** Audio envelope hashes, typed. */
   def audioHashes(media: Dataset[MediaBlob]): Dataset[AudioHash] = {
     import media.sparkSession.implicits._
     graft.operators.Multimodal.audioHashes(media.toDF()).as[AudioHash]

@@ -876,4 +876,185 @@ object Multimodal {
         }
       }(enc)
   }
+
+  // ---- video containers (r12): the modality ladder's fourth rung ---------
+  //
+  // q32 checked image/audio CONTAINERS, q103/q104 image PIXELS, q105 audio
+  // SAMPLES; this adds the video CONTAINER: a real ISO BMFF (MP4) box walk
+  // over synthesized-but-structurally-real files. The codec payload (mdat)
+  // stays an opaque stub per the brief — the container libraries aren't in
+  // this environment and the Spark-side plumbing (schema, binary kernel,
+  // range-checked walk, metadata extraction) is the real, tested part.
+
+  /** The md5-derived parameters of doc `id`'s synthetic MP4 — ONE digest
+    * (md5("id:vmeta")), four 32-bit slices, exactly reproducible by any
+    * engine with md5 (the q103/q105 analytic-oracle move):
+    * (timescale, durationTicks, nTracks, width, height).
+    * slice0 serves both the timescale pick (%3) and the track count (%2);
+    * width/height are 16-multiples so the 16.16 fixed-point encoding in
+    * tkhd is exact.
+    */
+  private[graft] def synthVideoParams(id: Long): (Long, Long, Int, Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$id:vmeta".getBytes("UTF-8"))
+    def slice(i: Int): Long =
+      ((d(4 * i) & 0xFFL) << 24) | ((d(4 * i + 1) & 0xFFL) << 16) |
+        ((d(4 * i + 2) & 0xFFL) << 8) | (d(4 * i + 3) & 0xFFL)
+    val timescale = (slice(0) % 3) match {
+      case 0 => 600L; case 1 => 1000L; case _ => 90000L
+    }
+    (timescale, 1000L + slice(1) % 100000L, (1 + slice(0) % 2).toInt,
+      16L * (4 + slice(2) % 100), 16L * (3 + slice(3) % 60))
+  }
+
+  /** Minimal-but-real MP4: ftyp (24 B) + moov(mvhd 108 B + nTracks ×
+    * trak(tkhd 92 B)) + mdat (24 B) — version-0 full boxes at their
+    * ISO/IEC 14496-12 sizes, big-endian throughout, total
+    * 164 + 100·nTracks bytes (the byte-exact figure the oracle recomputes).
+    * The codec layers below trak (mdia/minf/stbl) are deliberately absent:
+    * metadata extraction needs mvhd/tkhd, and the brief's stub rule covers
+    * the rest.
+    */
+  private[graft] def encodeMp4(id: Long): Array[Byte] = {
+    val (timescale, dur, nTracks, width, height) = synthVideoParams(id)
+    val out = java.nio.ByteBuffer.allocate(164 + 100 * nTracks)
+    def box(size: Int, tag: String): Unit = {
+      out.putInt(size); out.put(tag.getBytes("US-ASCII"))
+    }
+    box(24, "ftyp")
+    out.put("isom".getBytes("US-ASCII")); out.putInt(0x200)
+    out.put("isom".getBytes("US-ASCII")); out.put("mp41".getBytes("US-ASCII"))
+    box(8 + 108 + 100 * nTracks, "moov")
+    box(108, "mvhd")
+    out.putInt(0)                       // version 0 + flags
+    out.putInt(0); out.putInt(0)        // creation / modification
+    out.putInt(timescale.toInt); out.putInt(dur.toInt)
+    out.putInt(0x00010000)              // rate 1.0
+    out.putShort(0x0100.toShort)        // volume 1.0
+    out.putShort(0); out.putLong(0L)    // reserved
+    val matrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    matrix.foreach(out.putInt)
+    (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(nTracks + 1)             // next_track_ID
+    var t = 0
+    while (t < nTracks) {
+      box(100, "trak")
+      box(92, "tkhd")
+      out.putInt(0x000007)              // version 0, flags enabled|in-movie|in-preview
+      out.putInt(0); out.putInt(0)      // creation / modification
+      out.putInt(t + 1)                 // track_ID
+      out.putInt(0)                     // reserved
+      out.putInt(dur.toInt)             // duration (movie timescale)
+      out.putLong(0L)                   // reserved
+      out.putShort(0); out.putShort(0)  // layer / alternate_group
+      out.putShort(0); out.putShort(0)  // volume (video: 0) / reserved
+      matrix.foreach(out.putInt)
+      out.putInt((width << 16).toInt)   // 16.16 fixed
+      out.putInt((height << 16).toInt)
+      t += 1
+    }
+    box(24, "mdat")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.put(md.digest(s"$id:vdata".getBytes("UTF-8")), 0, 16)
+    out.array()
+  }
+
+  /** One synthesized MP4 per doc id — the video twin of
+    * [[synthImageTable]]/[[synthAudioTable]] (mediaSchema rows, binary
+    * kernel in mapPartitions).
+    */
+  def synthVideoTable(docs: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = encodeMp4(id)
+          Row(id, "video", payload, payload.length.toLong)
+        }
+      }(enc)
+  }
+
+  /** Range-checked ISO BMFF walk (the [[parseWavHeader]] safety posture:
+    * Long cursor, every declared size validated BEFORE advancing — a
+    * malicious 2^31-ish box size degrades to None, never wraps into an
+    * index error): top-level boxes until `moov`, then its children —
+    * `mvhd` v0 for (timescale, duration), every `trak`'s first child
+    * `tkhd` v0 for the FIRST track's 16.16 width/height, plus the track
+    * count. Returns (timescale, durationTicks, nTracks, width, height).
+    */
+  private[graft] def parseMp4Meta(p: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    def u32(i: Int): Long =
+      ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+        ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+    def tag(i: Int, s: String): Boolean =
+      i + 3 < p.length && p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+    if (p.length < 8 || !tag(4, "ftyp")) return None
+    var i = 0L
+    var moov = -1L
+    var moovEnd = -1L
+    while (i + 8 <= p.length && moov < 0) {
+      val size = u32(i.toInt)
+      if (size < 8 || i + size > p.length) return None
+      if (tag(i.toInt + 4, "moov")) { moov = i + 8; moovEnd = i + size }
+      i += size
+    }
+    if (moov < 0) return None
+    var timescale = -1L; var dur = -1L
+    var nTracks = 0L; var width = -1L; var height = -1L
+    var j = moov
+    while (j + 8 <= moovEnd) {
+      val jj = j.toInt
+      val size = u32(jj)
+      if (size < 8 || j + size > moovEnd) return None
+      if (tag(jj + 4, "mvhd")) {
+        // v0 mvhd is 108 bytes; other versions are outside the envelope
+        if (size < 32 || (p(jj + 8) & 0xFF) != 0) return None
+        timescale = u32(jj + 20); dur = u32(jj + 24)
+      } else if (tag(jj + 4, "trak")) {
+        nTracks += 1
+        // first child must fit inside the trak box
+        if (size >= 16 + 84 && tag(jj + 12, "tkhd") && (p(jj + 16) & 0xFF) == 0 &&
+            u32(jj + 8) >= 92 && j + 8 + u32(jj + 8) <= j + size) {
+          if (width < 0) {
+            width = u32(jj + 8 + 84) >> 16
+            height = u32(jj + 8 + 88) >> 16
+          }
+        } else return None
+      }
+      j += size
+    }
+    if (timescale < 1 || dur < 0 || nTracks < 1 || width < 0) None
+    else Some((timescale, dur, nTracks, width, height))
+  }
+
+  /** Per-video container metadata over real MP4 bytes — the q32 container
+    * move on the fourth modality: one partition-local pass, rows outside
+    * the decodable envelope are dropped (a metadata table has no use for
+    * unparseable rows; the LOUD path is the decode query's stub column).
+    * duration_ms = ticks·1000/timescale in exact integer arithmetic.
+    */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("timescale", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("n_tracks", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          if (p == null) None
+          else parseMp4Meta(p).map { case (tsc, dur, n, w, h) =>
+            Row(raw(r, "doc_id"), p.length.toLong, tsc, dur * 1000L / tsc,
+              n, w, h)
+          }
+        }
+      }(enc)
+  }
 }

@@ -212,4 +212,47 @@ class MultimodalHashSpec extends GraftSuite {
     assert(audio.forall(r => r.getAs[Long]("sample_rate") == 8000L &&
       r.getAs[Long]("channels") == 1L))
   }
+
+  test("MP4 container walk: byte-exact round trip, range-checked against malice (r12)") {
+    import graft.operators.Multimodal
+    // round trip: the parser must recover exactly what the synthesis
+    // formula chose, for ids exercising both track counts and all three
+    // timescales
+    for (id <- 0L until 64L) {
+      val (tsc, dur, n, w, h) = Multimodal.synthVideoParams(id)
+      val p = Multimodal.encodeMp4(id)
+      assert(p.length == 164 + 100 * n, s"id=$id structural size")
+      val got = Multimodal.parseMp4Meta(p)
+      assert(got.contains((tsc, dur, n.toLong, w, h)), s"id=$id: $got")
+    }
+    // malice/corruption degrades to None, never throws (the parseWavHeader
+    // posture): truncation at every prefix length, a box size near 2^31,
+    // a zero box size, non-MP4 bytes, and a tkhd shorter than its layout
+    val good = Multimodal.encodeMp4(7L)
+    val expected = {
+      val (tsc, dur, n, w, h) = Multimodal.synthVideoParams(7L)
+      (tsc, dur, n.toLong, w, h)
+    }
+    // a cut INSIDE moov must fail; a cut past the complete moov (only the
+    // opaque mdat lost) still yields the exact metadata — the
+    // metadata-first reading a progressive container legitimately allows
+    val moovEnd = good.length - 24
+    for (cut <- 0 until good.length) {
+      val got = Multimodal.parseMp4Meta(java.util.Arrays.copyOf(good, cut))
+      if (cut < moovEnd) assert(got.isEmpty, s"truncated at $cut parsed: $got")
+      else assert(got.isEmpty || got.contains(expected), s"cut $cut: $got")
+    }
+    val evil = good.clone()
+    evil(0) = 0x7F.toByte // top-level size ~2^31
+    assert(Multimodal.parseMp4Meta(evil).isEmpty)
+    val zero = good.clone()
+    zero(0) = 0; zero(1) = 0; zero(2) = 0; zero(3) = 0 // size 0 must not loop
+    assert(Multimodal.parseMp4Meta(zero).isEmpty)
+    assert(Multimodal.parseMp4Meta("RIFF....WAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseMp4Meta(Array[Byte]()).isEmpty)
+    // the typed pipeline drops unparseable rows instead of nulling them
+    val docs = spark.range(0, 8).toDF("doc_id")
+    val media = Multimodal.synthVideoTable(docs, "doc_id")
+    assert(Multimodal.videoMeta(media).count() == 8)
+  }
 }
