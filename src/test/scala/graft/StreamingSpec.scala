@@ -1043,6 +1043,38 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming video metadata equals the batch operator across micro-batches") {
+    // videoMeta is a stateless per-partition container walk (the
+    // imageHashes argument): the BATCH operator runs unchanged on a
+    // binary-blob stream — live media ingest extracting container
+    // metadata as blobs arrive
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+    val media = graft.operators.Multimodal.synthVideoTable(docs, "doc_id")
+    val staged = java.nio.file.Files.createTempDirectory("graft-vidstream").toString
+    media.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY, n_bytes BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = graft.operators.Multimodal.videoMeta(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vidmeta_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple micro-batches")
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+          r.getAs[Long]("timescale"), r.getAs[Long]("duration_ms"),
+          r.getAs[Long]("n_tracks"), r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val streamed = spark.table("vidmeta_out").collect().map(key).toSet
+      val batch = graft.operators.Multimodal.videoMeta(media)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming snapshot diff equals the batch operator across micro-batches") {
     // judge r11 #8: incremental q102 — v0→v1 change rows fed as a
     // multi-batch stream against the standing signature table must
