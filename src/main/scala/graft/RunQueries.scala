@@ -16,16 +16,20 @@ import org.apache.spark.sql.SparkSession
 object RunQueries {
 
   /** Failure classification for one sweep entry (judge r11 #7, spec-pinned
-    * in SweepVerdictSpec): `timeout` when the budget elapsed — whether the
-    * budget path threw its own TIMEOUT marker or the query died FATALLY
-    * while (or after) its cancel was tearing it down (the q57-uncapped
-    * OOM race: a fatal error at 600.4 s IS the documented timeout, not a
-    * new failure class) — `fail` only for errors inside the budget.
+    * in SweepVerdictSpec): `timeout` when the budget elapsed AND the budget
+    * path's cancel actually fired — whether the budget path threw its own
+    * TIMEOUT marker or the query died FATALLY while (or after) its cancel
+    * was tearing it down (the q57-uncapped OOM race: a fatal error at
+    * 600.4 s mid-cancel IS the documented timeout, not a new failure
+    * class) — `fail` for errors inside the budget AND for a genuine
+    * failure that merely SURFACES past the budget boundary without any
+    * cancel having fired (r12 advisor: wall time alone must not reclassify
+    * a real failure class out of the sweep artifact).
     */
   private[graft] def failureVerdict(msg: String, secs: Double,
-                                    timeoutSec: Long): String =
+                                    timeoutSec: Long, cancelFired: Boolean): String =
     if (msg.contains("TIMEOUT")) "timeout"
-    else if (timeoutSec > 0 && secs >= timeoutSec.toDouble) "timeout"
+    else if (cancelFired && timeoutSec > 0 && secs >= timeoutSec.toDouble) "timeout"
     else "fail"
 
   def main(args: Array[String]): Unit = {
@@ -75,6 +79,10 @@ object RunQueries {
         spark = mkSession()
       }
       val t0 = System.nanoTime()
+      // evidence for failureVerdict: set the moment the budget path starts
+      // cancelling, so a budget-elapsed death can be adjudicated `timeout`
+      // only when a cancel was actually in flight
+      val cancelFired = new java.util.concurrent.atomic.AtomicBoolean(false)
       def build(): (Long, String) = {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (explain) df.explain("formatted")
@@ -104,6 +112,7 @@ object RunQueries {
             try Await.result(f, timeoutSec.seconds)
             catch {
               case _: TimeoutException =>
+                cancelFired.set(true)
                 // ...AndFutureJobs, not plain cancelJobGroup: an iterative
                 // driver-side query (e.g. connected-components rounds) keeps
                 // SUBMITTING new jobs after the timeout; cancelJobGroup only
@@ -126,7 +135,7 @@ object RunQueries {
       } catch { case e: Throwable =>
         val secs = (System.nanoTime() - t0) / 1e9
         val msg = e.toString.linesIterator.next().take(300)
-        failureVerdict(msg, secs, timeoutSec) match {
+        failureVerdict(msg, secs, timeoutSec, cancelFired.get) match {
           case "timeout" if !msg.contains("TIMEOUT") =>
             nTimeout += 1
             println(f"FAIL $name TIMEOUT after ${timeoutSec}s (died at $secs%.1fs during teardown: $msg)")

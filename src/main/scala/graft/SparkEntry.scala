@@ -3270,8 +3270,8 @@ object SparkEntry {
         | FROM cand JOIN nz a ON a.vec_id = cand.query_id JOIN nz b ON b.vec_id = cand.neighbor_id),
         |ex AS (SELECT query_id, neighbor_id, na, nb, unnest(qa) AS x, unnest(qb) AS y FROM pairs),
         |s AS (SELECT query_id, neighbor_id, CAST(sum(x * y) AS BIGINT) AS dot,
-        |  round(CAST(sum(x * y) AS DOUBLE) /
-        |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4) AS cos
+        |  floor(CAST(sum(x * y) AS DOUBLE) /
+        |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS cos
         | FROM ex GROUP BY query_id, neighbor_id, na, nb),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
         | FROM s)

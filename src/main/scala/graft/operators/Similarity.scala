@@ -659,9 +659,16 @@ object Similarity {
     *                (|q|≤scale, |w|≤span, dims≤2^20 stays far under 2^63);
     *                `planesPerTable` bits per key across `numTables` tables;
     *   3. score:    integer dot and integer norms, then ONE double divide +
-    *                sqrt on exact integer inputs — order-independent, so the
-    *                rounded cosine is bit-identical across engines (the float
-    *                path's sum-order hazard is gone: integer sums commute);
+    *                sqrt on exact integer inputs — order-independent (the
+    *                float path's sum-order hazard is gone: integer sums
+    *                commute) — rounded via [[graft.functions.NumFns.roundHalfUp]]
+    *                (floor(x·10⁴ + 0.5)/10⁴ on the exact binary double;
+    *                Spark's `round` rounds the SHORTEST DECIMAL representation
+    *                and can differ from an engine rounding the binary value
+    *                on a .5 boundary at the 4th decimal — and since rnk
+    *                orders by cos, that divergence could flip top-k
+    *                membership), with the identical formula mirrored in the
+    *                q107 DuckDB oracle;
     *   4. rank:     the shared [[topKPerQuery]] contract.
     *
     * Same shuffle shape as [[lshTopK]] (bucket-key join; scalars not vectors
@@ -717,7 +724,7 @@ object Similarity {
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("dot")).as("dot"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .select(col("query_id"), col("neighbor_id"), col("dot"),
-        round(col("dot").cast("double") /
+        graft.functions.NumFns.roundHalfUp(col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4).as("cos"))
     topKPerQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("dot"), col("cos"), col("rnk"))

