@@ -230,6 +230,28 @@ object Bench {
     //    only 1.30×).
     val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "1.40").toDouble
     val canaryParRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_PAR_REF", "2.30").toDouble
+    // Canary GATE (judge r12 #2): BENCH_r12 landed on a uniformly-hot box
+    // (median per-query ratio 1.178 over 106 common queries, no plan
+    // changes) and the official record understated the tree by ~1.5× —
+    // the second round running the official number needed a paragraph of
+    // adjudication. The fix is protocol, not statistics: measure the
+    // canaries FIRST and REFUSE to start timed passes while the box reads
+    // hot, re-probing up to `gateRetries` times `gateWaitS` apart and
+    // keeping the best (min) readings. The gate bounds are the QUIET-box
+    // canary readings (not canary_ref 1.40, which is the r7-vintage
+    // normalization constant a quiet current box already exceeds at
+    // ~1.78 s): single-thread quiet ~1.80 s, parallel ref 2.30 s. The
+    // verdict ("pass" | "hot") and the tries land IN the record, so a
+    // record that had to run hot anyway (retries exhausted — the driver
+    // still needs a number) self-describes instead of needing a §6
+    // asterisk.
+    val canaryQuiet1t = sys.env.getOrElse("SPARK_GRAFT_CANARY_QUIET", "1.80").toDouble
+    val gateFactor = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE", "1.25").toDouble
+    val gateRetries = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE_RETRIES", "4").toInt
+    val gateWaitS = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE_WAIT_S", "45").toInt
+    var canaryGateTries = 0
+    def canaryHot(c1t: Double, cPar: Double): Boolean =
+      c1t > canaryQuiet1t * gateFactor || cPar > canaryParRef * gateFactor
     // Contention stamp (judge r9 #1): the START load is other processes'
     // work — r8's official record ran at load 4–5 and normalized fine,
     // r9's at 13–17 and could not be repaired, so the load gate sits
@@ -314,7 +336,17 @@ object Bench {
         if (minSamples.isEmpty) ""
         else s""","value_min":${f3(minSamples.sum)}"""
       val lock = if (lockWait > 1.0) s""","lock_wait_s":${f3(lockWait)}""" else ""
-      val box = s""","load_start":$loadStart,"load":${loadJson(loadavg())},"contended":$contended$lock$canStart$canEnd"""
+      // gate fields appear once the canaries exist (same omission rule as
+      // canary_s): verdict, the bounds it was judged against, and how many
+      // re-probes it took — the record proves its own quiet-box standing
+      val gate =
+        if (canaryStart > 0)
+          s""","canary_gate":"${if (canaryHot(canaryStart, canaryParStart)) "hot" else "pass"}"""" +
+            s""","canary_gate_bound_s":${f3(canaryQuiet1t * gateFactor)}""" +
+            s""","canary_gate_par_bound_s":${f3(canaryParRef * gateFactor)}""" +
+            s""","canary_gate_tries":$canaryGateTries"""
+        else ""
+      val box = s""","load_start":$loadStart,"load":${loadJson(loadavg())},"contended":$contended$gate$lock$canStart$canEnd"""
       println(s"""{"metric":"total","value":${f3(total)}$vmin$norm,"unit":"sec","reps":$reps,"passes":$passesDone,"failed":${failedShort.mkString("[", ",", "]")},"queries":$qs$done$box,"sf":"$sfDir"}""")
       System.out.flush()
     }
@@ -336,9 +368,21 @@ object Bench {
       System.err.println(f"[bench] waited ${boxLock.waitedSeconds}%.0f s for box lock (acquired=${boxLock.acquired})")
     lockWait = boxLock.waitedSeconds
     // NOW the canaries (the bootstrap record above is already on stdout);
-    // every later line carries the real values
+    // every later line carries the real values. Gate loop: while the box
+    // reads hot, wait and re-probe, keeping the min readings — timed
+    // passes must not start on a box that would hot-sample the record.
     canaryStart = canarySeconds()
     canaryParStart = canaryParSeconds(cpus.toInt)
+    canaryGateTries = 1
+    while (canaryHot(canaryStart, canaryParStart) && canaryGateTries <= gateRetries) {
+      System.err.println(f"[bench] canary gate HOT (1t ${canaryStart}%.2f s vs bound ${canaryQuiet1t * gateFactor}%.2f, par ${canaryParStart}%.2f s vs bound ${canaryParRef * gateFactor}%.2f); re-probing in $gateWaitS s (try $canaryGateTries/$gateRetries)")
+      Thread.sleep(gateWaitS * 1000L)
+      canaryStart = math.min(canaryStart, canarySeconds())
+      canaryParStart = math.min(canaryParStart, canaryParSeconds(cpus.toInt))
+      canaryGateTries += 1
+    }
+    if (canaryHot(canaryStart, canaryParStart))
+      System.err.println(f"[bench] canary gate verdict HOT after $canaryGateTries probes — proceeding (the driver needs a record) but this sample is NOT an official quiet-box point")
     val w0 = System.nanoTime()
     locally {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(warmupPoolSize)

@@ -26,7 +26,7 @@ object SparkEntry {
     */
   private val docsCountCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def docsCount(s: SparkSession, dir: String): Long =
-    docsCountCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir",
+    docsCountCache.computeIfAbsent(s"${Sessions.id(s)}|$dir",
       _ => java.lang.Long.valueOf(T(s, dir, "documents").count()))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -320,16 +320,7 @@ object AnnIndex {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Stable per-session identity for cache keys. `System.identityHashCode`
-    * can be REUSED after a session is GC'd (a new session allocated at the
-    * same address would alias a dead session's cache rows); a weak-keyed
-    * UUID map cannot — the entry dies with the session and a fresh session
-    * always mints a fresh id.
-    */
-  private val sessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String]())
-  private def sessionId(spark: SparkSession): String =
-    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID.toString)
+  private def sessionId(spark: SparkSession): String = graft.Sessions.id(spark)
 
   /** Read a stored index — the pinned `version`, or the latest complete
     * one. Validation is the read's whole point (see the class doc): any

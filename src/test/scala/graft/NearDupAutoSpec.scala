@@ -116,4 +116,30 @@ class NearDupAutoSpec extends GraftSuite {
     // a known same-template pair with single-token perturbations
     assert(pairs(t).nonEmpty)
   }
+
+  test("corpusShape is memoized per (session, input plan, knobs) — cache hits skip the probe jobs") {
+    // fresh plan-distinct corpus so earlier tests' cached entries can't hit
+    val docs = cloneCorpus.withColumn("_r13", lit(1)).drop("_r13")
+    val before = Dedup.shapeProbeRuns.get()
+    val first = Dedup.corpusShape(docs, $"doc_id", $"text")
+    val afterFirst = Dedup.shapeProbeRuns.get()
+    val second = Dedup.corpusShape(docs, $"doc_id", $"text")
+    val afterSecond = Dedup.shapeProbeRuns.get()
+    assert(afterFirst == before + 1, "first call must run the probe")
+    assert(afterSecond == afterFirst, "second call must be a cache hit (no probe jobs)")
+    assert(first == second, "cache hit must return the identical shape")
+    // dispatch equality through the router: same corpus, same method both times
+    val m1 = Dedup.nearDupAuto(docs, $"doc_id", $"text")
+      .select("method").distinct().as[String].collect().toSeq
+    val probesAfterRouter = Dedup.shapeProbeRuns.get()
+    val m2 = Dedup.nearDupAuto(docs, $"doc_id", $"text")
+      .select("method").distinct().as[String].collect().toSeq
+    assert(m1 == m2 && m1 == Seq("minhash"))
+    assert(Dedup.shapeProbeRuns.get() == probesAfterRouter,
+      "routed second call must reuse the cached shape")
+    // different knobs are a different key — the cache must not serve a
+    // shape measured at another sample size
+    Dedup.corpusShape(docs, $"doc_id", $"text", sampleDocs = 128)
+    assert(Dedup.shapeProbeRuns.get() == probesAfterRouter + 1)
+  }
 }
