@@ -203,6 +203,54 @@ class AnnIndexSpec extends GraftSuite {
     assert(AnnIndex.read(spark, path).cells.count() == rowsBefore._1)
   }
 
+  test("compact leaves a pinned reader's generation intact (two-reader protocol)") {
+    val path = freshDir("compact-live")
+    val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
+      kmeansIters = 1, pq = Some(AnnIndex.PqConfig(8, 16)))
+    AnnIndex.write(model, path, "v0001")
+    for (i <- 0 until 2)
+      AnnIndex.append(spark, path, "v0001",
+        embs.filter($"vec_id" >= i * 20L && $"vec_id" < i * 20L + 20L)
+          .select(($"vec_id" + 900000L).as("vec_id"), $"embedding", $"label"))
+    // reader A pins the pre-compact generation; its first search runs
+    // BEFORE the compact and must be reproducible AFTER it — the r12
+    // in-place swap renamed the very directories A's frames had listed,
+    // so A's re-run would have thrown missing files or read half-
+    // rewritten postings
+    val pinned = AnnIndex.read(spark, path, Some("v0001"))
+    val resPinnedBefore = rows(AnnIndex.searchIvf(pinned, queries, 5, nProbe = 4))
+    AnnIndex.compact(spark, path, "v0001", codeFiles = 2)
+    val resPinnedAfter = rows(AnnIndex.searchIvf(pinned, queries, 5, nProbe = 4))
+    assert(resPinnedAfter == resPinnedBefore,
+      "a reader pinned across the compact must keep serving its own generation")
+    // reader B reads after the flip: new generation, identical results
+    val fresh = AnnIndex.read(spark, path, Some("v0001"))
+    assert(fresh.meta.postingsGen == pinned.meta.postingsGen + 1,
+      "compact must advance the postings generation")
+    assert(rows(AnnIndex.searchIvf(fresh, queries, 5, nProbe = 4)) == resPinnedBefore,
+      "the compacted generation must serve identical results")
+    assert(fresh.cells.count() == pinned.cells.count() &&
+      fresh.codes.get.count() == pinned.codes.get.count())
+    // a SECOND compact retires the pinned generation (grace = one
+    // generation): gen N-2 directories are deleted, gen N-1 kept
+    AnnIndex.compact(spark, path, "v0001", codeFiles = 2)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(s"$path/version=v0001"))
+      .map(_.getPath.getName).toSet
+    assert(!names.contains("cells") && !names.contains("codes"),
+      s"generation 0 should be retired after two compacts; present: $names")
+    assert(names.contains("cells_g1") && names.contains("cells_g2"),
+      s"generations 1 (grace) and 2 (live) should both be present: $names")
+    // append lands in the LIVE generation after the flips
+    AnnIndex.append(spark, path, "v0001",
+      embs.filter($"vec_id" < 5L)
+        .select(($"vec_id" + 950000L).as("vec_id"), $"embedding", $"label"))
+    val appended = AnnIndex.read(spark, path, Some("v0001"))
+    assert(appended.meta.postingsGen == 2)
+    assert(appended.cells.count() == fresh.cells.count() + 5)
+  }
+
   test("typed annTopKStored equals the typed inline IVF search on a stored index") {
     val path = freshDir("typed")
     val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
