@@ -62,6 +62,12 @@ case class VideoMeta(doc_id: Long, n_bytes: Long, timescale: Long,
                      duration_ms: Long, n_tracks: Long,
                      width: Long, height: Long)
 
+/** [[Typed.videoContentHashes]] row: the temporal video signature — a
+  * majority-vote fold of per-frame dHashes over frames located through the
+  * MP4 sample table and decoded by the production image path.
+  */
+case class VideoContentHash(doc_id: Long, n_frames: Long, vhash: Long)
+
 /** One numeric column's describe() row (the q82 row, typed). `stddev` is
   * None at n = 1 (sample deviation, pandas ddof=1 parity).
   */
@@ -528,6 +534,17 @@ object Typed {
   def videoMeta(media: Dataset[MediaBlob]): Dataset[VideoMeta] = {
     import media.sparkSession.implicits._
     graft.operators.Multimodal.videoMeta(media.toDF()).as[VideoMeta]
+  }
+
+  /** Temporal video-content signatures, typed ([[graft.operators.Multimodal
+    * .videoContentHashes]] — sample-table frame walk, production image
+    * decode per frame, majority-vote fold; blobs outside the envelope are
+    * dropped, not nulled).
+    */
+  def videoContentHashes(media: Dataset[MediaBlob]): Dataset[VideoContentHash] = {
+    import media.sparkSession.implicits._
+    graft.operators.Multimodal.videoContentHashes(media.toDF())
+      .as[VideoContentHash]
   }
 
   /** Audio envelope hashes, typed. */

@@ -1029,6 +1029,283 @@ object Multimodal {
     else Some((timescale, dur, nTracks, width, height))
   }
 
+  // ---- video CONTENT (r13): the modality ladder's last rung ---------------
+  //
+  // q109 gave video CONTAINER parity; this decodes the PAYLOAD: MP4s whose
+  // mdat carries real encoded frames, extracted through the ISO sample
+  // table (stsz sizes + stco chunk offset — the actual MP4 frame-location
+  // mechanism, not a codec sniff), each frame decoded through the EXISTING
+  // production image path (grayPlane: the q103 PNG inflate→unfilter→luma
+  // loop), per-frame dHash64, and a majority-vote temporal fold into one
+  // 64-bit video signature. Frames are PNG (the lossless-codec stand-in
+  // this repo's analytic-oracle precedent is built on — q103: a real
+  // MJPEG's JPEG frames would need the fixture-pinned path instead, since
+  // lossy decode output isn't flat-SQL-reproducible); the container
+  // plumbing is byte-real either way.
+
+  /** Frame count of template `tpl`'s synthetic video: 2 + hex16(md5(tpl
+    * ":vframes")) % 5 ∈ [2, 6] — per TEMPLATE, not per doc, so
+    * same-template docs carry identical frame sequences (the planted-dup
+    * construction).
+    */
+  private[graft] def synthVideoFrameCount(tpl: Long): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tpl:vframes".getBytes("UTF-8"))
+    (2 + (((d(0) & 0xFF) << 8 | (d(1) & 0xFF)) % 5)).toInt
+  }
+
+  /** One frame's 18×8 greyscale pixels — [[synthImageTable]]'s
+    * cell-constant construction with the frame index in the salt:
+    * `v(tpl, f, gc, y) = hex16(md5(tpl ":" f ":" gc ":" y)) % 200`
+    * (+40 on grid column 0 iff `bump` — the q103 near-dup knob, applied
+    * to EVERY frame so bumped-vs-unbumped same-template videos sit at a
+    * small temporal-hash hamming).
+    */
+  private def synthFramePixels(tpl: Long, f: Int, bump: Boolean): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = new Array[Byte](18 * 8)
+    var y = 0
+    while (y < 8) {
+      var gc = 0
+      while (gc < 9) {
+        val d = md.digest(s"$tpl:$f:$gc:$y".getBytes("UTF-8"))
+        var v = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200
+        if (bump && gc == 0) v += 40
+        px(y * 18 + gc * 2) = v.toByte
+        px(y * 18 + gc * 2 + 1) = v.toByte
+        gc += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Minimal-but-real MP4 WITH a sample table and a frame-bearing mdat:
+    * ftyp + moov(mvhd + trak(tkhd + mdia(mdhd + minf(stbl(stsd + stsz +
+    * stco))))) + mdat(PNG frames, one chunk, contiguous samples) —
+    * version-0 full boxes, big-endian, every size exact. `stsz` carries
+    * the per-frame byte sizes and `stco` the single chunk's absolute file
+    * offset, so a reader locates frames the way real MP4 readers do.
+    */
+  private[graft] def encodeMp4Frames(id: Long, groups: Long): Array[Byte] = {
+    val tpl = ((id % groups) + groups) % groups
+    val bump = id % 5 == 0
+    val n = synthVideoFrameCount(tpl)
+    val frames = (0 until n).map(f =>
+      encodePng(synthFramePixels(tpl, f, bump), 18, 8, 1))
+    val framesBytes = frames.map(_.length).sum
+    val stsdSize = 32          // 8 hdr + 4 verflags + 4 count + 16 entry
+    val stszSize = 20 + 4 * n  // 8 hdr + 4 verflags + 4 size0 + 4 count + 4n
+    val stcoSize = 20          // 8 hdr + 4 verflags + 4 count + 4 offset
+    val stblSize = 8 + stsdSize + stszSize + stcoSize
+    val minfSize = 8 + stblSize
+    val mdhdSize = 32
+    val mdiaSize = 8 + mdhdSize + minfSize
+    val trakSize = 8 + 92 + mdiaSize
+    val moovSize = 8 + 108 + trakSize
+    val total = 24 + moovSize + 8 + framesBytes
+    val firstFrameOffset = 24 + moovSize + 8
+    val out = java.nio.ByteBuffer.allocate(total)
+    def box(size: Int, tag: String): Unit = {
+      out.putInt(size); out.put(tag.getBytes("US-ASCII"))
+    }
+    box(24, "ftyp")
+    out.put("isom".getBytes("US-ASCII")); out.putInt(0x200)
+    out.put("isom".getBytes("US-ASCII")); out.put("mp41".getBytes("US-ASCII"))
+    box(moovSize, "moov")
+    box(108, "mvhd")
+    out.putInt(0); out.putInt(0); out.putInt(0)
+    out.putInt(1000)                    // timescale
+    out.putInt(n * 100)                 // duration: 10 fps
+    out.putInt(0x00010000); out.putShort(0x0100.toShort)
+    out.putShort(0); out.putLong(0L)
+    val matrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    matrix.foreach(out.putInt)
+    (0 until 6).foreach(_ => out.putInt(0))
+    out.putInt(2)                       // next_track_ID
+    box(trakSize, "trak")
+    box(92, "tkhd")
+    out.putInt(0x000007); out.putInt(0); out.putInt(0)
+    out.putInt(1); out.putInt(0)
+    out.putInt(n * 100)
+    out.putLong(0L)
+    out.putShort(0); out.putShort(0); out.putShort(0); out.putShort(0)
+    matrix.foreach(out.putInt)
+    out.putInt(18 << 16); out.putInt(8 << 16)
+    box(mdiaSize, "mdia")
+    box(32, "mdhd")
+    out.putInt(0); out.putInt(0); out.putInt(0)
+    out.putInt(1000); out.putInt(n * 100)
+    out.putShort(0x55C4.toShort)        // language 'und'
+    out.putShort(0)
+    box(minfSize, "minf")
+    box(stblSize, "stbl")
+    box(stsdSize, "stsd")
+    out.putInt(0); out.putInt(1)
+    out.putInt(16); out.put("png ".getBytes("US-ASCII"))
+    (0 until 6).foreach(_ => out.put(0.toByte)) // sample-entry reserved
+    out.putShort(1)                     // data_reference_index
+    box(stszSize, "stsz")
+    out.putInt(0); out.putInt(0)        // verflags; sample_size 0 = per-sample
+    out.putInt(n)
+    frames.foreach(fr => out.putInt(fr.length))
+    box(stcoSize, "stco")
+    out.putInt(0); out.putInt(1)
+    out.putInt(firstFrameOffset)
+    box(8 + framesBytes, "mdat")
+    frames.foreach(fr => out.put(fr))
+    out.array()
+  }
+
+  /** One frame-bearing MP4 per doc — the content twin of
+    * [[synthVideoTable]]; `groups` scales planted-duplicate multiplicity
+    * exactly like [[synthImageTable]].
+    */
+  def synthVideoContentTable(docs: DataFrame, idCol: String,
+                             groups: Long): DataFrame = {
+    require(groups >= 1, s"synthVideoContentTable: groups must be >= 1, got $groups")
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = encodeMp4Frames(id, groups)
+          Row(id, "video", payload, payload.length.toLong)
+        }
+      }(enc)
+  }
+
+  /** Locate and slice the sample frames of a frame-bearing MP4 through
+    * its SAMPLE TABLE — the real ISO mechanism ([[parseMp4Meta]]'s safety
+    * posture throughout: Long cursor, every declared size validated
+    * BEFORE advancing, truncation/2³¹-ish sizes degrade to None): walk
+    * top-level to `moov` and `mdat`, descend moov → trak → mdia → minf →
+    * stbl, read `stsz` (per-sample sizes) and `stco` (single-chunk
+    * offset), then slice `mdat` at stco[0] by the stsz sizes, validating
+    * every slice against the mdat payload bounds. Multi-chunk layouts
+    * (stco count > 1) are outside this reader's envelope → None.
+    */
+  private[graft] def parseMp4Frames(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    def u32(i: Int): Long =
+      ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+        ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+    def tag(i: Int, s: String): Boolean =
+      i + 3 < p.length && p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+    if (p.length < 8 || !tag(4, "ftyp")) return None
+    // top level: moov + mdat extents
+    var i = 0L
+    var moov = -1L; var moovEnd = -1L
+    var mdat = -1L; var mdatEnd = -1L
+    while (i + 8 <= p.length) {
+      val size = u32(i.toInt)
+      if (size < 8 || i + size > p.length) return None
+      if (tag(i.toInt + 4, "moov")) { moov = i + 8; moovEnd = i + size }
+      else if (tag(i.toInt + 4, "mdat")) { mdat = i + 8; mdatEnd = i + size }
+      i += size
+    }
+    if (moov < 0 || mdat < 0) return None
+    // descend one container level, returning the first child's extent
+    def child(start: Long, end: Long, want: String): Option[(Long, Long)] = {
+      var j = start
+      while (j + 8 <= end) {
+        val size = u32(j.toInt)
+        if (size < 8 || j + size > end) return None
+        if (tag(j.toInt + 4, want)) return Some((j + 8, j + size))
+        j += size
+      }
+      None
+    }
+    for {
+      (trakS, trakE) <- child(moov, moovEnd, "trak")
+      (mdiaS, mdiaE) <- child(trakS, trakE, "mdia")
+      (minfS, minfE) <- child(mdiaS, mdiaE, "minf")
+      (stblS, stblE) <- child(minfS, minfE, "stbl")
+      (stszS, stszE) <- child(stblS, stblE, "stsz")
+      (stcoS, stcoE) <- child(stblS, stblE, "stco")
+      frames <- {
+        // stsz: verflags, sample_size (0 = per-sample table), count, sizes
+        if (stszE - stszS < 12) None
+        else {
+          val fixedSize = u32(stszS.toInt + 4)
+          val n = u32(stszS.toInt + 8)
+          if (fixedSize != 0 || n < 1 || n > (stszE - stszS - 12) / 4) None
+          else if (stcoE - stcoS < 12 || u32(stcoS.toInt + 4) != 1) None
+          else {
+            val off0 = u32(stcoS.toInt + 8)
+            var off = off0
+            val out = Seq.newBuilder[Array[Byte]]
+            var k = 0L
+            var ok = off >= mdat
+            while (ok && k < n) {
+              val sz = u32((stszS + 12 + 4 * k).toInt)
+              if (sz < 1 || off + sz > mdatEnd) ok = false
+              else {
+                out += java.util.Arrays.copyOfRange(p, off.toInt, (off + sz).toInt)
+                off += sz
+                k += 1
+              }
+            }
+            if (ok) Some(out.result()) else None
+          }
+        }
+      }
+    } yield frames
+  }
+
+  /** Per-video TEMPORAL signature over real decoded frames: frames located
+    * through the sample table ([[parseMp4Frames]]), each decoded through
+    * the production image path ([[grayPlane]] — the q103 PNG loop) and
+    * dHashed, then folded by per-bit MAJORITY vote (bit b of the video
+    * hash is set iff at least half the frames set it — 2·count ≥ n, ties
+    * up) — robust to a minority of differing frames, exact integer
+    * arithmetic end to end. Videos with ANY undecodable/unhashable frame
+    * are dropped (the imageHashes posture: a near-dup pass has no use for
+    * partially-hashed rows). Emits (doc_id, n_frames, vhash).
+    */
+  def videoContentHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("vhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          if (p == null) None
+          else for {
+            frames <- parseMp4Frames(p)
+            hashes <- {
+              val hs = frames.flatMap(fr =>
+                grayPlane(fr).flatMap { case (w, h, g, _) => dHash64(g, w, h) })
+              if (hs.length == frames.length) Some(hs) else None
+            }
+          } yield {
+            val n = hashes.length
+            var vhash = 0L
+            var b = 0
+            while (b < 64) {
+              var cnt = 0
+              hashes.foreach(h => if (((h >>> b) & 1L) == 1L) cnt += 1)
+              if (2 * cnt >= n) vhash |= 1L << b
+              b += 1
+            }
+            Row(raw(r, "doc_id"), n.toLong, vhash)
+          }
+        }
+      }(enc)
+  }
+
+  /** Banded temporal-hash near-dup over video content — [[hashNearDups]]
+    * (the oracle-checked q104 kernel) on [[videoContentHashes]]' table:
+    * video near-dup composes from the shared blocking for free.
+    */
+  def videoNearDups(media: DataFrame, maxHamming: Int,
+                    maxBucket: Int = 50): DataFrame =
+    hashNearDups(videoContentHashes(media).select(col("doc_id"), col("vhash")),
+      "doc_id", "vhash", maxHamming, maxBucket)
+
   /** Per-video container metadata over real MP4 bytes — the q32 container
     * move on the fourth modality: one partition-local pass, rows outside
     * the decodable envelope are dropped (a metadata table has no use for

@@ -255,4 +255,78 @@ class MultimodalHashSpec extends GraftSuite {
     val media = Multimodal.synthVideoTable(docs, "doc_id")
     assert(Multimodal.videoMeta(media).count() == 8)
   }
+
+  test("video CONTENT (r13): sample-table frame walk, temporal fold, near-dups via the shared banding") {
+    import graft.operators.Multimodal
+    // frame round trip: the sample table must locate exactly the encoded
+    // PNG frames, each decoding through the production image path to the
+    // synthesis pixels' dHash
+    val p = Multimodal.encodeMp4Frames(13L, groups = 40L)
+    val frames = Multimodal.parseMp4Frames(p)
+    assert(frames.nonEmpty, "frame walk failed on a healthy file")
+    val n = Multimodal.synthVideoFrameCount(13L % 40L)
+    assert(frames.get.length == n, s"expected $n frames, got ${frames.get.length}")
+    frames.get.foreach { fr =>
+      assert(fr.length >= 8 && (fr(1) & 0xFF) == 'P'.toInt, "sliced frame is not a PNG")
+    }
+    // same template, same bump => identical signature; bumped vs unbumped
+    // same-template => small hamming (only the 8 column-0 bits can move)
+    val docs = spark.range(0, 140).toDF("doc_id")
+    val media = Multimodal.synthVideoContentTable(docs, "doc_id", groups = 7L)
+    val hashes = Multimodal.videoContentHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hashes.size == 140, "every synth video must hash")
+    for (id <- 1L until 70L if id % 5 != 0 && (id + 70) % 5 != 0)
+      assert(hashes(id) == hashes(id + 70),
+        s"same template, same bump: $id vs ${id + 70}")
+    // bump contrast: only the 8 row-leading bits (r*8) can differ, and on
+    // this fixture at least one template actually moves
+    val bumpPairs = for {
+      a <- hashes.keys.toSeq; b <- hashes.keys.toSeq
+      if a < b && a % 7 == b % 7 && (a % 5 == 0) != (b % 5 == 0)
+    } yield java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    assert(bumpPairs.forall(_ <= 8), s"bump moved a non-column-0 bit: ${bumpPairs.max}")
+    assert(bumpPairs.exists(_ > 0), "fixture degenerate: no bump pair moved")
+    // near-dups compose from the oracle-checked shared banding kernel:
+    // the distributed result must equal a local replay of the SAME
+    // banding + cap + hamming rule over the collected hashes
+    def expected(maxHam: Int, maxBucket: Int): Set[(Long, Long, Long)] = {
+      val banded = for ((id, h) <- hashes.toSeq; b <- 0 until 4)
+        yield (b.toLong * 65536L + ((h >>> (16 * b)) & 0xFFFFL), id, h)
+      val pairs = for {
+        (_, rows) <- banded.groupBy(_._1).toSeq if rows.size <= maxBucket
+        a <- rows; b <- rows if a._2 < b._2
+      } yield (a._2, b._2, java.lang.Long.bitCount(a._3 ^ b._3).toLong)
+      pairs.toSet.filter(_._3 <= maxHam)
+    }
+    val dups = Multimodal.videoNearDups(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = expected(8, 50)
+    assert(dups == want,
+      s"missing=${(want -- dups).take(5)} extra=${(dups -- want).take(5)}")
+    // the planted structure survives the kernel: exact same-template
+    // clones (hamming 0) are all found, and some bump pair confirms at
+    // nonzero hamming
+    assert(dups.exists(_._3 == 0L), "no exact clone pair found")
+    assert(dups.exists(_._3 > 0L), "no nonzero-hamming pair confirmed")
+    // malice: truncation at EVERY prefix, 2^31-ish and zero sizes, a
+    // multi-chunk stco, an oversized stsz count — None, never a throw
+    for (cut <- 0 until p.length)
+      assert(Multimodal.parseMp4Frames(java.util.Arrays.copyOf(p, cut)).isEmpty,
+        s"truncated at $cut parsed")
+    val evil = p.clone(); evil(0) = 0x7F.toByte
+    assert(Multimodal.parseMp4Frames(evil).isEmpty)
+    val zero = p.clone(); zero(0) = 0; zero(1) = 0; zero(2) = 0; zero(3) = 0
+    assert(Multimodal.parseMp4Frames(zero).isEmpty)
+    assert(Multimodal.parseMp4Frames(Array[Byte]()).isEmpty)
+    // corrupt the first stsz size to point past mdat: must refuse, not wrap
+    val stszAt = {
+      // locate "stsz" tag byte offset
+      val tagBytes = "stsz".getBytes("US-ASCII")
+      (0 until p.length - 4).find(i => p.slice(i, i + 4).sameElements(tagBytes)).get
+    }
+    val oversize = p.clone()
+    oversize(stszAt + 12) = 0x7F.toByte // first sample size ~2^31
+    assert(Multimodal.parseMp4Frames(oversize).isEmpty)
+  }
 }

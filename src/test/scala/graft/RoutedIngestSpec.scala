@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.DocsStream
+
+/** Streaming routed ingest (judge r13 #4): [[DocsStream.routedIngestStream]]
+  * must measure the STANDING corpus's shape once, dispatch arriving
+  * micro-batches to the family the §5 table prescribes, and its per-batch
+  * union must equal the batch operator on the same corpus+arrivals split —
+  * for the df-independent families (minhash, simhash) all the way up to
+  * the CROSS pairs of batch [[Dedup.nearDupAuto]] over corpus ∪ arrivals,
+  * and for dfcap to the batch member on the standing index (the artifact
+  * df-basis semantics the streaming scaladoc declares).
+  */
+class RoutedIngestSpec extends GraftSuite with ShapeFixtures {
+  import spark.implicits._
+
+  /** Stage `arrivals` as a 3-file parquet directory and stream it one file
+    * per trigger through [[DocsStream.routedIngestStream]]; returns the
+    * chosen method, the distinct epochs seen, and the unified hit set.
+    */
+  private def runRouted(corpus: DataFrame, arrivals: DataFrame,
+                        tag: String): (String, Int, Set[(Long, Long, String, Double)]) = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-routed-$tag")
+    val staged = tmp.resolve("arrivals").toString
+    arrivals.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+    val epochs = scala.collection.mutable.Set[Long]()
+    val (method, writer) = DocsStream.routedIngestStream(
+      stream, col("doc_id"), col("text"),
+      corpus, col("doc_id"), col("text"),
+      onHits = (df, epoch) => hits.synchronized {
+        epochs += epoch
+        hits ++= df.select(col("batch_id"), col("corpus_id"),
+            col("method"), col("score"))
+          .as[(Long, Long, String, Double)].collect()
+      })
+    val q = writer.start()
+    try q.processAllAvailable() finally q.stop()
+    (method, epochs.size, hits.toSet)
+  }
+
+  /** Cross pairs of a batch pair frame (doc_a < doc_b), re-oriented to the
+    * streamed (batch_id, corpus_id) emission: every arrival id in these
+    * fixtures is strictly greater than every corpus id, so doc_b is always
+    * the arrival.
+    */
+  private def crossPairs(batch: DataFrame, corpusMax: Long): Set[(Long, Long, String, Double)] =
+    batch.filter(col("doc_a") <= corpusMax && col("doc_b") > corpusMax)
+      .select(col("doc_b"), col("doc_a"), col("method"), col("score"))
+      .as[(Long, Long, String, Double)].collect().toSet
+
+  test("clone corpus routes arrivals to minhash; streamed union == batch nearDupAuto cross pairs") {
+    val corpus = cloneCorpus.filter($"doc_id" < 320)
+    val arrivals = cloneCorpus.filter($"doc_id" >= 320)
+    val (method, nEpochs, streamed) = runRouted(corpus, arrivals, "clone")
+    assert(method == "minhash", s"clone corpus routed to $method")
+    assert(nEpochs > 1, s"expected multiple micro-batches, got $nEpochs")
+    val expected = crossPairs(
+      Dedup.nearDupAuto(cloneCorpus, $"doc_id", $"text"), corpusMax = 319L)
+    assert(expected.nonEmpty, "degenerate fixture: no cross pairs in batch")
+    assert(streamed == expected,
+      s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+    // every arrival is a clone of 8 standing corpus members
+    assert(streamed.size == 80 * 8)
+  }
+
+  test("template corpus routes arrivals to simhash; streamed union == batch nearDupAuto cross pairs") {
+    val corpus = templateCorpus.filter($"doc_id" < 320)
+    val arrivals = templateCorpus.filter($"doc_id" >= 320)
+    val (method, nEpochs, streamed) = runRouted(corpus, arrivals, "tmpl")
+    assert(method == "simhash", s"template corpus routed to $method")
+    assert(nEpochs > 1)
+    val expected = crossPairs(
+      Dedup.nearDupAuto(templateCorpus, $"doc_id", $"text"), corpusMax = 319L)
+    assert(expected.nonEmpty, "degenerate fixture: no cross pairs in batch")
+    assert(streamed == expected,
+      s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+  }
+
+  test("zipf corpus routes arrivals to dfcap; streamed union == the batch member on the standing index") {
+    // the twins arrive as the ingest stream against the 400-doc standing
+    // zipf corpus — the q57 split shape, through the router
+    val corpus = zipfCorpus.filter($"doc_id" < 100000L)
+    val arrivals = zipfCorpus.filter($"doc_id" >= 100000L)
+    val (method, nEpochs, streamed) = runRouted(corpus, arrivals, "zipf")
+    assert(method == "dfcap", s"zipf corpus routed to $method")
+    // only 10 twin files after repartition(3) -> may be fewer epochs, but
+    // the stream must still have split the arrivals at least once
+    assert(nEpochs >= 1)
+    // batch member twin with the SAME df basis (the standing corpus index):
+    // the streamed scaladoc's declared semantics — arrivals cannot
+    // retroactively cap a materialized index
+    val idx = Dedup.shingleIndex(corpus, $"doc_id", $"text", 3, idName = "corpus_id")
+    val expected = Dedup.ngramJaccardAgainstIndex(idx, arrivals,
+        $"doc_id", $"text", 3, 0.5, maxDocFreq = 50L)
+      .select(col("batch_id"), col("corpus_id"), lit("dfcap").as("method"),
+        col("jaccard").as("score"))
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(expected.nonEmpty, "degenerate fixture: batch member found no pairs")
+    assert(streamed == expected,
+      s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+    // the planted twins surface through the routed pipeline
+    val planted = (1L to 400L by 40).map(b => (b + 100000L, b)).toSet
+    val found = streamed.map(h => (h._1, h._2)) & planted
+    assert(found.size.toDouble / planted.size >= 0.9,
+      s"routed dfcap lost planted twins: ${found.size}/${planted.size}")
+  }
+}

@@ -1075,6 +1075,38 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming video CONTENT hashes equal the batch operator across micro-batches") {
+    // videoContentHashes is the same stateless per-partition shape as
+    // videoMeta — sample-table frame walk + per-frame decode + temporal
+    // fold all inside one mapPartitions — so the batch operator runs
+    // unchanged on a binary-blob stream (live media ingest hashing frames
+    // as blobs arrive)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Readers.table(spark, sf, "documents")
+    val media = graft.operators.Multimodal
+      .synthVideoContentTable(docs, "doc_id", groups = 40L)
+    val staged = java.nio.file.Files.createTempDirectory("graft-vcstream").toString
+    media.repartition(3).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY, n_bytes BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = graft.operators.Multimodal.videoContentHashes(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vidcontent_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "expected multiple micro-batches")
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_frames"), r.getAs[Long]("vhash"))
+      val streamed = spark.table("vidcontent_out").collect().map(key).toSet
+      val batch = graft.operators.Multimodal.videoContentHashes(media)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming snapshot diff equals the batch operator across micro-batches") {
     // judge r11 #8: incremental q102 — v0→v1 change rows fed as a
     // multi-batch stream against the standing signature table must

@@ -376,4 +376,16 @@ class TypedApiSpec extends GraftSuite {
     // router must measure it into the dfcap branch
     assert(tr.isEmpty || tr.forall(_._3 == "dfcap"))
   }
+
+  test("typed videoContentHashes equals the relational operator (r13)") {
+    val docs = Typed.documents(spark, sf)
+    val media = graft.operators.Multimodal
+      .synthVideoContentTable(docs.toDF(), "doc_id", groups = 40L)
+      .as[graft.api.MediaBlob]
+    val typed = Typed.videoContentHashes(media)
+      .collect().map(v => (v.doc_id, v.n_frames, v.vhash)).toSet
+    val rel = graft.operators.Multimodal.videoContentHashes(media.toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(typed == rel && typed.nonEmpty)
+  }
 }
