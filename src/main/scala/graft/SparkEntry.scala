@@ -1737,6 +1737,45 @@ object SparkEntry {
       // SQL-replayable), this entry audits the STATISTICS' semantics.
       Dedup.corpusShapeReport(T(s, dir, "documents"),
         col("doc_id"), col("text"), n = 3, sampleDocs = 0)
+    }),
+
+    "q112_pmi_cooccur" -> ((s, dir) => {
+      // Phrase-pair association mining (r14 head start): which 3-gram
+      // phrases co-occur in the same document far above chance — the
+      // collocation / topic-seed statistic a curation run derives next to
+      // q61's per-source distinctive terms. Integer-exact PMI: instead of
+      // log(p_ab/(p_a·p_b)) (libm log differs across engines at the ulp),
+      // emit lift = floor(c_ab·N·10⁴ / (c_a·c_b)) — BIGINT arithmetic both
+      // engines, exact, and order-isomorphic to PMI (log is monotone).
+      // Scale posture: the df WINDOW [3, N/2] is the load-bearing bound —
+      // rare terms are support noise, head terms are boilerplate, and the
+      // cap bounds every doc's pair fan-out to (terms-in-window/doc)²
+      // (q52's df-cap posture applied to pair mining); c_ab ≥ 2 prunes
+      // post-agg; the final top-100 is TakeOrdered (no global sort).
+      // BIGINT headroom: c_ab·N·10⁴ ≤ (N/2)·N·10⁴ stays under 2⁶³ through
+      // N ≈ 10⁹ docs; a larger corpus upgrades lift to DECIMAL(38,0).
+      val docs = T(s, dir, "documents")
+      val term = docs.select(col("doc_id"),
+        explode(TextFns.shingles(col("text"), 3)).as("term"))
+      val df = term.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val vocab = df.join(broadcast(nd),
+          col("df") >= 3 && col("df") * 2 <= col("n_docs"))
+        .select(col("term"), col("df"))
+      val tv = term.join(vocab, "term")
+      tv.as("a").join(tv.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+        // df is functionally determined by term — max() reads it through
+        // the aggregate without a second join against the df relation
+        .agg(count(lit(1)).as("c_ab"),
+          max(col("a.df")).as("c_a"), max(col("b.df")).as("c_b"))
+        .filter(col("c_ab") >= 2)
+        .crossJoin(broadcast(nd))
+        .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("c_ab * n_docs * 10000L div (c_a * c_b)").as("lift"))
+        .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+        .limit(100)
     })
   )
 
@@ -3417,6 +3456,30 @@ object SparkEntry {
         |  CASE WHEN 1.0 - CAST(c.d AS DOUBLE) / c.n >= 0.3 THEN 'minhash'
         |       WHEN CAST(h.head AS DOUBLE) / h.total >= 0.5 THEN 'simhash'
         |       ELSE 'dfcap' END AS method
-        |FROM c, h""".stripMargin
+        |FROM c, h""".stripMargin,
+
+    // q112: integer-exact lift (PMI without the cross-engine libm log) —
+    // same distinct-shingle extraction as q39/q62's oracles, df window
+    // [3, N/2], support c_ab >= 2, floor division exact in BIGINT both
+    // engines; (lift, term_a, term_b) is a total order so LIMIT 100 is
+    // deterministic
+    "q112_pmi_cooccur" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS term
+        | FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        | WHERE len(words) >= 3),
+        |df AS (SELECT term, count(*) AS df FROM sh GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |v AS (SELECT term, df FROM df, nd WHERE df >= 3 AND df * 2 <= n_docs),
+        |tv AS (SELECT doc_id, term, df FROM sh JOIN v USING (term)),
+        |pr AS (SELECT a.term AS term_a, b.term AS term_b,
+        |  CAST(count(*) AS BIGINT) AS c_ab,
+        |  CAST(max(a.df) AS BIGINT) AS c_a, CAST(max(b.df) AS BIGINT) AS c_b
+        | FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term < b.term
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT term_a, term_b, c_ab, c_a, c_b,
+        | CAST((c_ab * n_docs * 10000) // (c_a * c_b) AS BIGINT) AS lift
+        |FROM pr, nd
+        |ORDER BY lift DESC, term_a, term_b LIMIT 100""".stripMargin
   )
 }

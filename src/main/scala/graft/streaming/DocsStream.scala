@@ -234,41 +234,50 @@ object DocsStream {
     * set, and (minhash/simhash, whose scoring has no corpus-df
     * dependence) ≡ the CROSS pairs of batch [[Dedup.nearDupAuto]] on
     * corpus ∪ arrivals — both spec-asserted (RoutedIngestSpec).
+    *
+    * Call [[RoutedIngest.close]] after the query stops: the standing index
+    * is a session-lifetime cached plan otherwise (the CacheManager holds it
+    * past the query, and a long-lived session accumulates one per routed
+    * stream — the same leak posture every persistIndex operator in Dedup
+    * releases before returning).
     */
+  final case class RoutedIngest(method: String, writer: DataStreamWriter[Row],
+                                close: () => Unit)
+
   def routedIngestStream(arrivals: DataFrame, id: Column, text: Column,
                          corpus: DataFrame, corpusId: Column, corpusText: Column,
                          n: Int = 3, minJaccard: Double = 0.5, maxHam: Int = 8,
                          sampleDocs: Int = 4096,
                          onHits: (DataFrame, Long) => Unit)
-      : (String, DataStreamWriter[Row]) = {
+      : RoutedIngest = {
     val shape = Dedup.corpusShape(corpus, corpusId, corpusText, n, sampleDocs)
     val method = shape.method
     // the standing artifact the dispatched member joins every micro-batch
-    // against — persisted once for the query's lifetime
-    val member: (DataFrame, Long) => DataFrame = method match {
+    // against — persisted for the query's lifetime, released by close()
+    val (idx, member): (DataFrame, (DataFrame, Long) => DataFrame) = method match {
       case "minhash" =>
         val idx = Dedup.minhashBandSigIndex(corpus, corpusId, corpusText,
           n, 32, 4).persist()
-        (batch, _) =>
+        (idx, (batch, _) =>
           Dedup.minhashAgainstIndex(idx, batch, id, text, n, 32, 4,
               minJaccard, maxBucket = 100L)
             .select(col("batch_id"), col("corpus_id"),
-              col("est_jaccard").as("score"))
+              col("est_jaccard").as("score")))
       case "simhash" =>
         val idx = Dedup.simhashSigIndex(corpus, corpusId, corpusText).persist()
-        (batch, _) =>
+        (idx, (batch, _) =>
           Dedup.simhashAgainstIndex(idx, batch, id, text, maxHam, probeBits = 1)
             .select(col("batch_id"), col("corpus_id"),
-              (lit(1.0) - col("hamming").cast("double") / 64.0).as("score"))
+              (lit(1.0) - col("hamming").cast("double") / 64.0).as("score")))
       case _ =>
         val idx = Dedup.shingleIndex(corpus, corpusId, corpusText, n,
           idName = "corpus_id").persist()
         val sizes = Dedup.indexSizes(idx)
-        (batch, _) =>
+        (idx, (batch, _) =>
           Dedup.ngramJaccardAgainstIndex(idx, batch, id, text, n, minJaccard,
               corpusSizes = Some(sizes), maxDocFreq = 50L)
             .select(col("batch_id"), col("corpus_id"),
-              col("jaccard").as("score"))
+              col("jaccard").as("score")))
     }
     val writer = arrivals.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       onHits(
@@ -277,7 +286,7 @@ object DocsStream {
             lit(method).as("method"), col("score")),
         epochId)
     }
-    (method, writer)
+    RoutedIngest(method, writer, () => { idx.unpersist(); () })
   }
 
   /** Per-window source-drift monitor at ingest, part 1 of 2 — the streaming

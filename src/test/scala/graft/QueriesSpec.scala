@@ -7,8 +7,27 @@ class QueriesSpec extends GraftSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("SURVEY §2 coverage: all 111 inventory queries are declared (50 round-1 + q51-q64 + q65-q74 + q75-q81 + q82-q95 + q96 + q97 + q98-q100 + q101-q106 + q107-q109 + q110-q111)") {
-    assert(SparkEntry.queries.size == 111, s"got ${SparkEntry.queries.size}")
+  test("SURVEY §2 coverage: all 112 inventory queries are declared (50 round-1 + q51-q64 + q65-q74 + q75-q81 + q82-q95 + q96 + q97 + q98-q100 + q101-q106 + q107-q109 + q110-q112)") {
+    assert(SparkEntry.queries.size == 112, s"got ${SparkEntry.queries.size}")
+  }
+
+  test("q112 lift invariants: support bound, df window, exact integer lift") {
+    val rows = SparkEntry.queries("q112_pmi_cooccur")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "q112 returned no pairs at sf0.001")
+    val nDocs = SparkEntry.queries("q112_pmi_cooccur")(spark, sf).sparkSession
+      .read.parquet(s"$sf/documents.parquet").count()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("term_a"), r.getAs[String]("term_b"))
+      val (cab, ca, cb) = (r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"))
+      assert(a < b, s"pair not canonically ordered: $a / $b")
+      assert(cab >= 2 && cab <= math.min(ca, cb),
+        s"support outside [2, min(df)]: c_ab=$cab c_a=$ca c_b=$cb")
+      assert(ca >= 3 && ca * 2 <= nDocs && cb >= 3 && cb * 2 <= nDocs,
+        s"df outside the [3, N/2] window: c_a=$ca c_b=$cb n=$nDocs")
+      assert(r.getAs[Long]("lift") == cab * nDocs * 10000L / (ca * cb),
+        "lift is not the exact integer floor formula")
+    }
   }
 
   test("every query runs at sf0.001 and has a stable schema") {

@@ -30,7 +30,7 @@ class RoutedIngestSpec extends GraftSuite with ShapeFixtures {
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val hits = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
     val epochs = scala.collection.mutable.Set[Long]()
-    val (method, writer) = DocsStream.routedIngestStream(
+    val routed = DocsStream.routedIngestStream(
       stream, col("doc_id"), col("text"),
       corpus, col("doc_id"), col("text"),
       onHits = (df, epoch) => hits.synchronized {
@@ -39,9 +39,14 @@ class RoutedIngestSpec extends GraftSuite with ShapeFixtures {
             col("method"), col("score"))
           .as[(Long, Long, String, Double)].collect()
       })
-    val q = writer.start()
-    try q.processAllAvailable() finally q.stop()
-    (method, epochs.size, hits.toSet)
+    val q = routed.writer.start()
+    try q.processAllAvailable() finally { q.stop(); routed.close() }
+    // close() must release the standing index — a long-lived session runs
+    // many routed streams and each leaked cached plan survives the query
+    // (this is exactly what ScaleOpsSpec's global hygiene gate tripped on)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "routedIngestStream.close() left the standing index in the CacheManager")
+    (routed.method, epochs.size, hits.toSet)
   }
 
   /** Cross pairs of a batch pair frame (doc_a < doc_b), re-oriented to the
