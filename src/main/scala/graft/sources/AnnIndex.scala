@@ -200,6 +200,8 @@ object AnnIndex {
     */
   private def cellsDirName(gen: Int) = if (gen == 0) "cells" else s"cells_g$gen"
   private def codesDirName(gen: Int) = if (gen == 0) "codes" else s"codes_g$gen"
+  private def tombsDirName(gen: Int) =
+    if (gen == 0) "tombstones" else s"tombstones_g$gen"
 
   private def parseMeta(s: String, where: String): Meta = {
     import org.json4s._
@@ -435,7 +437,27 @@ object AnnIndex {
         }
         (Some(cb), Some(cd))
     }
-    Model(meta, centroids, cells, codebook, codes)
+    // tombstones (r13): deletes are id tombstones scoped to the postings
+    // generation — applied HERE, at read time, onto the returned frames,
+    // so every consumer (searches, liveRows' knob rules, compact's folding
+    // rewrite) is delete-aware by construction. Validation above ran on the
+    // RAW components on purpose: the torn-append detector's count identity
+    // must not depend on which rows happen to be tombstoned. A model read
+    // BEFORE a delete keeps serving its pre-delete row set (same pinned-
+    // reader posture as generations) until it re-reads.
+    val tombsPath = s"$dir/${tombsDirName(meta.postingsGen)}"
+    val (liveCells, liveCodes) =
+      if (!f.exists(hp(tombsPath))) (cells, codes)
+      else {
+        val tombs = spark.read.parquet(tombsPath)
+        require(tombs.columns.toSeq == Seq(meta.idCol),
+          s"tombstones at $dir have columns ${tombs.columns.toSeq}, " +
+            s"want (${meta.idCol})")
+        (cells.join(tombs, Seq(meta.idCol), "left_anti"),
+          codes.map(_.join(tombs.select(col(meta.idCol).as("neighbor_id")),
+            Seq("neighbor_id"), "left_anti")))
+      }
+    Model(meta, centroids, liveCells, codebook, liveCodes)
   }
 
   /** Route an arriving batch into a stored index version: assign cells with
@@ -555,6 +577,45 @@ object AnnIndex {
     }
   }
 
+  /** Tombstone-DELETE ids from a version (r13 — the lifecycle's missing
+    * mutation: a production corpus retracts documents under takedown /
+    * recrawl, and before this the only path was retraining a whole new
+    * version). Appends the distinct ids to the live generation's
+    * append-only `tombstones/` directory; [[read]] applies them as an
+    * anti-join onto the postings (and codes) it returns, so searches,
+    * the liveRows knob rules, and [[compact]]'s folding rewrite all
+    * exclude deleted rows from the next read on. [[compact]] then FOLDS
+    * tombstones physically — the next generation is written from the
+    * already-filtered frames and starts with no tombstone directory —
+    * and the old generation's tombstones retire with its postings under
+    * the same one-generation grace.
+    *
+    * Contract (same single-writer rule as [[append]]/[[compact]]):
+    *  - ids are the corpus's immutable keys and are NEVER re-appended
+    *    after a delete — a tombstone suppresses EVERY posting with that
+    *    id, including one appended later (no sequence numbers; an id
+    *    that must come back is a new id or a new version);
+    *  - a model [[read]] before the delete keeps serving its pre-delete
+    *    row set until re-read (the pinned-reader posture, spec-pinned);
+    *  - deleting an id absent from the postings is a harmless no-op row.
+    *
+    * Returns the number of distinct tombstoned ids written.
+    */
+  def delete(spark: SparkSession, path: String, version: String,
+             ids: DataFrame): Long = {
+    val dir = s"$path/version=$version"
+    val f = fs(spark, path)
+    val meta = metaAt(f, dir)
+    require(ids.columns.contains(meta.idCol),
+      s"delete ids frame has columns ${ids.columns.toSeq}; the index at " +
+        s"$dir keys on ${meta.idCol}")
+    val t = ids.select(col(meta.idCol)).distinct()
+    val n = t.count()
+    if (n > 0)
+      t.write.mode("append").parquet(s"$dir/${tombsDirName(meta.postingsGen)}")
+    n
+  }
+
   /** The RETRAIN RULE's pre-append observables (see the class doc), as an
     * API so the rule is applicable without re-deriving it: call BEFORE
     * [[append]] and retrain a new version when [[DriftStats.shouldRetrain]].
@@ -644,9 +705,12 @@ object AnnIndex {
     * thousands of small files — the classic streaming-sink pathology;
     * probes then pay per-file open cost instead of per-row scan cost.
     * Rewrites cells (one file per cell directory) and codes (`codeFiles`
-    * files) with IDENTICAL content — quantizer, row set, and layout
-    * semantics unchanged, so searches before and after are the same
-    * (spec-asserted).
+    * files) with IDENTICAL live content — quantizer, live row set, and
+    * layout semantics unchanged, so searches before and after are the same
+    * (spec-asserted). [[delete]] tombstones are FOLDED here: the rewrite
+    * reads through [[read]]'s tombstone-filtered frames, so the next
+    * generation carries no tombstone directory and its postings are
+    * physically delete-free.
     *
     * SAFE UNDER LIVE READERS (r13, judge #5 — the r12 form renamed the
     * very directories a previously-returned [[Model]]'s DataFrames had
@@ -707,7 +771,9 @@ object AnnIndex {
     def postingsGenOf(name: String): Option[Int] = name match {
       case s if s.startsWith("cells_g") => s.stripPrefix("cells_g").toIntOption
       case s if s.startsWith("codes_g") => s.stripPrefix("codes_g").toIntOption
-      case "cells" | "codes" => Some(0)
+      case s if s.startsWith("tombstones_g") =>
+        s.stripPrefix("tombstones_g").toIntOption
+      case "cells" | "codes" | "tombstones" => Some(0)
       case _ => None
     }
     for (st <- f.listStatus(hp(dir)))
@@ -755,8 +821,10 @@ object AnnIndex {
   // disjoint range (e.g. negative ids) before searching.
 
   /** Live postings size — drives the fraction-rule knob defaults so recall
-    * holds as appends grow the index past `meta.corpusRows`. A count-star
-    * over parquet footers, no data read.
+    * holds as appends grow the index past `meta.corpusRows` (and shrinks
+    * with [[delete]] tombstones). Footer-only count when the generation
+    * has no tombstones; with tombstones pending it pays the anti-join —
+    * [[compact]] folds them and restores the footer-only path.
     */
   private def liveRows(model: Model): Long = model.cells.count()
 

@@ -251,6 +251,60 @@ class AnnIndexSpec extends GraftSuite {
     assert(appended.cells.count() == fresh.cells.count() + 5)
   }
 
+  test("tombstone deletes exclude ids from every search; compact folds them physically") {
+    val path = freshDir("tombs")
+    val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
+      kmeansIters = 1, pq = Some(AnnIndex.PqConfig(8, 16)))
+    AnnIndex.write(model, path, "v0001")
+    val pinned = AnnIndex.read(spark, path, Some("v0001")) // pre-delete reader
+    val totalRows = pinned.cells.count()
+
+    val doomed = embs.filter($"vec_id" % 7 === 3).select($"vec_id")
+    val doomedSet = doomed.as[Long].collect().toSet
+    val nDel = AnnIndex.delete(spark, path, "v0001", doomed)
+    assert(nDel == doomedSet.size && nDel > 0)
+
+    // probe-ALL IVF over the tombstoned index is EXACT over the remaining
+    // corpus — so the delete semantics sit under the brute-force oracle
+    val after = AnnIndex.read(spark, path, Some("v0001"))
+    assert(after.cells.count() == totalRows - nDel &&
+      after.codes.get.count() == totalRows - nDel,
+      "read must anti-join tombstones out of both postings and codes")
+    val got = rows(AnnIndex.searchIvf(after, queries, 5, nProbe = 16))
+    val remaining = embs.filter(!$"vec_id".isin(doomedSet.toSeq.map(Long.box): _*))
+    assert(got == rows(Similarity.bruteForceTopK(remaining, queries,
+      "vec_id", "embedding", 5)),
+      "probe-all search over tombstoned index must equal brute force on the remaining corpus")
+    assert(rows(AnnIndex.searchPq(after, queries, 5, candidates = 1000000))
+      .forall(r => !doomedSet.contains(r._2)),
+      "PQ search returned a tombstoned id")
+    // pinned pre-delete reader keeps serving its full row set until re-read
+    assert(pinned.cells.count() == totalRows,
+      "tombstones must apply at read time, not retroactively to pinned readers")
+
+    // compact folds: next generation is physically delete-free (no
+    // tombstone dir, shrunken raw postings), searches identical
+    AnnIndex.compact(spark, path, "v0001", codeFiles = 2)
+    val folded = AnnIndex.read(spark, path, Some("v0001"))
+    assert(folded.meta.postingsGen == 1)
+    assert(rows(AnnIndex.searchIvf(folded, queries, 5, nProbe = 16)) == got,
+      "search must be identical across the folding compact")
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names = f.listStatus(new org.apache.hadoop.fs.Path(s"$path/version=v0001"))
+      .map(_.getPath.getName).toSet
+    assert(!names.contains("tombstones_g1"),
+      s"the folded generation must start delete-free; present: $names")
+    assert(spark.read.parquet(s"$path/version=v0001/cells_g1").count() ==
+      totalRows - nDel, "folded postings must physically drop tombstoned rows")
+    // the birth generation's tombstones retire with its postings (grace =
+    // one generation, same lifecycle as cells/codes)
+    assert(names.contains("tombstones"), "grace generation keeps its tombstones")
+    AnnIndex.compact(spark, path, "v0001", codeFiles = 2)
+    assert(!names.contains("tombstones"),
+      "two compacts later the birth tombstones must be retired")
+  }
+
   test("typed annTopKStored equals the typed inline IVF search on a stored index") {
     val path = freshDir("typed")
     val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,
