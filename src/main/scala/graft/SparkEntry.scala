@@ -1754,28 +1754,8 @@ object SparkEntry {
       // post-agg; the final top-100 is TakeOrdered (no global sort).
       // BIGINT headroom: c_ab·N·10⁴ ≤ (N/2)·N·10⁴ stays under 2⁶³ through
       // N ≈ 10⁹ docs; a larger corpus upgrades lift to DECIMAL(38,0).
-      val docs = T(s, dir, "documents")
-      val term = docs.select(col("doc_id"),
-        explode(TextFns.shingles(col("text"), 3)).as("term"))
-      val df = term.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val nd = docs.agg(count(lit(1)).as("n_docs"))
-      val vocab = df.join(broadcast(nd),
-          col("df") >= 3 && col("df") * 2 <= col("n_docs"))
-        .select(col("term"), col("df"))
-      val tv = term.join(vocab, "term")
-      tv.as("a").join(tv.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
-        .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
-        // df is functionally determined by term — max() reads it through
-        // the aggregate without a second join against the df relation
-        .agg(count(lit(1)).as("c_ab"),
-          max(col("a.df")).as("c_a"), max(col("b.df")).as("c_b"))
-        .filter(col("c_ab") >= 2)
-        .crossJoin(broadcast(nd))
-        .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"), col("c_b"),
-          expr("c_ab * n_docs * 10000L div (c_a * c_b)").as("lift"))
-        .orderBy(col("lift").desc, col("term_a"), col("term_b"))
-        .limit(100)
+      Scoring.pmiPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, minDf = 3L, minSupport = 2L, topK = 100)
     })
   )
 

@@ -162,6 +162,12 @@ case class AudioHash(doc_id: Long, ahash: Long, sample_rate: Long,
 case class SweepPoint(score: Long, n_docs_at: Long, n_docs_kept: Long,
                       weight_kept: Long)
 
+/** One mined phrase co-occurrence (the q112 row, typed): `c_ab` docs
+  * contain both phrases, `lift` = floor(c_ab·N·10⁴/(c_a·c_b)).
+  */
+case class PmiPair(term_a: String, term_b: String, c_ab: Long,
+                   c_a: Long, c_b: Long, lift: Long)
+
 object Typed {
 
   def events(spark: SparkSession, dir: String): Dataset[Event] = {
@@ -551,6 +557,18 @@ object Typed {
   def audioHashes(media: Dataset[MediaBlob]): Dataset[AudioHash] = {
     import media.sparkSession.implicits._
     graft.operators.Multimodal.audioHashes(media.toDF()).as[AudioHash]
+  }
+
+  /** Phrase-pair association mining, typed ([[graft.operators.Scoring
+    * .pmiPairs]] — integer-exact lift, df-window-bounded pair fan-out,
+    * TakeOrdered top-k).
+    */
+  def pmiPairs(ds: Dataset[Document], n: Int = 3, minDf: Long = 3L,
+               minSupport: Long = 2L, topK: Int = 100): Dataset[PmiPair] = {
+    import ds.sparkSession.implicits._
+    graft.operators.Scoring.pmiPairs(ds.toDF(), col("doc_id"), textOrEmpty,
+        n, minDf, minSupport, topK)
+      .as[PmiPair]
   }
 
   /** IVF search against a STORED index version

@@ -577,4 +577,49 @@ object Scoring {
             when(col(nm) === maxL, lit(nm)).otherwise(rest)
           }))
   }
+
+  /** Phrase-pair association mining (q112): which word-`n`-gram phrases
+    * co-occur in the same document far above chance — the collocation /
+    * topic-seed statistic a curation run derives next to the per-source
+    * distinctive terms (q61). Scored by INTEGER-EXACT lift
+    * `floor(c_ab·N·10⁴ / (c_a·c_b))` rather than `log` PMI: BIGINT
+    * arithmetic is bit-identical across engines (libm log differs at the
+    * ulp and a rounding cut could flip top-k membership) and log is
+    * monotone, so the lift ORDER is the PMI order.
+    *
+    * Scale posture: the df window [minDf, N/2] is the load-bearing bound —
+    * sub-`minDf` terms are support noise, above-N/2 terms are boilerplate,
+    * and the cap bounds every document's pair fan-out to
+    * (terms-in-window per doc)² (the q52 df-cap posture applied to pair
+    * mining); `minSupport` prunes post-aggregation; the `topK` cut is
+    * planned as TakeOrdered on the TOTAL order (lift, term_a, term_b) —
+    * deterministic, no global sort. BIGINT headroom: c_ab·N·10⁴ stays
+    * under 2⁶³ through N ≈ 10⁹ docs; a larger corpus upgrades lift to
+    * DECIMAL(38,0).
+    */
+  def pmiPairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+               minDf: Long = 3L, minSupport: Long = 2L,
+               topK: Int = 100): DataFrame = {
+    val term = docs.select(id.as("doc_id"),
+      explode(TextFns.shingles(text, n)).as("term"))
+    val df = term.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val vocab = df.join(broadcast(nd),
+        col("df") >= minDf && col("df") * 2 <= col("n_docs"))
+      .select(col("term"), col("df"))
+    val tv = term.join(vocab, "term")
+    tv.as("a").join(tv.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      // df is functionally determined by term — max() reads it through
+      // the aggregate without a second join against the df relation
+      .agg(count(lit(1)).as("c_ab"),
+        max(col("a.df")).as("c_a"), max(col("b.df")).as("c_b"))
+      .filter(col("c_ab") >= minSupport)
+      .crossJoin(broadcast(nd))
+      .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("c_ab * n_docs * 10000L div (c_a * c_b)").as("lift"))
+      .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+      .limit(topK)
+  }
 }

@@ -388,4 +388,17 @@ class TypedApiSpec extends GraftSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(typed == rel && typed.nonEmpty)
   }
+
+  test("typed pmiPairs equals the relational operator and tolerates null text (r13)") {
+    val docs = Typed.documents(spark, sf)
+    val typed = Typed.pmiPairs(docs, n = 3, minDf = 2L, minSupport = 2L, topK = 50)
+      .collect().map(p => (p.term_a, p.term_b, p.c_ab, p.c_a, p.c_b, p.lift)).toSet
+    val rel = graft.operators.Scoring.pmiPairs(docs.toDF(),
+        col("doc_id"), col("text"), n = 3, minDf = 2L, minSupport = 2L, topK = 50)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(typed == rel && typed.nonEmpty)
+    // null text routes through the empty-doc contract, never NPEs
+    val withNull = docs.map(d => if (d.doc_id == 1L) d.copy(text = null) else d)
+    assert(Typed.pmiPairs(withNull, minDf = 2L).collect() != null)
+  }
 }
