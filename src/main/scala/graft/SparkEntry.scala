@@ -1747,15 +1747,17 @@ object SparkEntry {
       // log(p_ab/(p_a·p_b)) (libm log differs across engines at the ulp),
       // emit lift = floor(c_ab·N·10⁴ / (c_a·c_b)) — BIGINT arithmetic both
       // engines, exact, and order-isomorphic to PMI (log is monotone).
-      // Scale posture: the df WINDOW [3, N/2] is the load-bearing bound —
-      // rare terms are support noise, head terms are boilerplate, and the
-      // cap bounds every doc's pair fan-out to (terms-in-window/doc)²
-      // (q52's df-cap posture applied to pair mining); c_ab ≥ 2 prunes
-      // post-agg; the final top-100 is TakeOrdered (no global sort).
-      // BIGINT headroom: c_ab·N·10⁴ ≤ (N/2)·N·10⁴ stays under 2⁶³ through
-      // N ≈ 10⁹ docs; a larger corpus upgrades lift to DECIMAL(38,0).
+      // Scale posture: the df WINDOW [3, min(50, N/2)] is the load-bearing
+      // bound — rare terms are support noise, head terms boilerplate, and
+      // the ABSOLUTE 50-cap bounds every doc's pair fan-out by its
+      // distinctive terms at any corpus size (q52's production df cap; the
+      // relative N/2 guard alone stops binding as N grows — measured 570 s
+      // uncapped vs seconds capped at sf10); c_ab ≥ 2 prunes post-agg; the
+      // final top-100 is TakeOrdered (no global sort). BIGINT headroom:
+      // c_ab·N·10⁴ stays under 2⁶³ through N ≈ 10⁹ docs; a larger corpus
+      // upgrades lift to DECIMAL(38,0).
       Scoring.pmiPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
-        n = 3, minDf = 3L, minSupport = 2L, topK = 100)
+        n = 3, minDf = 3L, maxDf = 50L, minSupport = 2L, topK = 100)
     })
   )
 
@@ -3440,9 +3442,9 @@ object SparkEntry {
 
     // q112: integer-exact lift (PMI without the cross-engine libm log) —
     // same distinct-shingle extraction as q39/q62's oracles, df window
-    // [3, N/2], support c_ab >= 2, floor division exact in BIGINT both
-    // engines; (lift, term_a, term_b) is a total order so LIMIT 100 is
-    // deterministic
+    // [3, min(50, N/2)], support c_ab >= 2, floor division exact in BIGINT
+    // both engines; (lift, term_a, term_b) is a total order so LIMIT 100
+    // is deterministic
     "q112_pmi_cooccur" ->
       """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS term
@@ -3450,7 +3452,8 @@ object SparkEntry {
         | WHERE len(words) >= 3),
         |df AS (SELECT term, count(*) AS df FROM sh GROUP BY 1),
         |nd AS (SELECT count(*) AS n_docs FROM documents),
-        |v AS (SELECT term, df FROM df, nd WHERE df >= 3 AND df * 2 <= n_docs),
+        |v AS (SELECT term, df FROM df, nd
+        | WHERE df >= 3 AND df <= 50 AND df * 2 <= n_docs),
         |tv AS (SELECT doc_id, term, df FROM sh JOIN v USING (term)),
         |pr AS (SELECT a.term AS term_a, b.term AS term_b,
         |  CAST(count(*) AS BIGINT) AS c_ab,

@@ -564,10 +564,11 @@ object Typed {
     * TakeOrdered top-k).
     */
   def pmiPairs(ds: Dataset[Document], n: Int = 3, minDf: Long = 3L,
-               minSupport: Long = 2L, topK: Int = 100): Dataset[PmiPair] = {
+               maxDf: Long = 50L, minSupport: Long = 2L,
+               topK: Int = 100): Dataset[PmiPair] = {
     import ds.sparkSession.implicits._
     graft.operators.Scoring.pmiPairs(ds.toDF(), col("doc_id"), textOrEmpty,
-        n, minDf, minSupport, topK)
+        n, minDf, maxDf, minSupport, topK)
       .as[PmiPair]
   }
 

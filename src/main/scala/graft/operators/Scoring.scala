@@ -587,25 +587,29 @@ object Scoring {
     * ulp and a rounding cut could flip top-k membership) and log is
     * monotone, so the lift ORDER is the PMI order.
     *
-    * Scale posture: the df window [minDf, N/2] is the load-bearing bound —
-    * sub-`minDf` terms are support noise, above-N/2 terms are boilerplate,
-    * and the cap bounds every document's pair fan-out to
-    * (terms-in-window per doc)² (the q52 df-cap posture applied to pair
-    * mining); `minSupport` prunes post-aggregation; the `topK` cut is
+    * Scale posture: the df window [minDf, min(maxDf, N/2)] is the
+    * load-bearing bound — sub-`minDf` terms are support noise, the head is
+    * boilerplate, and the ABSOLUTE `maxDf` cap bounds every document's
+    * pair fan-out by its genuinely-distinctive terms at ANY corpus size
+    * (the q52 df-cap posture applied to pair mining; the relative N/2
+    * guard alone stops binding as N grows — the first sf10 sweep measured
+    * the uncapped window at 570 s where the 50-cap config runs in
+    * seconds). `minSupport` prunes post-aggregation; the `topK` cut is
     * planned as TakeOrdered on the TOTAL order (lift, term_a, term_b) —
     * deterministic, no global sort. BIGINT headroom: c_ab·N·10⁴ stays
     * under 2⁶³ through N ≈ 10⁹ docs; a larger corpus upgrades lift to
     * DECIMAL(38,0).
     */
   def pmiPairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
-               minDf: Long = 3L, minSupport: Long = 2L,
+               minDf: Long = 3L, maxDf: Long = 50L, minSupport: Long = 2L,
                topK: Int = 100): DataFrame = {
     val term = docs.select(id.as("doc_id"),
       explode(TextFns.shingles(text, n)).as("term"))
     val df = term.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     val vocab = df.join(broadcast(nd),
-        col("df") >= minDf && col("df") * 2 <= col("n_docs"))
+        col("df") >= minDf && col("df") <= maxDf &&
+          col("df") * 2 <= col("n_docs"))
       .select(col("term"), col("df"))
     val tv = term.join(vocab, "term")
     tv.as("a").join(tv.as("b"),

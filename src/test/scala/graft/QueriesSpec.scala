@@ -23,8 +23,9 @@ class QueriesSpec extends GraftSuite {
       assert(a < b, s"pair not canonically ordered: $a / $b")
       assert(cab >= 2 && cab <= math.min(ca, cb),
         s"support outside [2, min(df)]: c_ab=$cab c_a=$ca c_b=$cb")
-      assert(ca >= 3 && ca * 2 <= nDocs && cb >= 3 && cb * 2 <= nDocs,
-        s"df outside the [3, N/2] window: c_a=$ca c_b=$cb n=$nDocs")
+      assert(ca >= 3 && ca <= 50 && ca * 2 <= nDocs &&
+        cb >= 3 && cb <= 50 && cb * 2 <= nDocs,
+        s"df outside the [3, min(50, N/2)] window: c_a=$ca c_b=$cb n=$nDocs")
       assert(r.getAs[Long]("lift") == cab * nDocs * 10000L / (ca * cb),
         "lift is not the exact integer floor formula")
     }

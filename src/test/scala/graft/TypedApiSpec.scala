@@ -394,7 +394,8 @@ class TypedApiSpec extends GraftSuite {
     val typed = Typed.pmiPairs(docs, n = 3, minDf = 2L, minSupport = 2L, topK = 50)
       .collect().map(p => (p.term_a, p.term_b, p.c_ab, p.c_a, p.c_b, p.lift)).toSet
     val rel = graft.operators.Scoring.pmiPairs(docs.toDF(),
-        col("doc_id"), col("text"), n = 3, minDf = 2L, minSupport = 2L, topK = 50)
+        col("doc_id"), col("text"), n = 3, minDf = 2L, maxDf = 50L,
+        minSupport = 2L, topK = 50)
       .as[(String, String, Long, Long, Long, Long)].collect().toSet
     assert(typed == rel && typed.nonEmpty)
     // null text routes through the empty-doc contract, never NPEs
