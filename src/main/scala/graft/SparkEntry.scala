@@ -1755,9 +1755,31 @@ object SparkEntry {
       // uncapped vs seconds capped at sf10); c_ab ≥ 2 prunes post-agg; the
       // final top-100 is TakeOrdered (no global sort). BIGINT headroom:
       // c_ab·N·10⁴ stays under 2⁶³ through N ≈ 10⁹ docs; a larger corpus
-      // upgrades lift to DECIMAL(38,0).
+      // upgrades lift to DECIMAL(38,0). N enters as a LITERAL via the
+      // memoized docsCount (r14): the r13 1-row-broadcast shape planned two
+      // BroadcastNestedLoopJoins and tripped PlanSpec's nested-loop gate.
       Scoring.pmiPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
-        n = 3, minDf = 3L, maxDf = 50L, minSupport = 2L, topK = 100)
+        n = 3, minDf = 3L, maxDf = 50L, minSupport = 2L, topK = 100,
+        nDocs = Some(docsCount(s, dir)))
+    }),
+
+    "q113_audio_neardup" -> ((s, dir) => {
+      // Audio near-dup as a driver-checked contract entry (r14, judge
+      // task 6 — the one modality whose near-dup stage was spec-only):
+      // q105's real-WAV decode path feeds the shared hashNearDups kernel
+      // (q104's oracle-checked banding + cap + hamming). Template groups
+      // plant ~12-way duplicate multiplicity at every SF; the +2048 bump
+      // on every 16th segment gives bumped-vs-unbumped same-template
+      // pairs a small nonzero hamming, exercising the confirm threshold
+      // from both sides. Every stage — analytic segment formula, envelope
+      // hash, banding, bucket cap, hamming — is reproduced flat by the
+      // DuckDB oracle.
+      val docs = T(s, dir, "documents")
+      val groups = math.max(40L, docsCount(s, dir) / 12L)
+      Multimodal.audioNearDups(
+          Multimodal.synthAudioTable(docs, "doc_id", groups),
+          maxHamming = 8, maxBucket = 50)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -3463,6 +3485,38 @@ object SparkEntry {
         |SELECT term_a, term_b, c_ab, c_a, c_b,
         | CAST((c_ab * n_docs * 10000) // (c_a * c_b) AS BIGINT) AS lift
         |FROM pr, nd
-        |ORDER BY lift DESC, term_a, term_b LIMIT 100""".stripMargin
+        |ORDER BY lift DESC, term_a, term_b LIMIT 100""".stripMargin,
+
+    // q113: the q105 analytic segment formula keyed on the TEMPLATE
+    // (doc_id % groups) plus the bump, then q104's banding/cap/hamming
+    // verbatim over the resulting 64-bit envelope hashes — never a WAV
+    // byte touched on the oracle side
+    "q113_audio_neardup" ->
+      """WITH g AS (SELECT greatest(40, (SELECT count(*) FROM documents) // 12) AS grp),
+        |seg AS (SELECT d.doc_id, s,
+        |  CAST(concat('0x', substr(md5(concat(d.doc_id % g.grp, ':', s)), 1, 4))
+        |   AS BIGINT) % 16384
+        |   + CASE WHEN d.doc_id % 5 = 0 AND s % 16 = 0 THEN 2048 ELSE 0 END AS a
+        | FROM documents d CROSS JOIN g CROSS JOIN range(65) rs(s)),
+        |bits AS (SELECT a.doc_id, CAST(a.s AS INTEGER) AS bit
+        | FROM seg a JOIN seg b ON a.doc_id = b.doc_id AND b.s = a.s + 1
+        | WHERE a.a > b.a),
+        |h AS (SELECT d.doc_id,
+        |  coalesce(bit_or(CASE WHEN bit = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |    ELSE CAST(1 AS BIGINT) << bit END), 0) AS ahash
+        | FROM documents d LEFT JOIN bits USING (doc_id) GROUP BY 1),
+        |banded0 AS (SELECT doc_id, ahash,
+        |  b * 65536 + ((ahash >> CAST(16 * b AS INTEGER)) & 65535) AS bk
+        | FROM h CROSS JOIN range(4) rb(b)),
+        |banded AS (SELECT doc_id, ahash, bk FROM (
+        |  SELECT doc_id, ahash, bk, count(*) OVER (PARTITION BY bk) AS bc
+        |  FROM banded0)
+        | WHERE bc <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.ahash AS ha, b.ahash AS hb
+        | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+        |ORDER BY 1, 2""".stripMargin
   )
 }

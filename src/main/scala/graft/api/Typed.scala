@@ -561,14 +561,17 @@ object Typed {
 
   /** Phrase-pair association mining, typed ([[graft.operators.Scoring
     * .pmiPairs]] — integer-exact lift, df-window-bounded pair fan-out,
-    * TakeOrdered top-k).
+    * TakeOrdered top-k). Pass `nDocs` when the corpus count is already
+    * known to keep the builder lazy; otherwise one count job runs up
+    * front (N enters the plan as a literal either way — see the operator
+    * scaladoc).
     */
   def pmiPairs(ds: Dataset[Document], n: Int = 3, minDf: Long = 3L,
                maxDf: Long = 50L, minSupport: Long = 2L,
-               topK: Int = 100): Dataset[PmiPair] = {
+               topK: Int = 100, nDocs: Option[Long] = None): Dataset[PmiPair] = {
     import ds.sparkSession.implicits._
     graft.operators.Scoring.pmiPairs(ds.toDF(), col("doc_id"), textOrEmpty,
-        n, minDf, maxDf, minSupport, topK)
+        n, minDf, maxDf, minSupport, topK, nDocs)
       .as[PmiPair]
   }
 

@@ -55,7 +55,7 @@ object Dedup {
     * `persist()`ed DataFrames, which `unpersist` does release via the
     * CacheManager — unlike localCheckpoint blocks, see [[Checkpoints]].)
     */
-  private def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
+  private[operators] def materializeAndRelease(result: DataFrame, caches: DataFrame*): DataFrame = {
     // try/finally: the checkpoint executes the plan — a mid-run failure
     // must still release the persisted index (a leaked CacheManager entry
     // outlives the operator and poisons the session)

@@ -548,23 +548,35 @@ object Multimodal {
     * [[synthImageTable]]'s analytic-oracle trick: the payload goes through
     * the real RIFF walk → PCM parse → envelope hash while a flat SQL
     * oracle computes the expected hash from the formula without touching
-    * a WAV byte. Per-doc (no template groups): q105 certifies the decode
-    * loop; near-dup blocking is q104's already-oracle-checked kernel.
+    * a WAV byte. `groups = 0` (q105's config) keys segments on the doc id
+    * itself — per-doc distinct envelopes, certifying the decode loop.
+    * `groups > 0` (q113) keys them on `doc_id % groups` — planted
+    * duplicate multiplicity for the near-dup stage, with a +2048 bump on
+    * segments `s % 16 == 0` for `doc_id % 5 == 0` so bumped-vs-unbumped
+    * same-template pairs sit a small nonzero hamming apart (the
+    * synthImageTable +40-bump idiom: the bump perturbs at most the 7
+    * envelope comparisons adjacent to a bumped segment, so the confirm
+    * stage is exercised on both sides of the threshold).
     */
-  def synthAudioTable(docs: DataFrame, idCol: String): DataFrame = {
+  def synthAudioTable(docs: DataFrame, idCol: String,
+                      groups: Long = 0L): DataFrame = {
+    require(groups >= 0, s"synthAudioTable: groups must be >= 0, got $groups")
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     docs.select(col(idCol).cast("long").as("doc_id"))
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val id = r.getLong(0)
+          val tpl = if (groups == 0L) id else ((id % groups) + groups) % groups
+          val bump = groups > 0L && id % 5 == 0
           val pcm = new Array[Short](650)
           var s = 0
           while (s < 65) {
-            val d = md.digest(s"$id:$s".getBytes("UTF-8"))
-            val a = ((((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 16384).toShort
+            val d = md.digest(s"$tpl:$s".getBytes("UTF-8"))
+            var a = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 16384
+            if (bump && s % 16 == 0) a += 2048
             var f = 0
-            while (f < 10) { pcm(s * 10 + f) = a; f += 1 }
+            while (f < 10) { pcm(s * 10 + f) = a.toShort; f += 1 }
             s += 1
           }
           val payload = encodeWav(pcm, 8000, 1)
@@ -855,6 +867,17 @@ object Multimodal {
   def imageNearDups(media: DataFrame, maxHamming: Int,
                     maxBucket: Int = 50): DataFrame =
     hashNearDups(imageHashes(media), "doc_id", "dhash", maxHamming, maxBucket)
+
+  /** Banded envelope-hash near-dup over audio content (q113): the
+    * [[hashNearDups]] blocking kernel over [[audioHashes]] — the audio
+    * rung of the per-modality near-dup set (image q104, video q110's
+    * family). Same 100 TB posture: 4×16-bit band blocking proposes,
+    * the oracle-checked bucket cap bounds degenerate cliques, exact
+    * hamming confirms.
+    */
+  def audioNearDups(media: DataFrame, maxHamming: Int,
+                    maxBucket: Int = 50): DataFrame =
+    hashNearDups(audioHashes(media), "doc_id", "ahash", maxHamming, maxBucket)
 
   def decodeBatched(media: DataFrame, batchSize: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)

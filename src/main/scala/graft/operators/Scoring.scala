@@ -599,20 +599,35 @@ object Scoring {
     * deterministic, no global sort. BIGINT headroom: c_ab·N·10⁴ stays
     * under 2⁶³ through N ≈ 10⁹ docs; a larger corpus upgrades lift to
     * DECIMAL(38,0).
+    *
+    * N (document count) enters the plan as a LITERAL, not a 1-row
+    * broadcast relation: both its uses — the relative df guard and the
+    * lift numerator — are scalar, so joining a 1-row aggregate (the r13
+    * shape) planned two BroadcastNestedLoopJoins that tripped PlanSpec's
+    * nested-loop gate for zero benefit. Pass `nDocs` (e.g. a memoized
+    * corpus count — SparkEntry.docsCount) to keep the builder lazy;
+    * otherwise the builder runs one count job up front (parquet
+    * metadata-only at any scale).
     */
   def pmiPairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
                minDf: Long = 3L, maxDf: Long = 50L, minSupport: Long = 2L,
-               topK: Int = 100): DataFrame = {
+               topK: Int = 100, nDocs: Option[Long] = None,
+               persistIndex: Boolean = false): DataFrame = {
+    val nd = nDocs.getOrElse(docs.agg(count(lit(1))).head.getLong(0))
+    val dfHi = math.min(maxDf, nd / 2)
     val term = docs.select(id.as("doc_id"),
       explode(TextFns.shingles(text, n)).as("term"))
-    val df = term.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nd = docs.agg(count(lit(1)).as("n_docs"))
-    val vocab = df.join(broadcast(nd),
-        col("df") >= minDf && col("df") <= maxDf &&
-          col("df") * 2 <= col("n_docs"))
-      .select(col("term"), col("df"))
-    val tv = term.join(vocab, "term")
-    tv.as("a").join(tv.as("b"),
+    val vocab = term.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= dfHi)
+    // tv is df-capped — at most dfHi rows per vocab term — so persisting it
+    // is bounded at ANY corpus size. persistIndex=true shingles the corpus
+    // ONCE and checkpoints tv before the self-join (the q23
+    // persist-when-capped posture); false relies on the self-join's two
+    // sides sharing one exchange (reuse) when both shuffle on doc_id — the
+    // measured winner is recorded at the contract call site.
+    val tvRaw = term.join(vocab, "term")
+    val tv = if (persistIndex) tvRaw.persist() else tvRaw
+    val result = tv.as("a").join(tv.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
       .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
       // df is functionally determined by term — max() reads it through
@@ -620,10 +635,10 @@ object Scoring {
       .agg(count(lit(1)).as("c_ab"),
         max(col("a.df")).as("c_a"), max(col("b.df")).as("c_b"))
       .filter(col("c_ab") >= minSupport)
-      .crossJoin(broadcast(nd))
       .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"), col("c_b"),
-        expr("c_ab * n_docs * 10000L div (c_a * c_b)").as("lift"))
+        expr(s"c_ab * ${nd}L * 10000L div (c_a * c_b)").as("lift"))
       .orderBy(col("lift").desc, col("term_a"), col("term_b"))
       .limit(topK)
+    if (persistIndex) Dedup.materializeAndRelease(result, tv) else result
   }
 }

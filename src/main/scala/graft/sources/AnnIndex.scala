@@ -446,10 +446,22 @@ object AnnIndex {
     // BEFORE a delete keeps serving its pre-delete row set (same pinned-
     // reader posture as generations) until it re-reads.
     val tombsPath = s"$dir/${tombsDirName(meta.postingsGen)}"
+    // each [[delete]] lands as one staged-then-renamed `batch-*` subdir, so
+    // a batch is either fully visible or not at all; `.staging` leftovers
+    // from a crashed delete are invisible here (and reaped by the next
+    // delete). Legacy flat part files (pre-r14 deletes) are read alongside.
+    val tombBatchPaths: Seq[String] =
+      if (!f.exists(hp(tombsPath))) Seq.empty
+      else f.listStatus(hp(tombsPath)).toSeq.collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("batch-") &&
+          !s.getPath.getName.endsWith(".staging") => s.getPath.toString
+        case s if s.isFile && s.getPath.getName.startsWith("part-") =>
+          s.getPath.toString
+      }
     val (liveCells, liveCodes) =
-      if (!f.exists(hp(tombsPath))) (cells, codes)
+      if (tombBatchPaths.isEmpty) (cells, codes)
       else {
-        val tombs = spark.read.parquet(tombsPath)
+        val tombs = spark.read.parquet(tombBatchPaths: _*)
         require(tombs.columns.toSeq == Seq(meta.idCol),
           s"tombstones at $dir have columns ${tombs.columns.toSeq}, " +
             s"want (${meta.idCol})")
@@ -599,6 +611,14 @@ object AnnIndex {
     *    row set until re-read (the pinned-reader posture, spec-pinned);
     *  - deleting an id absent from the postings is a harmless no-op row.
     *
+    * Durability (advisor r13): the batch is written to a `.staging` name
+    * and RENAMED into place, so a crash mid-write leaves only an invisible
+    * staging dir — [[read]] never applies a partial tombstone set (the
+    * cells/codes staged-rename posture). The ids frame is materialized
+    * ONCE (localCheckpoint) before counting and writing, so the returned
+    * count always describes the durable tombstone set even when the input
+    * plan is nondeterministic (sample/limit).
+    *
     * Returns the number of distinct tombstoned ids written.
     */
   def delete(spark: SparkSession, path: String, version: String,
@@ -609,11 +629,28 @@ object AnnIndex {
     require(ids.columns.contains(meta.idCol),
       s"delete ids frame has columns ${ids.columns.toSeq}; the index at " +
         s"$dir keys on ${meta.idCol}")
-    val t = ids.select(col(meta.idCol)).distinct()
-    val n = t.count()
-    if (n > 0)
-      t.write.mode("append").parquet(s"$dir/${tombsDirName(meta.postingsGen)}")
-    n
+    val t = ids.select(col(meta.idCol)).distinct().localCheckpoint()
+    val blocks = t.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    try {
+      val n = t.count()
+      if (n > 0) {
+        val tombsDir = s"$dir/${tombsDirName(meta.postingsGen)}"
+        // reap staging leftovers from a crashed earlier delete (never
+        // promoted, so never read — safe to drop under the single-writer
+        // contract)
+        if (f.exists(hp(tombsDir)))
+          f.listStatus(hp(tombsDir)).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.endsWith(".staging"))
+            .foreach(s => f.delete(s.getPath, true))
+        val batch = s"$tombsDir/batch-${java.util.UUID.randomUUID}"
+        t.write.mode("overwrite").parquet(s"$batch.staging")
+        require(f.rename(hp(s"$batch.staging"), hp(batch)),
+          s"delete: staging rename into $batch failed")
+      }
+      n
+    } finally blocks.foreach(_.unpersist(blocking = false))
   }
 
   /** The RETRAIN RULE's pre-append observables (see the class doc), as an

@@ -305,6 +305,42 @@ class AnnIndexSpec extends GraftSuite {
       "two compacts later the birth tombstones must be retired")
   }
 
+  test("delete is staged-rename durable: an unpromoted staging batch is invisible and reaped; the returned count matches the durable set (r14)") {
+    val path = freshDir("tombstage")
+    val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 8,
+      kmeansIters = 1, pq = None)
+    AnnIndex.write(model, path, "v0001")
+    val total = AnnIndex.read(spark, path, Some("v0001")).cells.count()
+    val n1 = AnnIndex.delete(spark, path, "v0001",
+      embs.filter($"vec_id" % 10 === 0).select($"vec_id"))
+    // simulate a crash mid-delete: a VALID parquet batch written to its
+    // staging name but never promoted by the rename
+    val tombsDir = s"$path/version=v0001/tombstones"
+    embs.filter($"vec_id" % 10 === 1).select($"vec_id")
+      .write.parquet(s"$tombsDir/batch-crashed.staging")
+    assert(AnnIndex.read(spark, path, Some("v0001")).cells.count() == total - n1,
+      "an unpromoted staging batch must not be applied as tombstones")
+    // the next delete reaps the leftover and lands its own atomic batch
+    val n2 = AnnIndex.delete(spark, path, "v0001",
+      embs.filter($"vec_id" % 10 === 1).select($"vec_id"))
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchNames = f.listStatus(new org.apache.hadoop.fs.Path(tombsDir))
+      .map(_.getPath.getName).filter(_.startsWith("batch-")).toSet
+    assert(!batchNames.exists(_.endsWith(".staging")),
+      s"staging leftover not reaped: $batchNames")
+    assert(batchNames.size == 2, s"expected two promoted batches: $batchNames")
+    assert(AnnIndex.read(spark, path, Some("v0001")).cells.count() == total - n1 - n2)
+    // nondeterministic ids plan (sample): the returned count must describe
+    // the batch actually written, not a re-evaluation of the input
+    val before = batchNames
+    val n3 = AnnIndex.delete(spark, path, "v0001",
+      embs.select($"vec_id").sample(0.3, seed = 14L))
+    val newBatch = (batchNames -- before).head
+    assert(spark.read.parquet(s"$tombsDir/$newBatch").count() == n3,
+      "reported delete count must equal the durable tombstone batch's rows")
+  }
+
   test("typed annTopKStored equals the typed inline IVF search on a stored index") {
     val path = freshDir("typed")
     val model = AnnIndex.build(embs, "vec_id", "embedding", numCells = 16,

@@ -7,16 +7,17 @@ class QueriesSpec extends GraftSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("SURVEY §2 coverage: all 112 inventory queries are declared (50 round-1 + q51-q64 + q65-q74 + q75-q81 + q82-q95 + q96 + q97 + q98-q100 + q101-q106 + q107-q109 + q110-q112)") {
-    assert(SparkEntry.queries.size == 112, s"got ${SparkEntry.queries.size}")
+  test("SURVEY §2 coverage: all 113 inventory queries are declared (50 round-1 + q51-q64 + q65-q74 + q75-q81 + q82-q95 + q96 + q97 + q98-q100 + q101-q106 + q107-q109 + q110-q112 + q113)") {
+    assert(SparkEntry.queries.size == 113, s"got ${SparkEntry.queries.size}")
   }
 
   test("q112 lift invariants: support bound, df window, exact integer lift") {
     val rows = SparkEntry.queries("q112_pmi_cooccur")(spark, sf)
       .collect()
     assert(rows.nonEmpty, "q112 returned no pairs at sf0.001")
-    val nDocs = SparkEntry.queries("q112_pmi_cooccur")(spark, sf).sparkSession
-      .read.parquet(s"$sf/documents.parquet").count()
+    // same reader as the query itself (advisor r13: a hand-built
+    // "$sf/documents.parquet" path duplicated the table-layout knowledge)
+    val nDocs = graft.sources.Readers.table(spark, sf, "documents").count()
     rows.foreach { r =>
       val (a, b) = (r.getAs[String]("term_a"), r.getAs[String]("term_b"))
       val (cab, ca, cb) = (r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"))

@@ -398,8 +398,14 @@ class TypedApiSpec extends GraftSuite {
         minSupport = 2L, topK = 50)
       .as[(String, String, Long, Long, Long, Long)].collect().toSet
     assert(typed == rel && typed.nonEmpty)
-    // null text routes through the empty-doc contract, never NPEs
+    // null text routes through the empty-doc contract: a null-text doc
+    // contributes exactly what an empty-text doc contributes (advisor r13:
+    // the old `!= null` assert was vacuous — collect never returns null)
     val withNull = docs.map(d => if (d.doc_id == 1L) d.copy(text = null) else d)
-    assert(Typed.pmiPairs(withNull, minDf = 2L).collect() != null)
+    val withEmpty = docs.map(d => if (d.doc_id == 1L) d.copy(text = "") else d)
+    val pairsOf = (ds: org.apache.spark.sql.Dataset[graft.api.Document]) =>
+      Typed.pmiPairs(ds, minDf = 2L)
+        .collect().map(p => (p.term_a, p.term_b, p.c_ab, p.c_a, p.c_b, p.lift)).toSet
+    assert(pairsOf(withNull) == pairsOf(withEmpty))
   }
 }
