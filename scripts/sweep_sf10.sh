@@ -61,7 +61,12 @@ python3 - "$LOG" "$DEST" "$SF10_DIR" "$TIMEOUT" <<'EOF'
 import json, re, sys
 log, dest, sf_dir, timeout = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
 out, n_ok, n_to, n_fail = {}, 0, 0, 0
+io_mbps = None
 for line in open(log):
+    m = re.match(r"IOCANARY mbps=([\d.-]+)", line)
+    if m:
+        io_mbps = float(m.group(1))
+        continue
     m = re.match(r"OK\s+(\S+)\s+rows=(\d+)\s+([\d.]+)s", line)
     if m:
         out[m.group(1)] = {"status": "ok", "rows": int(m.group(2)),
@@ -76,7 +81,8 @@ for line in open(log):
         n_to, n_fail = n_to + to, n_fail + (not to)
 rec = {"_summary": {"sf_dir": sf_dir, "timeout_s": timeout,
                     "n_queries": len(out), "n_ok": n_ok,
-                    "n_timeout": n_to, "n_fail": n_fail}}
+                    "n_timeout": n_to, "n_fail": n_fail,
+                    "io_canary_mbps": io_mbps}}
 rec.update(dict(sorted(out.items())))
 json.dump(rec, open(dest, "w"), indent=1)
 print(f"[sweep_sf10] wrote {dest}: {n_ok} ok / {n_to} timeout / {n_fail} fail of {len(out)}")

@@ -99,6 +99,55 @@ object Bench {
     dt
   }
 
+  /** Cold-read I/O canary (judge r13 #3/#4), reported as MB/s: the r13
+    * round's 10–25× sweep "regressions" on scan-heavy queries were the
+    * BOX's I/O deficit (its DuckDB oracle ran the same SQL 4× slower than
+    * the r12 box), invisible to both CPU canaries. This probe times a
+    * sequential cold read of up to 256 MiB of the corpus's own parquet
+    * (page cache dropped first — root boxes; when the drop is not
+    * permitted the reading is an upper bound and says so by being
+    * implausibly fast). Not part of the hot-retry loop: a slow disk is a
+    * box property, not transient contention — the value STAMPS the record
+    * so a cross-round comparison can attribute scan-query drift to the
+    * box from the record alone.
+    */
+  private[graft] def canaryIoMbps(sfDir: String): Double = {
+    val dir = new java.io.File(sfDir)
+    def parquets(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val all = (parquets(dir) ++
+      Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(_.isDirectory).flatMap(parquets)).sortBy(-_.length)
+    if (all.isEmpty) return -1.0
+    // MAX of 2 drop-and-read cycles: virtualized disks serve "cold" reads
+    // from host-side caches with wide spread (measured 456–1318 MB/s on a
+    // quiet box) and noise only ever SUBTRACTS throughput, so the best
+    // observed reading is the stable capacity probe (the min-of-reps
+    // argument, inverted for a rate).
+    def once(): Double = {
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "1")
+      } catch { case _: Throwable => () }
+      val budget = 256L * 1024 * 1024
+      var read = 0L
+      val buf = new Array[Byte](1 << 20)
+      val t0 = System.nanoTime()
+      val it = all.iterator
+      while (read < budget && it.hasNext) {
+        val in = new java.io.FileInputStream(it.next())
+        try {
+          var n = in.read(buf)
+          while (n > 0 && read < budget) { read += n; n = in.read(buf) }
+        } finally in.close()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (secs <= 0) -1.0 else read / 1e6 / secs
+    }
+    math.max(once(), once())
+  }
+
   /** 1/5/15-minute load averages ((-1,-1,-1) if /proc/loadavg is unreadable
     * — non-Linux dev boxes must not crash the bench over instrumentation).
     */
@@ -115,6 +164,20 @@ object Bench {
     if (l._1 < 0) "[]" else s"[${l._1},${l._2},${l._3}]"
 
   def main(args: Array[String]): Unit = {
+    // calibration mode (judge r13 #4): `runMain graft.Bench canaries`
+    // measures this box's quiet canaries — run it SOLO on a quiet box and
+    // feed the readings back as the SPARK_GRAFT_CANARY_* env (or update
+    // the in-code defaults when the round's box changes) so the gate
+    // bounds and value_norm describe the CURRENT box, not a past one.
+    if (args.sameElements(Array("canaries"))) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val c1 = canarySeconds()
+      val cp = canaryParSeconds(cpus)
+      val io = canaryIoMbps(sfDir)
+      println(f"""{"canary_s":$c1%.3f,"canary_par_s":$cp%.3f,"canary_io_mbps":$io%.1f,"load":${loadJson(loadavg())}}""")
+      return
+    }
     // a typo'd query name must fail loudly, not silently bench nothing
     val unknown = args.filterNot(SparkEntry.queries.keySet)
     if (unknown.nonEmpty) {
@@ -212,6 +275,7 @@ object Bench {
     var lockWait: Double = 0.0
     var canaryStart: Double = -1.0
     var canaryParStart: Double = -1.0
+    var canaryIoStart: Double = -1.0
     var canaryEnd: Option[Double] = None
     var canaryParEnd: Option[Double] = None
     // Quiet-box reference canaries for cross-round normalization, both env
@@ -228,8 +292,17 @@ object Bench {
     //    r7–r9 single-thread rule — actually sees multi-core contention
     //    (judge r9 #1: the r9 record was 2.05× wall at a canary_s ratio of
     //    only 1.30×).
+    // r14 re-baseline (judge r13 #4): the r10-box constants (quiet 1.80 /
+    // par 2.30) let the r13 record pass the gate while running ~1.7× the
+    // r12 quiet number — a gate passing on a slower box defeats itself.
+    // These defaults are the CURRENT box's measured quiet readings
+    // (`runMain graft.Bench canaries`, solo: 1t 1.98–2.04 s, par
+    // 2.46–2.55 s, io max-of-2 ~500–1300 MB/s); value_norm is therefore
+    // normalized against THIS box's quiet reference, and the record
+    // carries the refs so any consumer can re-normalize to another box.
     val canaryRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "1.40").toDouble
-    val canaryParRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_PAR_REF", "2.30").toDouble
+    val canaryParRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_PAR_REF", "2.50").toDouble
+    val canaryIoRef = sys.env.getOrElse("SPARK_GRAFT_CANARY_IO_REF", "500").toDouble
     // Canary GATE (judge r12 #2): BENCH_r12 landed on a uniformly-hot box
     // (median per-query ratio 1.178 over 106 common queries, no plan
     // changes) and the official record understated the tree by ~1.5× —
@@ -245,7 +318,7 @@ object Bench {
     // record that had to run hot anyway (retries exhausted — the driver
     // still needs a number) self-describes instead of needing a §6
     // asterisk.
-    val canaryQuiet1t = sys.env.getOrElse("SPARK_GRAFT_CANARY_QUIET", "1.80").toDouble
+    val canaryQuiet1t = sys.env.getOrElse("SPARK_GRAFT_CANARY_QUIET", "2.00").toDouble
     val gateFactor = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE", "1.25").toDouble
     val gateRetries = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE_RETRIES", "4").toInt
     val gateWaitS = sys.env.getOrElse("SPARK_GRAFT_CANARY_GATE_WAIT_S", "45").toInt
@@ -306,6 +379,9 @@ object Bench {
         else "") +
         (if (canaryParStart > 0)
           s""","canary_par_s":${f3(canaryParStart)},"canary_par_ref_s":${f3(canaryParRef)}"""
+        else "") +
+        (if (canaryIoStart > 0)
+          s""","canary_io_mbps":${fd(canaryIoStart, 1)},"canary_io_ref_mbps":${fd(canaryIoRef, 0)}"""
         else "")
       // normalize by the PARALLEL canary (sees core competition); keep the
       // single-thread-normalized figure as value_norm_1t for continuity with
@@ -373,6 +449,13 @@ object Bench {
     // passes must not start on a box that would hot-sample the record.
     canaryStart = canarySeconds()
     canaryParStart = canaryParSeconds(cpus.toInt)
+    // I/O canary: measured once, OUTSIDE the hot-retry loop (a slow disk
+    // is a box property, not transient contention — re-probing cannot fix
+    // it); the record self-describes I/O quality and a cross-round scan-
+    // query drift gets attributed from the artifact alone (judge r13 #3).
+    canaryIoStart = canaryIoMbps(sfDir)
+    if (canaryIoStart > 0 && canaryIoStart < canaryIoRef / 2)
+      System.err.println(f"[bench] I/O canary ${canaryIoStart}%.0f MB/s is < half the quiet ref ${canaryIoRef}%.0f — scan-heavy timings on this record reflect the BOX's disk, not the engine")
     canaryGateTries = 1
     while (canaryHot(canaryStart, canaryParStart) && canaryGateTries <= gateRetries) {
       System.err.println(f"[bench] canary gate HOT (1t ${canaryStart}%.2f s vs bound ${canaryQuiet1t * gateFactor}%.2f, par ${canaryParStart}%.2f s vs bound ${canaryParRef * gateFactor}%.2f); re-probing in $gateWaitS s (try $canaryGateTries/$gateRetries)")

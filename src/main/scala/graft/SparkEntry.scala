@@ -1758,9 +1758,14 @@ object SparkEntry {
       // upgrades lift to DECIMAL(38,0). N enters as a LITERAL via the
       // memoized docsCount (r14): the r13 1-row-broadcast shape planned two
       // BroadcastNestedLoopJoins and tripped PlanSpec's nested-loop gate.
+      // persistIndex=true (r14 A/B, PmiAbSf10): tv (term ⋈ vocab) feeds
+      // BOTH self-join sides — persist+checkpoint shingles the corpus ONCE
+      // and measured faster at BOTH scales (sf0.1: 1.75 vs 2.38 s min;
+      // sf10: 12.05 vs 15.02 s min), unlike the q22/q23 family where the
+      // sides share one exchange and persist's barrier jobs cost more.
       Scoring.pmiPairs(T(s, dir, "documents"), col("doc_id"), col("text"),
         n = 3, minDf = 3L, maxDf = 50L, minSupport = 2L, topK = 100,
-        nDocs = Some(docsCount(s, dir)))
+        nDocs = Some(docsCount(s, dir)), persistIndex = true)
     }),
 
     "q113_audio_neardup" -> ((s, dir) => {
