@@ -61,17 +61,40 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec")))).as("cs"))
       .select(col("cs.cell_id").as("cids"), col("cs.cvec").as("cvecs"))
 
+  /** The centroid table COLLECTED through [[packCentroids]]: (cids, cvecs)
+    * parallel seqs ordered by cell_id. A centroid table is bounded by
+    * construction (the quantizer's k), so this is a MODEL collect — the
+    * routeToCells / blocklist-literal precedent, not a data collect. r14
+    * (guide §2.4, remove shuffles outright): inlining the model as literals
+    * deletes, per consumer, the packing aggregate's two exchanges + the
+    * broadcast exchange + their AQE stage jobs — the assignment itself was
+    * already a map-side projection and is unchanged.
+    */
+  private def collectCentroids(centroids: DataFrame): (Seq[Long], Seq[Seq[Float]]) = {
+    val packed = packCentroids(centroids).head()
+    // deep-copy to immutable Vectors: typedlit's Seq encoder rejects the
+    // mutable ArraySeq views Row.getSeq returns (Scala 2.13 Seq = immutable)
+    (packed.getSeq[Long](0).toVector,
+      packed.getSeq[scala.collection.Seq[Float]](1).toVector
+        .map(s => if (s == null) null else s.toVector))
+  }
+
   private def assignCells(corpus: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String,
                           carryVec: Boolean): DataFrame = {
-    val packed = packCentroids(centroids)
-    val cell = get(col("cids"),
-      NativeFns.nearestIndex(col(vecCol), col("cvecs"), "cosine"))
+    val (cids, cvecs) = collectCentroids(centroids)
+    // empty centroid table assigns nothing (the old inner-join behavior):
+    // emit the correctly-typed empty relation rather than scanning
+    if (cids.isEmpty) {
+      val cols = Seq(col(idCol).as("nid"), lit(null).cast("long").as("cell_id")) ++
+        (if (carryVec) Seq(col(vecCol).as("v")) else Nil)
+      return corpus.select(cols: _*).limit(0)
+    }
+    val cell = get(typedlit(cids),
+      NativeFns.nearestIndex(col(vecCol), typedlit(cvecs), "cosine"))
     val cols = Seq(col(idCol).as("nid"), cell.as("cell_id")) ++
       (if (carryVec) Seq(col(vecCol).as("v")) else Nil)
-    corpus.join(broadcast(packed))
-      .filter(size(col("cvecs")) > 0)
-      .select(cols: _*)
+    corpus.select(cols: _*)
   }
 
   /** Brute-force cosine top-k: queries × corpus scored pairwise, then
@@ -125,40 +148,57 @@ object Similarity {
     val (trainDf, trainBlocks) =
       if (iters <= 1) (trainSampleOf(corpus, idCol, trainSample), Seq.empty[org.apache.spark.rdd.RDD[_]])
       else Checkpoints.tracked(trainSampleOf(corpus, idCol, trainSample))
-    // seeds are NOT checkpointed: a k-row TakeOrdered is cheaper to recompute
-    // than the extra materialization job a checkpoint costs; per-ROUND
-    // results below are checkpointed (that's where lineage would compound)
-    var cent = corpus.orderBy(col(idCol)).limit(k)
+    // r14 (guide §2.4 / §1.2 "the distributed algorithm"): the centroid
+    // table is ≤ k rows by construction — a MODEL, not data — so the Lloyd
+    // loop now lives on the DRIVER: seeds are one bounded TakeOrdered
+    // collect, each round is ONE distributed mean-aggregation job whose
+    // ≤ k-row result is collected, and the returned table is a
+    // LocalRelation. This deletes, per round, the localCheckpoint
+    // materialization job and its 2-exchange aggregate re-execution inside
+    // every downstream broadcast, and makes every consumer's packing
+    // (collectCentroids) a local no-op. Float means are averaged in the
+    // same one-level groupBy as before, so per-round centroid values are
+    // unchanged from the checkpointed formulation.
+    val seedRows = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cell_id"),
         col(vecCol).cast("array<float>").as("cvec"))
-      // a non-numeric id would cast to a NULL cell_id for EVERY seed, and
-      // the per-round isNotNull filter would then silently empty the
-      // centroid table — fail loudly instead (the id must be castable)
-      .filter(assert_true(col("cell_id").isNotNull,
-        lit(s"kmeansCentroids: $idCol must cast to long for cell ids — " +
-          "non-numeric ids would silently empty the centroid table")).isNull)
-    var centBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
+      .collect()
+    // a non-numeric id would cast to a NULL cell_id for EVERY seed, and
+    // the per-round isNotNull filter would then silently empty the
+    // centroid table — fail loudly instead (the id must be castable)
+    require(seedRows.forall(!_.isNullAt(0)),
+      s"kmeansCentroids: $idCol must cast to long for cell ids — " +
+        "non-numeric ids would silently empty the centroid table")
+    var cent: Seq[(Long, Seq[Float])] = seedRows.toSeq.map(r =>
+      (r.getLong(0), Option(r.getSeq[Float](1)).map(_.toVector).orNull))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(trainDf, cent, idCol, vecCol, carryVec = true)
-      val (next, nextBlocks) = Checkpoints.tracked(
-        assigned
-          // unassignable vectors (NULL cell — zero-norm/ragged, see
-          // assignCells) must not coalesce into a phantom NULL-keyed
-          // centroid that later scores against real corpus vectors
-          .filter(col("cell_id").isNotNull)
-          .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cell_id"), col("pos"))
-          .agg(avg(col("x")).as("m"))
-          .groupBy(col("cell_id"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            e => e("m").cast("float")).as("cvec")))
-      cent = next
-      // RDD-level release: Dataset.unpersist is a no-op for localCheckpoints
-      Checkpoints.release(centBlocks)
-      centBlocks = nextBlocks
+      val cids = cent.map(_._1)
+      val cvecs = cent.map(_._2)
+      val assigned = trainDf.select(
+        get(typedlit(cids),
+          NativeFns.nearestIndex(col(vecCol), typedlit(cvecs), "cosine"))
+          .as("cell_id"),
+        col(vecCol).as("v"))
+      cent = assigned
+        // unassignable vectors (NULL cell — zero-norm/ragged, see
+        // assignCells) must not coalesce into a phantom NULL-keyed
+        // centroid that later scores against real corpus vectors
+        .filter(col("cell_id").isNotNull)
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e("m").cast("float")).as("cvec"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
+        .sortBy(_._1)
     }
     Checkpoints.release(trainBlocks)
-    cent
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cent.toDF("cell_id", "cvec")
+      .select(col("cell_id"), col("cvec").cast("array<float>"))
   }
 
   /** K-means corpus clustering as a first-class op: train centroids
@@ -211,9 +251,7 @@ object Similarity {
   def routeToCells(vectors: DataFrame, centroids: DataFrame,
                    idCol: String, vecCol: String,
                    carryVec: Boolean = false): DataFrame = {
-    val packed = packCentroids(centroids).head()
-    val cids: Seq[Long] = packed.getSeq[Long](0)
-    val cvecs: Seq[Seq[Float]] = packed.getSeq[Seq[Float]](1)
+    val (cids, cvecs) = collectCentroids(centroids)
     require(cids.nonEmpty, "routeToCells needs a non-empty centroid table")
     val cell = get(typedlit(cids),
       NativeFns.nearestIndex(col(vecCol), typedlit(cvecs), "cosine"))
@@ -299,17 +337,34 @@ object Similarity {
     * the corpus-sized-sort shape that [[topKPerQuery]] routes around.
     */
   private[graft] def probeCells(queries: DataFrame, centroids: DataFrame,
-                                idCol: String, vecCol: String, nProbe: Int): DataFrame =
-    queries.as("q")
-      .join(broadcast(centroids))
-      .select(col(s"q.$idCol").as("query_id"), col(s"q.$vecCol").as("qv"),
-        col("cell_id"),
-        NativeFns.cosineSim(col(s"q.$vecCol"), col("cvec")).as("csim"))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("csim").desc, col("cell_id"))))
-      .filter(col("crnk") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell_id"))
+                                idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    // r14: centroids inlined as literals (collectCentroids — the model
+    // collect), the per-query ranking as a sorted-array slice instead of a
+    // queries × cells join + window: sort key (coalesce(−csim, 2), cell_id)
+    // ascending reproduces row_number over (csim DESC NULLS LAST, cell_id
+    // ASC) exactly — cosines live in [−1, 1], so 2 sorts every undefined
+    // similarity (zero-norm/ragged query) after every defined one, as the
+    // window's default DESC null ordering did. One exchange-free projection
+    // replaces the join + the window's sort exchange.
+    val (cids, cvecs) = collectCentroids(centroids)
+    // empty centroid table probes nothing (the old inner-join behavior);
+    // array() of zero struct columns would not even type-resolve
+    if (cids.isEmpty)
+      return queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          lit(null).cast("long").as("cell_id"))
+        .limit(0)
+    val ranked = (cids zip cvecs).map { case (cid, cv) =>
+      struct(
+        coalesce(-NativeFns.cosineSim(col(vecCol), typedlit(cv)), lit(2.0d))
+          .as("negSim"),
+        lit(cid).as("cell_id"))
+    }
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(array_sort(array(ranked: _*)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell_id").as("cell_id"))
+  }
 
   /** dot(a, b) as a Column over two float/double arrays (codebook-sized
     * relations only — the corpus-side hot path stays in the native
@@ -434,6 +489,21 @@ object Similarity {
     .agg(array_sort(collect_list(col("e"))).as("bs"))
     .select(col("bs.cids").as("cbCids"), col("bs.cvecs").as("cbCvecs"))
 
+  /** The packed codebook COLLECTED and inlined as a literal cbCvecs column
+    * (cbCvecs[s][i] = centroid i of subspace s, cid-ordered — the
+    * [[pqPackBySub]] contract; the cids are only ever consumed by training,
+    * which packs driver-side). A codebook is ≤ numSub × numCentroids rows
+    * by construction — the same model-collect rule as [[collectCentroids]]:
+    * encode/LUT consumers then need no aggregate, no broadcast exchange,
+    * and no join at all.
+    */
+  private[graft] def pqPackLit(codebook: DataFrame): Column = {
+    val r = pqPackBySub(codebook).head()
+    // deep-copy to immutable Vectors (see collectCentroids)
+    typedlit(r.getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](1)
+      .toVector.map(_.toVector.map(v => if (v == null) null else v.toVector)))
+  }
+
   /** Train the per-subspace PQ codebooks: deterministic first-N seeds +
     * `kmeansIters` joint Lloyd rounds over a fixed training sample (ALL
     * subspaces in one job per round — group key (sub, cid), never one job
@@ -450,40 +520,59 @@ object Similarity {
     // full-corpus training (see trainSampleOf).
     val trainSubs = pqSubs(trainSampleOf(corpus, idCol, trainSample),
       idCol, vecCol, numSub)
-    // codebook seeds: subvectors of the first numCentroids vectors by id.
-    // NOT checkpointed — recomputing a numCentroids-row TakeOrdered is
-    // cheaper than a materialization job; per-ROUND results are checkpointed
-    var codebook =
+    // r14 (the kmeansCentroids move): the codebook is ≤ numSub×numCentroids
+    // rows by construction — a MODEL — so the joint Lloyd loop lives on the
+    // driver: seeds are one bounded collect, each round assigns against the
+    // LITERAL packed codebook (no broadcast join) and collects the ≤
+    // numSub×numCentroids-row means — deleting the per-round checkpoint job
+    // and the packing aggregate + broadcast exchange per round. Returned as
+    // a LocalRelation, so pqPackLit downstream is a local no-op.
+    var codebook: Seq[(Int, Long, Seq[Float])] =
       pqSubs(corpus.orderBy(col(idCol)).limit(numCentroids), idCol, vecCol, numSub)
-        .select(col("sub"), col(idCol).cast("long").as("cid"),
+        .select(col("sub").cast("int"), col(idCol).cast("long").as("cid"),
           col("svec").cast("array<float>").as("cvec"))
-    var cbBlocks: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector))
     // joint Lloyd rounds over every subspace at once: assign by min L2
     // (argmin |x-c|² = argmax (dot - |c|²/2)), then per-(sub, cid, pos) mean
     for (_ <- 0 until kmeansIters) {
+      val (cbCids, cbCvecs) = packCodebookRows(codebook)
       val assigned = trainSubs
-        .join(broadcast(pqPackBySub(codebook)))
         .select(col("sub"),
-          get(get(col("cbCids"), col("sub")),
-            NativeFns.nearestIndex(col("svec"), get(col("cbCvecs"), col("sub")),
+          get(get(typedlit(cbCids), col("sub")),
+            NativeFns.nearestIndex(col("svec"), get(typedlit(cbCvecs), col("sub")),
               "dot_adj")).as("cid"),
           col("svec"))
-      val (next, nextBlocks) = Checkpoints.tracked(
-        assigned
-          // see kmeansCentroids: no phantom NULL-keyed codebook entries
-          .filter(col("cid").isNotNull)
-          .select(col("sub"), col("cid"),
-            posexplode(col("svec")).as(Seq("pos", "x")))
-          .groupBy(col("sub"), col("cid"), col("pos"))
-          .agg(avg(col("x")).as("m"))
-          .groupBy(col("sub"), col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            e => e("m").cast("float")).as("cvec")))
-      codebook = next
-      Checkpoints.release(cbBlocks)
-      cbBlocks = nextBlocks
+      codebook = assigned
+        // see kmeansCentroids: no phantom NULL-keyed codebook entries
+        .filter(col("cid").isNotNull)
+        .select(col("sub"), col("cid"),
+          posexplode(col("svec")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e("m").cast("float")).as("cvec"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector))
+        .sortBy(e => (e._1, e._2))
     }
-    codebook
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    codebook.toDF("sub", "cid", "cvec")
+      .select(col("sub").cast("int"), col("cid"),
+        col("cvec").cast("array<float>"))
+  }
+
+  /** Driver-side twin of [[pqPackBySub]] over collected codebook rows:
+    * cbCids(s)(i) = the cid of centroid i of subspace s (cid-ordered),
+    * cbCvecs(s)(i) its vector — the same gap-free positional contract.
+    */
+  private def packCodebookRows(rows: Seq[(Int, Long, Seq[Float])])
+      : (Seq[Seq[Long]], Seq[Seq[Seq[Float]]]) = {
+    val bySub = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, es) => es.sortBy(_._2) }
+    (bySub.map(_.map(_._2)), bySub.map(_.map(_._3)))
   }
 
   /** Encode a corpus against a PACKED codebook ([[pqPackBySub]]): ONE
@@ -493,33 +582,31 @@ object Similarity {
     * subspaces so codes[i] stays paired with lut[i]. NULL vectors carry no
     * codes (filtered — the exploding formulation dropped them too).
     */
-  private[graft] def pqEncode(corpus: DataFrame, packedCb: DataFrame,
+  private[graft] def pqEncode(corpus: DataFrame, cbCvecs: Column,
                               idCol: String, vecCol: String,
                               numSub: Int): DataFrame =
     corpus
       .filter(col(vecCol).isNotNull)
-      .join(broadcast(packedCb))
       .select(col(idCol).as("neighbor_id"),
         slice(array((0 until numSub).map(s =>
             NativeFns.nearestIndex(pqSubVec(col(vecCol), numSub, s),
-              get(col("cbCvecs"), lit(s)), "dot_adj")): _*),
-          lit(1), size(col("cbCvecs"))).as("codes"))
+              get(cbCvecs, lit(s)), "dot_adj")): _*),
+          lit(1), size(cbCvecs)).as("codes"))
 
   /** Per-query lookup table against a packed codebook:
     * lut[s][code] = dot(q_sub, centroid) — one projection over the
     * (broadcast-sized) query set.
     */
-  private[graft] def pqQueryLut(queries: DataFrame, packedCb: DataFrame,
+  private[graft] def pqQueryLut(queries: DataFrame, cbCvecs: Column,
                                 idCol: String, vecCol: String,
                                 numSub: Int): DataFrame =
     queries
       .filter(col(vecCol).isNotNull)
-      .join(broadcast(packedCb))
       .select(col(idCol).as("query_id"),
         slice(array((0 until numSub).map(s =>
-            transform(get(col("cbCvecs"), lit(s)),
+            transform(get(cbCvecs, lit(s)),
               c => dotCol(pqSubVec(col(vecCol), numSub, s), c))): _*),
-          lit(1), size(col("cbCvecs"))).as("lut"))
+          lit(1), size(cbCvecs)).as("lut"))
 
   private def pqCore(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
@@ -531,7 +618,7 @@ object Similarity {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val codebook = trainPqCodebook(corpus, idCol, vecCol, numSub, numCentroids,
       kmeansIters, trainSample)
-    val packedCb = pqPackBySub(codebook)
+    val packedCb = pqPackLit(codebook)
     val codes = pqEncode(corpus, packedCb, idCol, vecCol, numSub)
     val lut = pqQueryLut(queries, packedCb, idCol, vecCol, numSub)
     pqPrescreenRerank(codes, lut,

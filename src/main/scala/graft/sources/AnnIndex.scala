@@ -151,7 +151,7 @@ object AnnIndex {
     val codebook = pq.map(c => Similarity.trainPqCodebook(corpus, idCol, vecCol,
       c.numSub, c.numCentroids, kmeansIters, trainSample))
     val codes = pq.zip(codebook).map { case (c, cb) =>
-      Similarity.pqEncode(corpus, Similarity.pqPackBySub(cb), idCol, vecCol, c.numSub)
+      Similarity.pqEncode(corpus, Similarity.pqPackLit(cb), idCol, vecCol, c.numSub)
     }
     // dim from the quantizer (tiny, one head()): recorded so a read-back
     // months later can reject a corpus whose dimension drifted
@@ -583,7 +583,7 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell_id")
       .parquet(s"$dir/${cellsDirName(meta.postingsGen)}")
     meta.pq.foreach { pq =>
-      Similarity.pqEncode(batch, Similarity.pqPackBySub(codebook.get),
+      Similarity.pqEncode(batch, Similarity.pqPackLit(codebook.get),
           meta.idCol, meta.vecCol, pq.numSub)
         .write.mode("append").parquet(s"$dir/${codesDirName(meta.postingsGen)}")
     }
@@ -728,7 +728,7 @@ object AnnIndex {
             Seq(meta.idCol), "left_anti")
         val n = missing.count()
         if (n > 0) {
-          Similarity.pqEncode(missing, Similarity.pqPackBySub(codebook),
+          Similarity.pqEncode(missing, Similarity.pqPackLit(codebook),
               meta.idCol, meta.vecCol, pq.numSub)
             .write.mode("append").parquet(s"$dir/${codesDirName(meta.postingsGen)}")
         }
@@ -913,7 +913,7 @@ object AnnIndex {
     val cand =
       if (candidates > 0) candidates
       else math.max(k, math.ceil(m.pqCandidateFraction * liveRows(model)).toInt)
-    val lut = Similarity.pqQueryLut(queries, Similarity.pqPackBySub(model.codebook.get),
+    val lut = Similarity.pqQueryLut(queries, Similarity.pqPackLit(model.codebook.get),
       m.idCol, m.vecCol, pq.numSub)
     Similarity.pqPrescreenRerank(model.codes.get, lut,
       model.cells.select(col(m.idCol).as("neighbor_id"), col(m.vecCol).as("nv")),
@@ -947,7 +947,7 @@ object AnnIndex {
       .join(prunedCells.select(col("cell_id"), col(m.idCol).as("neighbor_id")),
         Seq("cell_id"))
       .select(col("query_id"), col("neighbor_id"))
-    val lut = Similarity.pqQueryLut(queries, Similarity.pqPackBySub(model.codebook.get),
+    val lut = Similarity.pqQueryLut(queries, Similarity.pqPackLit(model.codebook.get),
       m.idCol, m.vecCol, pq.numSub)
     Similarity.pqPrescreenRerank(model.codes.get, lut,
       prunedCells.select(col(m.idCol).as("neighbor_id"), col(m.vecCol).as("nv")),
