@@ -400,21 +400,33 @@ object Relational {
       .withColumn("_off",
         sum(col("_bsum")).over(Window.partitionBy(col("_og")).orderBy(col("_obkt")))
           - col("_bsum"))
-      .select(col("_og"), col("_obkt"), col("_off"))
-    val cum = withB
-      .join(offsets, col("g") <=> col("_og") && col("_bkt") === col("_obkt"))
-      .withColumn("cum",
-        col("_off") + sum(col("cnt")).over(
-          Window.partitionBy(col("g"), col("_bkt")).orderBy(col("v"))))
-      .select(col("g"), col("v"), col("cum"))
+      .select(col("_og"), col("_obkt"), col("_bsum"), col("_off"))
     val targets = stats.select(col("g").as("_tg"), col("n"),
       explode(array(pcts.map(lit(_)): _*)).as("pct"))
       .withColumn("r", expr("(CAST(pct AS BIGINT) * n + 99) DIV 100"))
+    // r14 (guide §2.3/§1.2): the old chain ran the cumulative window over
+    // the WHOLE histogram (every (g, bucket) partition sorted) and only
+    // then filtered to the target ranks. The rank's bucket is already
+    // decided by the aggregate-sized offsets table — _off < r <= _off +
+    // _bsum picks exactly one non-empty bucket per (g, pct) — so locate it
+    // there, then sort ONLY the target buckets' histogram rows (≤ #pcts
+    // buckets per group instead of all of them; the histogram-wide sort
+    // disappears). Exact type-1 quantile semantics are unchanged: least v
+    // with global cumulative count ≥ r, ties and duplicates included.
+    val tbkt = targets
+      .join(offsets, col("_tg") <=> col("_og")
+        && col("r") > col("_off") && col("r") <= col("_off") + col("_bsum"))
+      .select(col("_tg"), col("pct"), col("r"), col("_obkt").as("_tbkt"),
+        col("_off").as("_toff"))
     // null-SAFE like every join above it: a NULL group key is a real
     // group (SQL GROUP BY semantics) — a plain equality join here would
-    // silently drop it after the whole cumulative chain carried it
-    cum.join(targets, col("g") <=> col("_tg"))
-      .filter(col("cum") >= col("r"))
+    // silently drop it after the whole bucketing chain carried it
+    withB
+      .join(tbkt, col("g") <=> col("_tg") && col("_bkt") === col("_tbkt"))
+      .withColumn("_cum",
+        col("_toff") + sum(col("cnt")).over(
+          Window.partitionBy(col("g"), col("pct")).orderBy(col("v"))))
+      .filter(col("_cum") >= col("r"))
       .groupBy(col("g"), col("pct"))
       .agg(min(col("v")).as("value"))
   }

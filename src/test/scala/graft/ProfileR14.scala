@@ -9,7 +9,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   */
 object ProfileR14 {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val reps = if (args.length > 1) args(1).toInt else 3
     val s = SparkTestBase.spark
     s.sparkContext.setLogLevel("ERROR")
@@ -25,8 +25,8 @@ object ProfileR14 {
         }
       }
     })
-    val fn = SparkEntry.queries(name)
-    for (r <- 1 to reps) {
+    for (name <- names; r <- 1 to reps) {
+      val fn = SparkEntry.queries(name)
       s.catalog.clearCache()
       s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       done.clear()
