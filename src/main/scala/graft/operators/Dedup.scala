@@ -958,7 +958,7 @@ object Dedup {
     * mid-algorithm.)
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20, checkEvery: Int = 2): DataFrame = {
+                          maxIters: Int = 20, checkEvery: Int = 1): DataFrame = {
     // loud knob guards (the capIndexByDf convention): checkEvery = 0 would
     // otherwise burn a full Spark round before dying on a bare '/ by zero'
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
@@ -970,10 +970,20 @@ object Dedup {
     val (edges, edgeBlocks) = Checkpoints.tracked(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    // r14: fold the FIRST min-propagation round into initialization — the
+    // neighbor-min groupBy has the same single-shuffle shape as the old
+    // node-list distinct(), so labels start one round ahead for free
+    // (a clique then converges after ONE loop round instead of two; the
+    // checkEvery default drops to 1 so the loop stops the round it
+    // converges — the check is a filter over the materialized checkpoint,
+    // far cheaper than the extra round it saves). Fixpoint unchanged: min
+    // reachable id per component.
     var (labels, labelBlocks) = Checkpoints.tracked(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .withColumn("old_label", col("node")))
+      edges.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("_nbr_min"))
+        .select(col("node"),
+          least(col("node"), col("_nbr_min")).as("label"),
+          col("node").as("old_label")))
     var iter = 0
     var converged = false
     val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
