@@ -715,8 +715,10 @@ object SparkEntry {
       // seen in more than 50 docs are excluded from candidate generation
       // (bounding per-key join fan-out at 100 TB); sizes still count ALL
       // shingles, so the score is a guaranteed lower bound of q22's.
-      // no persist (see q22): the fused-kernel recompute for the sizes/df
-      // branches is cheaper than the checkpoint barrier, measured at sf0.1
+      // r15: one-pass shape — the index is built once and consumed by a
+      // single bounded aggregation (DfCappedPairsAgg), so there is nothing
+      // left to persist (the r13 persist A/B adjudicated the OLD
+      // three-branch shape)
       Dedup.ngramJaccardPairsCapped(T(s, dir, "documents"), col("doc_id"), col("text"),
           3, 0.5, maxDocFreq = 50L)
         .orderBy("doc_a", "doc_b")

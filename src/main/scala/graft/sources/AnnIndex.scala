@@ -154,9 +154,15 @@ object AnnIndex {
       Similarity.pqEncode(corpus, Similarity.pqPackLit(cb), idCol, vecCol, c.numSub)
     }
     // dim from the quantizer (tiny, one head()): recorded so a read-back
-    // months later can reject a corpus whose dimension drifted
-    val dim = centroids.select(size(col("cvec"))).head().getInt(0)
+    // months later can reject a corpus whose dimension drifted. The dim
+    // probe and the corpus footer-count are independent jobs — run them
+    // concurrently (r15, guide §2.6: the lifecycle's cost is serial
+    // per-job latency, not data)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dimF = Future(centroids.select(size(col("cvec"))).head().getInt(0))
     val rows = corpus.count()
+    val dim = Await.result(dimF, scala.concurrent.duration.Duration.Inf)
     Model(Meta(FormatVersion, idCol, vecCol, dim, numCells, kmeansIters,
       trainSample, rows, pq, probeFraction, pqCandidateFraction,
       ivfpqCandidateFraction, cells.schema.json), centroids, cells, codebook, codes)
@@ -578,7 +584,12 @@ object AnnIndex {
       meta.idCol, meta.vecCol)
     // cell-aligned layout at append time too (see write()): a micro-batch
     // append otherwise lands tasks×cells files per batch — the exact
-    // small-file pathology compact() exists to undo
+    // small-file pathology compact() exists to undo.
+    // NOTE (r15 §2.6 audit): the cells and codes writes look overlappable,
+    // but their ORDER is the torn-append repair contract — cells land
+    // first, so a crash can only leave cells-without-codes, which
+    // repairTornAppend re-encodes from the stored codebook; codes-without-
+    // cells would be unrepairable orphans. Kept serial on purpose.
     assigned.repartition(col("cell_id"))
       .write.mode("append").partitionBy("cell_id")
       .parquet(s"$dir/${cellsDirName(meta.postingsGen)}")
