@@ -74,10 +74,29 @@ object Similarity {
     val packed = packCentroids(centroids).head()
     // deep-copy to immutable Vectors: typedlit's Seq encoder rejects the
     // mutable ArraySeq views Row.getSeq returns (Scala 2.13 Seq = immutable)
-    (packed.getSeq[Long](0).toVector,
+    val out = (packed.getSeq[Long](0).toVector,
       packed.getSeq[scala.collection.Seq[Float]](1).toVector
         .map(s => if (s == null) null else s.toVector))
+    // loud size guard (advisor r14): this is a MODEL collect by contract —
+    // an unexpectedly large "centroid" table (someone passing postings as
+    // the quantizer) must fail with a clear message, not balloon the plan's
+    // literals and task binaries until something else falls over
+    val elems = out._1.size.toLong * out._2.headOption.map(v =>
+      if (v == null) 1 else v.size).getOrElse(1).toLong
+    require(out._1.size <= ModelLitMaxRows && elems <= ModelLitMaxElems,
+      s"collectCentroids: ${out._1.size} rows / ~$elems floats exceed the " +
+        s"model-literal bounds ($ModelLitMaxRows rows / $ModelLitMaxElems " +
+        "elements) — this API inlines MODELS, not data; a table this large " +
+        "is almost certainly not a quantizer")
+    out
   }
+
+  /** Model-literal bounds for [[collectCentroids]] / [[pqPackLit]]: far
+    * above any sane quantizer (contract knobs: k ≤ 16 cells, codebooks ≤
+    * numSub × 256), far below anything that would bloat plans/binaries.
+    */
+  private val ModelLitMaxRows = 1 << 16
+  private val ModelLitMaxElems = 1L << 24
 
   private def assignCells(corpus: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String,
@@ -135,6 +154,13 @@ object Similarity {
     * Cells that end an iteration empty simply drop out (standard Lloyd
     * behavior); intermediate centroid tables are checkpointed per iteration
     * and released.
+    *
+    * EAGER (r14, documented per advisor r14): the driver-side Lloyd loop
+    * runs its training Spark jobs AT CALL TIME — this is a training entry
+    * point, not a lazy plan constructor. Callers that only want to build
+    * or explain a downstream plan still pay (and can fail on) the full
+    * training here; [[trainPqCodebook]] has the same contract. The
+    * returned centroid table is a LocalRelation.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int, trainSample: Int = 65536): DataFrame = {
@@ -354,10 +380,16 @@ object Similarity {
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           lit(null).cast("long").as("cell_id"))
         .limit(0)
+    // r15 (advisor r14): nanvl pins a NaN cosine (vector containing NaN
+    // floats) to −2.0, which sorts FIRST among negSim ∈ [−1,1] — exactly
+    // where the old window ranked it (NaN is GREATEST under csim DESC in
+    // Spark's ordering). Without it the ascending struct sort would rank a
+    // NaN similarity LAST, silently diverging from the pre-r14 probe set
+    // on pathological vectors. NULL (zero-norm/ragged) stays 2.0 = last.
     val ranked = (cids zip cvecs).map { case (cid, cv) =>
       struct(
-        coalesce(-NativeFns.cosineSim(col(vecCol), typedlit(cv)), lit(2.0d))
-          .as("negSim"),
+        coalesce(nanvl(-NativeFns.cosineSim(col(vecCol), typedlit(cv)), lit(-2.0d)),
+          lit(2.0d)).as("negSim"),
         lit(cid).as("cell_id"))
     }
     queries
@@ -500,8 +532,21 @@ object Similarity {
   private[graft] def pqPackLit(codebook: DataFrame): Column = {
     val r = pqPackBySub(codebook).head()
     // deep-copy to immutable Vectors (see collectCentroids)
-    typedlit(r.getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](1)
-      .toVector.map(_.toVector.map(v => if (v == null) null else v.toVector)))
+    val packed = r.getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](1)
+      .toVector.map(_.toVector.map(v => if (v == null) null else v.toVector))
+    // loud size guard (advisor r14; collectCentroids' rationale): a
+    // codebook is ≤ numSub × numCentroids rows by construction — reject an
+    // oversized one clearly instead of inlining a giant literal. NOTE the
+    // returned Column is ONE literal value shared by reference across the
+    // numSub get(...) consumers in pqEncode/pqQueryLut — the value is not
+    // copied per reference; only explain strings repeat it.
+    val rows = packed.map(_.size.toLong).sum
+    val elems = packed.map(_.map(v => if (v == null) 0L else v.size.toLong).sum).sum
+    require(rows <= ModelLitMaxRows && elems <= ModelLitMaxElems,
+      s"pqPackLit: $rows codebook rows / ~$elems floats exceed the " +
+        s"model-literal bounds ($ModelLitMaxRows rows / $ModelLitMaxElems " +
+        "elements) — this API inlines MODELS, not data")
+    typedlit(packed)
   }
 
   /** Train the per-subspace PQ codebooks: deterministic first-N seeds +
@@ -509,6 +554,8 @@ object Similarity {
     * subspaces in one job per round — group key (sub, cid), never one job
     * per subspace). Returns the relational codebook (sub, cid, cvec) — the
     * form [[graft.sources.AnnIndex]] materializes as a versioned artifact.
+    * EAGER like [[kmeansCentroids]]: training jobs run at call time, and
+    * the result is a LocalRelation (so pqPackLit downstream is local).
     */
   private[graft] def trainPqCodebook(corpus: DataFrame, idCol: String,
                                      vecCol: String, numSub: Int,

@@ -57,6 +57,22 @@ class AnnIndexSpec extends GraftSuite {
     // metadata against the LIVE postings count and return full top-k
     val defaulted = AnnIndex.searchIvfPq(stored, queries, 5)
     assert(defaulted.count() == queries.count() * 5)
+
+    // stored-codebook schema pin (advisor r14): r14's driver-side PQ
+    // training builds cvec via toDF over Seq[Float] — array<float> with
+    // containsNull = false — where the old aggregate produced
+    // containsNull = true. Parquet widens required -> optional on read, so
+    // cross-generation reads stay compatible; this assertion pins the
+    // READ-BACK schema so a future training change that drifts the stored
+    // element type (not just nullability) fails here, not months later on
+    // a mixed-generation artifact.
+    val cbSchema = stored.codebook.get.schema
+    assert(cbSchema.fieldNames.sorted.toSeq == Seq("cid", "cvec", "sub"))
+    val cvecField = cbSchema("cvec").dataType
+    assert(cvecField.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      cvecField.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.FloatType,
+      s"stored codebook cvec must read back as array<float>, got $cvecField")
   }
 
   test("versions are immutable; torn versions are invisible and unreadable") {

@@ -968,8 +968,13 @@ class OperatorsSpec extends GraftSuite {
         Seq((1.0e17, 1.0), (2.0, 2.0)).toDF("x", "y"),
         Seq("x" -> $"x", "y" -> $"y")).collect()
     }
-    assert(e2.getMessage.contains("correlationMatrix") ||
-      Option(e2.getCause).exists(_.getMessage.contains("correlationMatrix")), e2.getMessage)
+    // r15: the LONG-path rounding expression throws first for the same
+    // inputs the old max-abs assert aborted on — still loud, earlier
+    // message (graft_double_to_scaled_long names the supported range)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e2).exists(m => m.contains("correlationMatrix") ||
+      m.contains("graft_double_to_scaled_long")), chain(e2).mkString(" | "))
     // fractional weights would truncate to 0 inside the long cast
     val frac = Seq(("a", 1L, 0.7)).toDF("p", "o", "w")
     val e3 = intercept[IllegalArgumentException] {
